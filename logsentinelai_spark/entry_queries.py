@@ -1,0 +1,213 @@
+"""Driver-contract queries: every operator exposed through
+``__spark_entry__.queries()`` with a DuckDB oracle in ``oracle_sql()``.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash at sf0.01):
+  * float outputs rounded to 6 decimals on BOTH sides, same alias
+  * deterministic selections only (fixed term lists / fixed query
+    strings; LIMIT only after a total ordering with pinned tie-break)
+  * tokenization for the ASCII ``documents`` table is the shared SQL
+    pattern ``[a-z0-9]+`` on lower(text) — identical semantics in
+    Spark (Java regex) and DuckDB (RE2); the engine's Unicode
+    tokenizer is exercised by the pages-corpus pytest suite instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.tokenizer import SQL_TOKEN_PATTERN
+from .index.bm25 import B, K1
+from .index.naive import bm25_topk_naive, build_naive_stats
+
+FLAGSHIP_QUERY = "data query merge index"
+FIXED_TERMS = ["the", "data", "query", "index", "merge", "scan"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, tokens array<string>) via JVM-side regex
+    (whole-stage codegen; no Python in this hot path)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)").alias("tokens"),
+    )
+
+
+_TOK_CTE = (
+    "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    f"'{SQL_TOKEN_PATTERN}')) AS term FROM documents)"
+)
+
+
+# ---------------------------------------------------------------- tf / df / stats
+
+def q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-analog: per-doc term frequencies for a fixed term set."""
+    tok = tokenized_documents(spark, sf_dir)
+    return (
+        tok.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(FIXED_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def sql_term_tf() -> str:
+    terms = ", ".join(f"('{t}')" for t in FIXED_TERMS)
+    return f"""
+WITH {_TOK_CTE}, q(term) AS (VALUES {terms})
+SELECT doc_id, term, count(*) AS tf FROM tok JOIN q USING (term) GROUP BY doc_id, term
+"""
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-analog: document frequency of every term (full vocabulary)."""
+    tok = tokenized_documents(spark, sf_dir)
+    return (
+        tok.select("doc_id", F.explode("tokens").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def sql_term_df() -> str:
+    return f"""
+WITH {_TOK_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+"""
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token length (dl)."""
+    tok = tokenized_documents(spark, sf_dir)
+    return tok.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+
+
+def sql_doc_stats() -> str:
+    return f"""
+WITH {_TOK_CTE}
+SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+"""
+
+
+def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level N and avgdl (A1/A9-analog)."""
+    d = q_doc_stats(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl")
+    )
+
+
+def sql_global_stats() -> str:
+    return f"""
+WITH {_TOK_CTE}, dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl
+"""
+
+
+# ---------------------------------------------------------------- BM25 top-k
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: Lucene-semantics BM25 top-10 for a fixed query over the
+    documents table (naive Catalyst scorer; SURVEY.md §2.8 Q8)."""
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    out = bm25_topk_naive(postings, dstats, tstats, gstats, FLAGSHIP_QUERY, k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def sql_bm25_topk() -> str:
+    qterms = sorted(set(FLAGSHIP_QUERY.split()))
+    terms = ", ".join(f"('{t}')" for t in qterms)
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {terms}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scored ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- dashboard analogs (SURVEY §2.8)
+
+def q_events_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 terms agg: count per event_type (complete groups — no limit,
+    so the comparison is deterministic)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def sql_events_terms_topk() -> str:
+    return "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+
+def q_events_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 date_histogram: hourly tumbling window with count + sum."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+def sql_events_date_histogram() -> str:
+    return (
+        "SELECT date_trunc('hour', ts) AS hour, count(*) AS n, "
+        "round(sum(value), 6) AS sum_value FROM events GROUP BY 1"
+    )
+
+
+def q_events_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4/Q5/Q6: avg, sum, and the Kibana Lens formula panel
+    (avg(value)/avg(elapsed)-style derived metric) per event_type."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.sum("value") / F.count("*"), 6).alias("value_per_event"),
+    )
+
+
+def sql_events_formula() -> str:
+    return (
+        "SELECT event_type, round(avg(value), 6) AS avg_value, "
+        "round(sum(value), 6) AS sum_value, "
+        "round(sum(value) / count(*), 6) AS value_per_event "
+        "FROM events GROUP BY event_type"
+    )
+
+
+QUERIES = {
+    "term_tf": q_term_tf,
+    "term_df": q_term_df,
+    "doc_stats": q_doc_stats,
+    "global_stats": q_global_stats,
+    "bm25_topk": q_bm25_topk,
+    "events_terms": q_events_terms_topk,
+    "events_date_histogram": q_events_date_histogram,
+    "events_formula": q_events_formula,
+}
+
+ORACLES = {
+    "term_tf": sql_term_tf(),
+    "term_df": sql_term_df(),
+    "doc_stats": sql_doc_stats(),
+    "global_stats": sql_global_stats(),
+    "bm25_topk": sql_bm25_topk(),
+    "events_terms": sql_events_terms_topk(),
+    "events_date_histogram": sql_events_date_histogram(),
+    "events_formula": sql_events_formula(),
+}

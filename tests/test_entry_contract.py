@@ -1,0 +1,73 @@
+"""Mimic the driver's correctness gate: every ``queries()`` entry must
+match its ``oracle_sql()`` DuckDB result at sf0.01 — row count, column
+names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF_DIR) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def normalize(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+                    if v == 0:
+                        v = 0.0
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, name):
+    oracles = entry_mod.oracle_sql()
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    srows = [r.asDict() for r in sdf.collect()]
+    scols = sdf.columns
+    if name not in oracles:
+        assert len(srows) >= 0  # rows-only check for non-SQL ops
+        return
+    con = duck_con()
+    ddf = con.execute(oracles[name]).fetch_arrow_table().to_pylist()
+    dcols = con.execute(oracles[name]).fetch_arrow_table().column_names
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(ddf), f"{name}: row count {len(srows)} vs {len(ddf)}"
+    assert normalize(srows, sorted(scols)) == normalize(ddf, sorted(scols)), f"{name}: values differ"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["doc_id", "score"]
