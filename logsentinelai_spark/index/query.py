@@ -1,0 +1,244 @@
+"""Query-time BM25 top-k over the physical index.
+
+Two scorers, both rank-identical to the numpy oracle (pinned tie-break:
+descending score, ascending doc_id):
+
+  * ``acc``  — vectorized per-shard score accumulation: decode every
+    posting block of the query terms, accumulate idf·tf_norm with
+    numpy, top-k via lexsort. Simple, exhaustive, fast for short
+    posting lists; the correctness baseline for WAND.
+  * ``wand`` — block-max WAND (Broder et al. CIKM'03; Ding & Suel
+    SIGIR'11): document-at-a-time cursors with a bounded "min-heap"
+    (k-best under the tie-break order), term- and block-level upper
+    bounds from the (max_tf, min_dl) annotations, skipping whole
+    blocks whose UB sum cannot beat the current threshold θ.
+
+Execution shape (SURVEY.md §3.3): ONE pruned scan of the posting
+segments -> groupBy(shard).applyInPandas local top-k -> driver merges
+the per-shard heaps (shards × k rows — near-driver, no wide shuffle).
+Scaling: each shard scores independently; doc-sharding spreads hot
+terms evenly, so query work per task is ~|postings(q) ∩ shard|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokens as tokenize
+from .bm25 import B, K1, idf as idf_fn
+from .codec import block_upper_bound, decode_single_block
+from .reader import IndexReader
+
+_UB_MARGIN = 1.0 + 1e-12  # float-safety margin on upper bounds
+
+
+def _contrib(tfs: np.ndarray, dls: np.ndarray, w: float, avgdl: float) -> np.ndarray:
+    return w * tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
+
+
+def _topk_merge(pairs: list[tuple[int, float]], k: int) -> list[tuple[int, float]]:
+    return sorted(pairs, key=lambda p: (-p[1], p[0]))[:k]
+
+
+# ----------------------------------------------------------------- shard scorers
+
+def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int):
+    docs_all, contribs = [], []
+    for term, g in pdf.groupby("term", sort=False):
+        g = g.sort_values("block_id")
+        w = idfs[term]
+        for row in g.itertuples():
+            d, t, l = decode_single_block(row)
+            docs_all.append(d)
+            contribs.append(_contrib(t.astype(np.float64), l.astype(np.float64), w, avgdl))
+    if not docs_all:
+        return []
+    docs = np.concatenate(docs_all)
+    con = np.concatenate(contribs)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    sums = np.bincount(inv, weights=con)
+    order = np.lexsort((uniq, -sums))[:k]
+    return [(int(uniq[i]), float(sums[i])) for i in order]
+
+
+class _Cursor:
+    """Per-term posting cursor with lazy block decode + block skipping."""
+
+    __slots__ = ("rows", "idf", "avgdl", "bi", "docs", "tfs", "dls", "pos", "cur", "term_ub", "block_ubs")
+
+    def __init__(self, rows: list, idf_t: float, avgdl: float):
+        self.rows = rows  # block rows sorted by block_id
+        self.idf = idf_t
+        self.avgdl = avgdl
+        self.block_ubs = np.array(
+            [block_upper_bound(r.max_tf, r.min_dl, idf_t, avgdl) for r in rows]
+        ) * _UB_MARGIN
+        self.term_ub = float(self.block_ubs.max())
+        self.bi = -1
+        self._load(0)
+
+    def _load(self, bi: int) -> None:
+        if bi >= len(self.rows):
+            self.cur = None
+            return
+        self.bi = bi
+        self.docs, self.tfs, self.dls = decode_single_block(self.rows[bi])
+        self.pos = 0
+        self.cur = int(self.docs[0])
+
+    def block_ub(self) -> float:
+        return float(self.block_ubs[self.bi])
+
+    def block_last(self) -> int:
+        return int(self.rows[self.bi].last_doc)
+
+    def seek(self, target: int) -> None:
+        """Advance to first doc >= target, skipping blocks via last_doc."""
+        if self.cur is None or self.cur >= target:
+            return
+        bi = self.bi
+        if self.rows[bi].last_doc < target:
+            # skip undedcoded blocks by annotation only
+            while bi < len(self.rows) and self.rows[bi].last_doc < target:
+                bi += 1
+            if bi >= len(self.rows):
+                self.cur = None
+                return
+            self._load(bi)
+        p = int(np.searchsorted(self.docs, target, side="left"))
+        if p >= self.docs.size:
+            self._load(self.bi + 1)
+        else:
+            self.pos = p
+            self.cur = int(self.docs[p])
+
+    def next(self) -> None:
+        p = self.pos + 1
+        if p >= self.docs.size:
+            self._load(self.bi + 1)
+        else:
+            self.pos = p
+            self.cur = int(self.docs[p])
+
+    def contrib_at_cur(self) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        return self.idf * tf / (tf + K1 * (1 - B + B * dl / self.avgdl))
+
+
+class _TopK:
+    """k-best under ordering (-score, doc) with threshold θ."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.items: list[tuple[int, float]] = []
+
+    def push(self, doc: int, score: float) -> None:
+        self.items.append((doc, score))
+        if len(self.items) > 4 * self.k:
+            self._trim()
+
+    def _trim(self) -> None:
+        self.items = sorted(self.items, key=lambda p: (-p[1], p[0]))[: self.k]
+
+    def theta(self) -> float:
+        if len(self.items) < self.k:
+            return -1.0
+        self._trim()
+        return self.items[-1][1]
+
+    def result(self) -> list[tuple[int, float]]:
+        return sorted(self.items, key=lambda p: (-p[1], p[0]))[: self.k]
+
+
+def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int):
+    cursors: list[_Cursor] = []
+    for term, g in pdf.groupby("term", sort=False):
+        rows = list(g.sort_values("block_id").itertuples())
+        cursors.append(_Cursor(rows, idfs[term], avgdl))
+    heap = _TopK(k)
+    live = [c for c in cursors if c.cur is not None]
+    while live:
+        live.sort(key=lambda c: c.cur)
+        theta = heap.theta()
+        # pivot: first prefix whose term-UB sum can beat θ
+        acc = 0.0
+        pivot_i = -1
+        for i, c in enumerate(live):
+            acc += c.term_ub
+            if acc >= theta:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break  # no prefix can beat θ
+        pivot_doc = live[pivot_i].cur
+        # include all cursors already positioned on pivot_doc
+        while pivot_i + 1 < len(live) and live[pivot_i + 1].cur == pivot_doc:
+            pivot_i += 1
+        if live[0].cur == pivot_doc:
+            # block-max check: current-block UB sum of involved cursors
+            bub = sum(c.block_ub() for c in live[: pivot_i + 1])
+            if bub >= theta:
+                score = 0.0
+                for c in live[: pivot_i + 1]:
+                    if c.cur == pivot_doc:
+                        score += c.contrib_at_cur()
+                if score >= theta:
+                    heap.push(pivot_doc, score)
+                for c in live[: pivot_i + 1]:
+                    if c.cur == pivot_doc:
+                        c.next()
+            else:
+                # BMW deep move: no doc in [pivot, min(block_last)] can beat
+                # θ using terms[0..p] only — but cap the skip at the next
+                # cursor's current doc, where a new term starts participating
+                d = min(c.block_last() for c in live[: pivot_i + 1]) + 1
+                if pivot_i + 1 < len(live):
+                    d = min(d, live[pivot_i + 1].cur)
+                d = max(d, pivot_doc + 1)
+                for c in live[: pivot_i + 1]:
+                    c.seek(d)
+        else:
+            # advance the leading cursors (before pivot) up to pivot_doc
+            for c in live[:pivot_i]:
+                if c.cur < pivot_doc:
+                    c.seek(pivot_doc)
+        live = [c for c in live if c.cur is not None]
+    out = heap.result()
+    # exact-tie safety at θ boundary: heap kept score >= θ candidates, fine
+    return out
+
+
+# ----------------------------------------------------------------- distributed top-k
+
+def topk(
+    reader: IndexReader,
+    query_text: str,
+    k: int = 10,
+    mode: str = "wand",
+    with_urls: bool = False,
+) -> list[tuple]:
+    """Distributed BM25 top-k. Returns [(doc_id, score[, url])]."""
+    qterms = sorted(set(tokenize(query_text)))
+    dfs = reader.term_dfs(qterms)
+    qterms = [t for t in qterms if dfs.get(t)]
+    if not qterms:
+        return []
+    N, avgdl = reader.global_stats()
+    idfs = {t: idf_fn(N, dfs[t]) for t in qterms}
+    blocks = reader.postings_blocks(qterms)
+    score_fn = _score_shard_wand if mode == "wand" else _score_shard_acc
+
+    def _per_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        res = score_fn(pdf, idfs, avgdl, k)
+        return pd.DataFrame({"doc_id": [d for d, _ in res], "score": [s for _, s in res]})
+
+    per_shard = blocks.groupBy("shard").applyInPandas(_per_shard, schema="doc_id long, score double")
+    pairs = [(r.doc_id, r.score) for r in per_shard.collect()]
+    top = _topk_merge(pairs, k)
+    if with_urls:
+        urls = reader.doc_urls([d for d, _ in top])
+        return [(d, s, urls.get(d)) for d, s in top]
+    return top

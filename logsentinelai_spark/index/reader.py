@@ -1,0 +1,98 @@
+"""Index reader — manifest-gated access to committed segments.
+
+Only waves whose manifest is ``complete`` are visible (lineage.py), so
+readers never see a half-written wave. Partition pruning: postings are
+laid out ``postings/wave=N/shard=S/term_bucket=B``; a query for terms T
+reads only the buckets {md5_bucket(t)} of committed waves, with the
+``term IN (...)`` predicate pushed into the parquet row-group scan.
+
+Global stats come straight from the manifests (driver-side arithmetic,
+no Spark job): N = Σ input_docs, avgdl = Σ sum_dl / N — this is what
+keeps query latency scan-dominated rather than job-dominated.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import IndexConfig, term_bucket_py
+from .lineage import committed_waves
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.dir = Path(index_dir)
+        self.meta = json.loads((self.dir / "_meta.json").read_text())
+        self.cfg = IndexConfig(**{k: self.meta[k] for k in (
+            "shard_size", "n_buckets", "block_size", "n_salts", "hot_df_threshold",
+            "wave_shards", "keep_stage1", "use_text_col") if k in self.meta})
+        self.waves = committed_waves(index_dir)
+        if not self.waves:
+            raise FileNotFoundError(f"no committed waves in {index_dir}")
+
+    # ---- driver-side stats (from manifests; no Spark job)
+    def global_stats(self) -> tuple[int, float]:
+        n = sum(m["input_docs"] for m in self.waves.values())
+        sum_dl = sum(m["sum_dl"] for m in self.waves.values())
+        return n, (sum_dl / n if n else 0.0)
+
+    def partition_metrics(self) -> list[dict]:
+        out = []
+        for w, m in sorted(self.waves.items()):
+            for p in m["partitions"]:
+                out.append(dict(p, wave=w))
+        return out
+
+    # ---- term stats (tiny pruned scan + sum across waves)
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        buckets = sorted({term_bucket_py(t, self.cfg.n_buckets) for t in terms})
+        paths = [
+            str(self.dir / "term_stats" / f"wave={w}" / f"term_bucket={b}")
+            for w in self.waves
+            for b in buckets
+            if (self.dir / "term_stats" / f"wave={w}" / f"term_bucket={b}").exists()
+        ]
+        if not paths:
+            return {}
+        df = (
+            self.spark.read.parquet(*paths)
+            .filter(F.col("term").isin(list(terms)))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        return {r.term: r.df for r in df.collect()}
+
+    # ---- posting blocks for query terms (partition- and predicate-pruned)
+    def postings_blocks(self, terms: list[str]) -> DataFrame:
+        buckets = sorted({term_bucket_py(t, self.cfg.n_buckets) for t in terms})
+        root = self.dir / "postings"
+        paths = [str(root / f"wave={w}") for w in sorted(self.waves)]
+        df = self.spark.read.option("basePath", str(root)).parquet(*paths)
+        return df.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(list(terms))
+        )
+
+    # ---- url lookup for a final top-k (tiny pruned read)
+    def doc_urls(self, doc_ids: list[int]) -> dict[int, str]:
+        if not doc_ids:
+            return {}
+        shards = sorted({d // self.cfg.shard_size for d in doc_ids})
+        root = self.dir / "doc_stats"
+        df = (
+            self.spark.read.option("basePath", str(root))
+            .parquet(*[str(root / f"wave={w}") for w in sorted(self.waves)])
+            .filter(F.col("shard").isin(shards) & F.col("doc_id").isin(list(doc_ids)))
+        )
+        return {r.doc_id: r.url for r in df.select("doc_id", "url").collect()}
+
+    def doc_stats_df(self) -> DataFrame:
+        root = self.dir / "doc_stats"
+        return self.spark.read.option("basePath", str(root)).parquet(
+            *[str(root / f"wave={w}") for w in sorted(self.waves)]
+        )

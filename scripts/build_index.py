@@ -1,0 +1,67 @@
+"""Build (or resume) the inverted index from a pages table.
+
+    spark-submit --py-files engine.zip scripts/build_index.py \
+        --pages /data/pages_parquet --out /data/index_db \
+        [--shard-size 1000000 --wave-shards 64 --n-buckets 16 \
+         --n-salts 8 --block-size 128 --cpus 32 --synthetic N]
+
+``--synthetic N`` builds from the deterministic generated corpus
+instead of a parquet path (bench/test convenience).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from logsentinelai_spark.corpus import gen_pages_df, pages_from_documents  # noqa: E402
+from logsentinelai_spark.index.build import IndexConfig, build_index  # noqa: E402
+from logsentinelai_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages")
+    ap.add_argument("--synthetic", type=int)
+    ap.add_argument("--from-documents", help="sf dir with documents.parquet")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--shard-size", type=int, default=100_000)
+    ap.add_argument("--wave-shards", type=int, default=8)
+    ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--n-salts", type=int, default=8)
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--hot-df-threshold", type=int)
+    ap.add_argument("--cpus", type=int)
+    ap.add_argument("--use-text-col", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("build_index", cpus=args.cpus)
+    if args.synthetic:
+        pages = gen_pages_df(spark, args.synthetic)
+    elif args.from_documents:
+        pages = pages_from_documents(spark, args.from_documents)
+    else:
+        pages = spark.read.parquet(args.pages)
+    cfg = IndexConfig(
+        shard_size=args.shard_size,
+        wave_shards=args.wave_shards,
+        n_buckets=args.n_buckets,
+        n_salts=args.n_salts,
+        block_size=args.block_size,
+        hot_df_threshold=args.hot_df_threshold,
+        use_text_col=args.use_text_col,
+    )
+    t0 = time.monotonic()
+    summary = build_index(spark, pages, args.out, cfg)
+    elapsed = time.monotonic() - t0
+    print(json.dumps(dict(summary, elapsed_sec=round(elapsed, 3),
+                          docs_per_sec=round(summary["n_docs"] / elapsed, 1))))
+
+
+if __name__ == "__main__":
+    main()

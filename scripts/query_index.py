@@ -1,0 +1,54 @@
+"""Run BM25 top-k queries against a built index.
+
+    spark-submit --py-files engine.zip scripts/query_index.py \
+        --index /data/index_db --query "web search ranking" \
+        [--k 10 --mode wand|acc --urls]
+
+or a TSV batch: --queries q.tsv (query_id<TAB>query_text).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from logsentinelai_spark.index.query import topk  # noqa: E402
+from logsentinelai_spark.index.reader import IndexReader  # noqa: E402
+from logsentinelai_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query")
+    ap.add_argument("--queries", help="TSV file: query_id\\tquery_text")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", choices=["wand", "acc"], default="wand")
+    ap.add_argument("--urls", action="store_true")
+    ap.add_argument("--cpus", type=int)
+    args = ap.parse_args()
+
+    spark = get_spark("query_index", cpus=args.cpus)
+    reader = IndexReader(spark, args.index)
+    batch = []
+    if args.query:
+        batch.append(("q1", args.query))
+    if args.queries:
+        for line in Path(args.queries).read_text().splitlines():
+            qid, text = line.split("\t", 1)
+            batch.append((qid, text))
+    for qid, text in batch:
+        t0 = time.monotonic()
+        res = topk(reader, text, k=args.k, mode=args.mode, with_urls=args.urls)
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({"query_id": qid, "query": text, "ms": round(ms, 1),
+                          "hits": [list(r) for r in res]}))
+
+
+if __name__ == "__main__":
+    main()

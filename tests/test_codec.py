@@ -1,0 +1,73 @@
+"""Property-style codec tests (FIXTURES.md §4): varbyte round-trip,
+gap chaining, block-max bounds, single-block independence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from logsentinelai_spark.index.bm25 import B, K1
+from logsentinelai_spark.index.codec import (
+    block_upper_bound,
+    decode_blocks,
+    decode_single_block,
+    encode_blocks,
+    vb_decode,
+    vb_encode,
+)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_vb_roundtrip_random(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(0, 5000))
+    # mix of magnitudes incl. 0, 7-bit boundaries, and huge values
+    vals = rng.integers(0, 2 ** int(rng.integers(7, 63)), size=n, dtype=np.uint64)
+    out = vb_decode(vb_encode(vals))
+    assert np.array_equal(out, vals)
+
+
+def test_vb_boundaries():
+    edge = np.array(
+        [0, 1, 127, 128, 129, 2**14 - 1, 2**14, 2**21, 2**28, 2**35, 2**42, 2**49, 2**56, 2**63 - 1, 2**63],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(vb_decode(vb_encode(edge)), edge)
+    assert vb_encode(np.array([], dtype=np.uint64)) == b""
+    assert vb_decode(b"").size == 0
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_block_roundtrip_and_max_bounds(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(1, 1000))
+    base = int(rng.integers(0, 10**9))
+    docs = base + np.cumsum(rng.integers(1, 10**6, size=n, dtype=np.int64))
+    tfs = rng.integers(1, 500, size=n).astype(np.int64)
+    dls = rng.integers(1, 5000, size=n).astype(np.int64)
+    avgdl = float(dls.mean())
+    blocks = encode_blocks(docs, tfs, dls, base, block_size=128)
+    d2, t2, l2 = decode_blocks(blocks, base)
+    assert np.array_equal(d2, docs)
+    assert np.array_equal(t2, tfs)
+    assert np.array_equal(l2, dls)
+    # block-max bounds hold for every member
+    for blk in blocks:
+        bd, bt, bl = decode_single_block(blk)
+        assert blk["first_doc"] == bd[0] and blk["last_doc"] == bd[-1]
+        assert bt.max() == blk["max_tf"]
+        assert bl.min() == blk["min_dl"]
+        # query-time upper bound dominates every member's contribution
+        tfn = bt / (bt + K1 * (1 - B + B * bl / avgdl))
+        ub = block_upper_bound(blk["max_tf"], blk["min_dl"], idf_t=1.0, avgdl=avgdl)
+        assert tfn.max() <= ub + 1e-12
+
+
+def test_single_block_matches_chain():
+    docs = np.array([5, 6, 300, 301, 900], dtype=np.int64)
+    tfs = np.ones(5, dtype=np.int64)
+    dls = np.full(5, 10, dtype=np.int64)
+    blocks = encode_blocks(docs, tfs, dls, base=0, block_size=2)
+    all_docs, _, _ = decode_blocks(blocks, base=0)
+    per_block = np.concatenate([decode_single_block(b)[0] for b in blocks])
+    assert np.array_equal(all_docs, per_block)

@@ -1,0 +1,95 @@
+"""Physical index build + query tests: rank-identity of both scorers
+vs the numpy oracle, salted-merge correctness under forced skew,
+resume-from-manifest, and posting-count lineage consistency."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from logsentinelai_spark.corpus import gen_pages_df, gen_queries
+from logsentinelai_spark.functions.tokenizer import tokens
+from logsentinelai_spark.index.bm25 import bm25_oracle_topk
+from logsentinelai_spark.index.build import IndexConfig, build_index
+from logsentinelai_spark.index.query import topk
+from logsentinelai_spark.index.reader import IndexReader
+
+N_DOCS = 1200
+CFG = IndexConfig(
+    shard_size=256,
+    wave_shards=2,       # 512 docs/wave -> 3 waves
+    n_buckets=4,
+    n_salts=4,
+    hot_df_threshold=60,  # force salting for common Zipf terms
+    block_size=32,        # force multi-block postings (exercises skipping)
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("index") / "db")
+    pages = gen_pages_df(spark, N_DOCS, partitions=8)
+    summary = build_index(spark, pages, idx, CFG)
+    # local oracle corpus with url-rank doc ids
+    rows = pages.select("url", "text").collect()
+    by_url = sorted((r.url, r.text) for r in rows)
+    doc_tokens = {i: tokens(t) for i, (_, t) in enumerate(by_url)}
+    urls = {i: u for i, (u, _) in enumerate(by_url)}
+    return dict(idx=idx, summary=summary, doc_tokens=doc_tokens, urls=urls)
+
+
+def test_build_summary_and_manifests(spark, built):
+    r = IndexReader(spark, built["idx"])
+    assert built["summary"]["n_docs"] == N_DOCS
+    assert sorted(r.waves) == [0, 1, 2]
+    N, avgdl = r.global_stats()
+    assert N == N_DOCS
+    want_avg = np.mean([len(t) for t in built["doc_tokens"].values()])
+    assert abs(avgdl - want_avg) < 1e-9
+    # lineage: total postings across partitions == distinct (doc,term) pairs
+    total = sum(p["postings"] for p in r.partition_metrics())
+    want = sum(len(set(t)) for t in built["doc_tokens"].values())
+    assert total == want
+    # hot terms were salted in at least one wave
+    assert any(m["hot_terms"] > 0 for m in r.waves.values())
+    for m in r.waves.values():
+        assert set(m["stage_elapsed_sec"]) >= {
+            "stage2_hot_terms", "stage3_4_salted_build_merge", "stage5_stats"}
+
+
+@pytest.mark.parametrize("mode", ["acc", "wand"])
+def test_topk_rank_identical_to_oracle(spark, built, mode):
+    r = IndexReader(spark, built["idx"])
+    queries = gen_queries()
+    sel = list(queries.head(8).itertuples()) + list(queries.iloc[20:26].itertuples()) + list(queries.iloc[40:46].itertuples())
+    for q in sel:
+        want = bm25_oracle_topk(built["doc_tokens"], tokens(q.query_text), k=q.k)
+        got = topk(r, q.query_text, k=q.k, mode=mode)
+        assert [d for d, _ in got] == [d for d, _ in want], f"{mode} q{q.query_id}: {q.query_text}"
+        for (wd, ws), (gd, gs) in zip(want, got):
+            assert abs(ws - gs) <= 1e-6
+
+
+def test_topk_with_urls(spark, built):
+    r = IndexReader(spark, built["idx"])
+    got = topk(r, "the data index", k=5, with_urls=True)
+    assert len(got) == 5
+    for d, s, u in got:
+        assert u == built["urls"][d]
+
+
+def test_resume_identical_to_uninterrupted(spark, built, tmp_path):
+    idx2 = str(tmp_path / "db2")
+    pages = gen_pages_df(spark, N_DOCS, partitions=8)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, pages, idx2, CFG, fail_after_wave=0)
+    # resume: wave 0 must be skipped, waves 1-2 built
+    summary = build_index(spark, pages, idx2, CFG)
+    assert summary["skipped_waves"] == [0]
+    assert summary["built_waves"] == [1, 2]
+    r2 = IndexReader(spark, idx2)
+    queries = gen_queries()
+    for q in list(queries.head(4).itertuples()):
+        a = topk(IndexReader(spark, built["idx"]), q.query_text, k=q.k)
+        b = topk(r2, q.query_text, k=q.k)
+        assert a == b
