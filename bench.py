@@ -1,0 +1,111 @@
+"""Per-round benchmark. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers: (a) the oracle-suite headline queries at $SPARK_GRAFT_SF_DIR,
+(b) index-build throughput (docs/sec) on the deterministic synthetic
+pages corpus, (c) BM25 top-10 latency (wand + acc) over the built index
+on the reference query set. Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from logsentinelai_spark import entry_queries  # noqa: E402
+from logsentinelai_spark.corpus import gen_pages_df, gen_queries  # noqa: E402
+from logsentinelai_spark.index.build import IndexConfig, build_index  # noqa: E402
+from logsentinelai_spark.index.query import topk  # noqa: E402
+from logsentinelai_spark.index.reader import IndexReader  # noqa: E402
+from logsentinelai_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", cpus=CPUS)
+    t_all = time.monotonic()
+
+    # (a) oracle-suite headline queries
+    qtimes: dict[str, float] = {}
+    for name, fn in entry_queries.QUERIES.items():
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).collect()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    # (b) index build throughput on synthetic pages. The corpus is
+    # materialized to parquet first — the engine's contract input is a
+    # table on storage (Iceberg-style), and regenerating rows per scan
+    # would charge corpus synthesis to the build.
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    try:
+        cfg = IndexConfig(
+            shard_size=max(2500, BENCH_DOCS // 8),
+            wave_shards=8,  # one wave; resume is exercised by tests
+            n_buckets=16,
+            block_size=128,
+        )
+        t0 = time.monotonic()
+        gen_pages_df(spark, BENCH_DOCS, partitions=CPUS * 2).write.mode("overwrite").parquet(pages_dir)
+        corpus_prep_sec = time.monotonic() - t0
+        pages = spark.read.parquet(pages_dir)
+        t0 = time.monotonic()
+        build_index(spark, pages, idx_dir, cfg)
+        build_sec = time.monotonic() - t0
+        docs_per_sec = BENCH_DOCS / build_sec
+
+        # (c) query latency over the built index (warm session)
+        reader = IndexReader(spark, idx_dir)
+        queries = gen_queries()
+        sel = list(queries.head(6).itertuples()) + list(queries.iloc[20:24].itertuples())
+        lat: dict[str, list[float]] = {"wand": [], "acc": []}
+        for mode in ("wand", "acc"):
+            for q in sel:
+                t0 = time.monotonic()
+                topk(reader, q.query_text, k=10, mode=mode)
+                lat[mode].append((time.monotonic() - t0) * 1000)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(pages_dir, ignore_errors=True)
+
+    total = round(time.monotonic() - t_all, 3)
+    out = {
+        "metric": "bench_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": qtimes,
+        "index_build": {
+            "docs": BENCH_DOCS,
+            "wall_sec": round(build_sec, 3),
+            "docs_per_sec": round(docs_per_sec, 1),
+            "corpus_prep_sec": round(corpus_prep_sec, 3),
+            "cpus": CPUS,
+        },
+        "bm25_latency_ms": {
+            m: {
+                "median": round(statistics.median(v), 1),
+                "p95": round(sorted(v)[int(0.95 * (len(v) - 1))], 1),
+            }
+            for m, v in lat.items()
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -190,15 +190,43 @@ def sql_events_formula() -> str:
     )
 
 
+from .operators import analytics as _an  # noqa: E402
+from .operators import dedup as _dd  # noqa: E402
+from .operators import multimodal as _mm  # noqa: E402
+from .operators import similarity as _sim  # noqa: E402
+from .operators import textstats as _ts  # noqa: E402
+
 QUERIES = {
+    # index statistics + BM25 (SURVEY §2.4, §2.8 Q8)
     "term_tf": q_term_tf,
     "term_df": q_term_df,
     "doc_stats": q_doc_stats,
     "global_stats": q_global_stats,
     "bm25_topk": q_bm25_topk,
+    # dashboard analogs (SURVEY §2.8 Q1-Q6)
     "events_terms": q_events_terms_topk,
     "events_date_histogram": q_events_date_histogram,
     "events_formula": q_events_formula,
+    # severity / window / session analytics (SURVEY §2.2, §2.5)
+    "severity_rollup": _an.q_severity_rollup,
+    "top_event_per_user": _an.q_top_event_per_user,
+    "user_sessions": _an.q_user_sessions,
+    # dedup suite
+    "dedup_exact": _dd.q_dedup_exact,
+    "dedup_jaccard": _dd.q_dedup_jaccard,
+    "dedup_minhash_lsh": _dd.q_dedup_minhash_lsh,
+    "simhash": _dd.q_simhash,
+    # similarity search
+    "ann_brute": _sim.q_ann_brute,
+    "ann_lsh": _sim.q_ann_lsh,  # rows-only (LSH recall asserted in pytest)
+    "embedding_neardup": _sim.q_embedding_neardup,
+    # text analysis
+    "lang_id": _ts.q_lang_id,
+    "quality_score": _ts.q_quality_score,
+    "token_count": _ts.q_token_count,
+    "doc_fingerprint": _ts.q_doc_fingerprint,
+    # multimodal plumbing
+    "multimodal_meta": _mm.q_multimodal_meta,
 }
 
 ORACLES = {
@@ -210,4 +238,19 @@ ORACLES = {
     "events_terms": sql_events_terms_topk(),
     "events_date_histogram": sql_events_date_histogram(),
     "events_formula": sql_events_formula(),
+    "severity_rollup": _an.SQL_SEVERITY_ROLLUP,
+    "top_event_per_user": _an.SQL_TOP_EVENT_PER_USER,
+    "user_sessions": _an.SQL_USER_SESSIONS,
+    "dedup_exact": _dd.SQL_DEDUP_EXACT,
+    "dedup_jaccard": _dd.SQL_DEDUP_JACCARD,
+    "dedup_minhash_lsh": _dd.SQL_DEDUP_MINHASH,
+    "simhash": _dd.SQL_SIMHASH,
+    "ann_brute": _sim.SQL_ANN_BRUTE,
+    "embedding_neardup": _sim.SQL_EMBEDDING_NEARDUP,
+    "lang_id": _ts.SQL_LANG_ID,
+    "quality_score": _ts.SQL_QUALITY,
+    "token_count": _ts.SQL_TOKEN_COUNT,
+    "doc_fingerprint": _ts.SQL_FINGERPRINT,
+    "multimodal_meta": _mm.SQL_MULTIMODAL_META,
+    # "ann_lsh" intentionally absent: rows-only check
 }

@@ -25,6 +25,15 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 
+def assign_doc_ids_with_count(
+    pages_df: DataFrame, url_col: str = "url", partitions: int | None = None
+) -> tuple[DataFrame, int]:
+    """Like assign_doc_ids but also returns the total row count (known
+    for free from the offset pass — saves callers a count() job)."""
+    df = assign_doc_ids(pages_df, url_col, partitions)
+    return df, df._lsai_n_rows  # type: ignore[attr-defined]
+
+
 def assign_doc_ids(pages_df: DataFrame, url_col: str = "url", partitions: int | None = None) -> DataFrame:
     sess = pages_df.sparkSession
     nparts = partitions or sess.sparkContext.defaultParallelism
@@ -55,4 +64,6 @@ def assign_doc_ids(pages_df: DataFrame, url_col: str = "url", partitions: int | 
             seen += len(pdf)
             yield pdf
 
-    return ranged.mapInPandas(_assign, schema=out_schema)
+    out = ranged.mapInPandas(_assign, schema=out_schema)
+    out._lsai_n_rows = acc  # total rows, known from the offset pass
+    return out

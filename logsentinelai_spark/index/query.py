@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenizer import tokens as tokenize
 from .bm25 import B, K1, idf as idf_fn
-from .codec import block_upper_bound, decode_single_block
+from .codec import block_upper_bound, decode_single_block, vb_decode
 from .reader import IndexReader
 
 _UB_MARGIN = 1.0 + 1e-12  # float-safety margin on upper bounds
@@ -44,15 +44,25 @@ def _topk_merge(pairs: list[tuple[int, float]], k: int) -> list[tuple[int, float
 
 # ----------------------------------------------------------------- shard scorers
 
-def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int):
+def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int):
+    """Whole-run decode per term (single vb_decode over concatenated
+    blobs — block gap streams chain within a term's segment)."""
+    pdf = pdf.sort_values(["term", "block_id"], kind="mergesort", ignore_index=True)
+    terms = pdf["term"].to_numpy()
+    gaps_a = pdf["gaps_vb"].to_numpy()
+    tfs_a = pdf["tfs_vb"].to_numpy()
+    dls_a = pdf["dls_vb"].to_numpy()
+    tb = np.append(
+        np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1]))), len(terms))
     docs_all, contribs = [], []
-    for term, g in pdf.groupby("term", sort=False):
-        g = g.sort_values("block_id")
-        w = idfs[term]
-        for row in g.itertuples():
-            d, t, l = decode_single_block(row)
-            docs_all.append(d)
-            contribs.append(_contrib(t.astype(np.float64), l.astype(np.float64), w, avgdl))
+    for s, e in zip(tb[:-1], tb[1:]):
+        w = idfs[terms[s]]
+        g = vb_decode(b"".join(gaps_a[s:e])).astype(np.int64)
+        d = np.cumsum(g) + base
+        t = vb_decode(b"".join(tfs_a[s:e])).astype(np.float64)
+        l = vb_decode(b"".join(dls_a[s:e])).astype(np.float64)
+        docs_all.append(d)
+        contribs.append(_contrib(t, l, w, avgdl))
     if not docs_all:
         return []
     docs = np.concatenate(docs_all)
@@ -153,7 +163,7 @@ class _TopK:
         return sorted(self.items, key=lambda p: (-p[1], p[0]))[: self.k]
 
 
-def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int):
+def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int = 0):
     cursors: list[_Cursor] = []
     for term, g in pdf.groupby("term", sort=False):
         rows = list(g.sort_values("block_id").itertuples())
@@ -222,21 +232,30 @@ def topk(
 ) -> list[tuple]:
     """Distributed BM25 top-k. Returns [(doc_id, score[, url])]."""
     qterms = sorted(set(tokenize(query_text)))
-    dfs = reader.term_dfs(qterms)
-    qterms = [t for t in qterms if dfs.get(t)]
     if not qterms:
         return []
-    N, avgdl = reader.global_stats()
-    idfs = {t: idf_fn(N, dfs[t]) for t in qterms}
+    # ONE pruned block scan, cached: df(t) aggregation + scoring both
+    # read it (two jobs, one I/O pass)
     blocks = reader.postings_blocks(qterms)
-    score_fn = _score_shard_wand if mode == "wand" else _score_shard_acc
+    blocks.persist()
+    try:
+        dfs = {r.term: r.df for r in blocks.groupBy("term").agg(F.sum("n").alias("df")).collect()}
+        qterms = [t for t in qterms if dfs.get(t)]
+        if not qterms:
+            return []
+        N, avgdl = reader.global_stats()
+        idfs = {t: idf_fn(N, dfs[t]) for t in qterms}
+        score_fn = _score_shard_wand if mode == "wand" else _score_shard_acc
+        shard_size = reader.cfg.shard_size
 
-    def _per_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        res = score_fn(pdf, idfs, avgdl, k)
-        return pd.DataFrame({"doc_id": [d for d, _ in res], "score": [s for _, s in res]})
+        def _per_shard(key, pdf):
+            res = score_fn(pdf, idfs, avgdl, k, base=int(key[0]) * shard_size)
+            return pd.DataFrame({"doc_id": [d for d, _ in res], "score": [s for _, s in res]})
 
-    per_shard = blocks.groupBy("shard").applyInPandas(_per_shard, schema="doc_id long, score double")
-    pairs = [(r.doc_id, r.score) for r in per_shard.collect()]
+        per_shard = blocks.groupBy("shard").applyInPandas(_per_shard, schema="doc_id long, score double")
+        pairs = [(r.doc_id, r.score) for r in per_shard.collect()]
+    finally:
+        blocks.unpersist()
     top = _topk_merge(pairs, k)
     if with_urls:
         urls = reader.doc_urls([d for d, _ in top])

@@ -28,8 +28,8 @@ class IndexReader:
         self.dir = Path(index_dir)
         self.meta = json.loads((self.dir / "_meta.json").read_text())
         self.cfg = IndexConfig(**{k: self.meta[k] for k in (
-            "shard_size", "n_buckets", "block_size", "n_salts", "hot_df_threshold",
-            "wave_shards", "keep_stage1", "use_text_col") if k in self.meta})
+            "shard_size", "n_buckets", "block_size",
+            "wave_shards", "use_text_col") if k in self.meta})
         self.waves = committed_waves(index_dir)
         if not self.waves:
             raise FileNotFoundError(f"no committed waves in {index_dir}")
@@ -47,25 +47,13 @@ class IndexReader:
                 out.append(dict(p, wave=w))
         return out
 
-    # ---- term stats (tiny pruned scan + sum across waves)
+    # ---- term stats: global df(t) = Σ block n over t's block rows —
+    # computed from the same pruned block scan a query performs anyway
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         if not terms:
             return {}
-        buckets = sorted({term_bucket_py(t, self.cfg.n_buckets) for t in terms})
-        paths = [
-            str(self.dir / "term_stats" / f"wave={w}" / f"term_bucket={b}")
-            for w in self.waves
-            for b in buckets
-            if (self.dir / "term_stats" / f"wave={w}" / f"term_bucket={b}").exists()
-        ]
-        if not paths:
-            return {}
-        df = (
-            self.spark.read.parquet(*paths)
-            .filter(F.col("term").isin(list(terms)))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-        )
+        blocks = self.postings_blocks(terms)
+        df = blocks.groupBy("term").agg(F.sum("n").alias("df"))
         return {r.term: r.df for r in df.collect()}
 
     # ---- posting blocks for query terms (partition- and predicate-pruned)
@@ -78,21 +66,20 @@ class IndexReader:
             F.col("term_bucket").isin(buckets) & F.col("term").isin(list(terms))
         )
 
-    # ---- url lookup for a final top-k (tiny pruned read)
+    # ---- url lookup for a final top-k (tiny pruned read of the kind=0
+    # doc rows that live in the stage-1 store)
     def doc_urls(self, doc_ids: list[int]) -> dict[int, str]:
         if not doc_ids:
             return {}
         shards = sorted({d // self.cfg.shard_size for d in doc_ids})
-        root = self.dir / "doc_stats"
-        df = (
-            self.spark.read.option("basePath", str(root))
-            .parquet(*[str(root / f"wave={w}") for w in sorted(self.waves)])
-            .filter(F.col("shard").isin(shards) & F.col("doc_id").isin(list(doc_ids)))
+        df = self.doc_stats_df().filter(
+            F.col("shard").isin(shards) & F.col("doc_id").isin(list(doc_ids))
         )
         return {r.doc_id: r.url for r in df.select("doc_id", "url").collect()}
 
     def doc_stats_df(self) -> DataFrame:
-        root = self.dir / "doc_stats"
-        return self.spark.read.option("basePath", str(root)).parquet(
-            *[str(root / f"wave={w}") for w in sorted(self.waves)]
+        root = self.dir / "store"
+        df = self.spark.read.option("basePath", str(root)).parquet(
+            *[str(root / f"wave={w}" / "kind=0") for w in sorted(self.waves)]
         )
+        return df.select("doc_id", "url", "dl", "shard")

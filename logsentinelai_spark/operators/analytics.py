@@ -1,0 +1,117 @@
+"""Event-analytics operators re-expressing the reference's alert /
+dashboard semantics over the events table (SURVEY.md §2.2, §2.4, §2.5).
+
+* severity mapping + threshold filter — the reference's alert path maps
+  severities to priorities and keeps events at/above a threshold
+  (`src/logsentinelai/core/elasticsearch.py:82-113`).
+* severity rollup ordered CRITICAL->INFO (`:155-174`).
+* top-1 representative event per group (W1, `:185-197`) via
+  row_number.
+* sessionization — lag-gap windows (the streaming monitor's
+  pending-buffer/timeout semantics, `core/monitoring.py:358-438`,
+  recast as a batch session window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# event_type -> severity (fixed mapping, mirrors the reference's 5-level
+# SeverityLevel enum, `analyzers/httpd_access.py:17-22`)
+SEVERITY_CASE = (
+    "CASE event_type WHEN 'error' THEN 'CRITICAL' WHEN 'purchase' THEN 'HIGH' "
+    "WHEN 'signup' THEN 'MEDIUM' WHEN 'click' THEN 'LOW' ELSE 'INFO' END"
+)
+PRIORITY_CASE = (
+    "CASE event_type WHEN 'error' THEN 1 WHEN 'purchase' THEN 2 "
+    "WHEN 'signup' THEN 3 WHEN 'click' THEN 4 ELSE 5 END"
+)
+THRESHOLD = 3  # keep MEDIUM and above
+SESSION_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 + A6: threshold filter then count per severity with the
+    priority rank for CRITICAL->INFO ordering."""
+    ev = _events(spark, sf_dir).withColumn("severity", F.expr(SEVERITY_CASE)).withColumn(
+        "priority", F.expr(PRIORITY_CASE)
+    )
+    return (
+        ev.filter(F.col("priority") <= THRESHOLD)
+        .groupBy("severity", "priority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+SQL_SEVERITY_ROLLUP = f"""
+WITH ev AS (
+  SELECT *, {SEVERITY_CASE} AS severity, {PRIORITY_CASE} AS priority FROM events
+)
+SELECT severity, priority, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM ev WHERE priority <= {THRESHOLD} GROUP BY severity, priority
+"""
+
+
+def q_top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: the single highest-value event per user (deterministic
+    tie-break by event_id)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+SQL_TOP_EVENT_PER_USER = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, round(value, 6) AS value
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a session break is a gap > 30 min between a
+    user's consecutive events; returns per-user session count and the
+    length (events) of their longest session."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sessions = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_sess = sessions.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_events"))
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.max("n_events").alias("longest_session")
+    )
+
+
+SQL_USER_SESSIONS = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+),
+per_sess AS (SELECT user_id, sess_id, count(*) AS n_events FROM s GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS longest_session
+FROM per_sess GROUP BY user_id
+"""

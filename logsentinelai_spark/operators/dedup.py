@@ -1,0 +1,268 @@
+"""Deduplication operators for a large-scale training-data pipeline:
+exact (hash groupBy), character-shingle Jaccard, MinHash+LSH, SimHash.
+
+Each operator has a Spark implementation and a DuckDB oracle built on
+the SAME deterministic constructions (md5-derived 32-bit hashes, fixed
+permutation constants), so results hash-match at sf0.01.
+
+The driver `documents` table has no real duplicates, so operators run
+over an AUGMENTED pool with injected dups, constructed identically in
+both engines: every doc_id % 7 == 0 gains an exact copy (+200000),
+every doc_id % 5 == 0 a near-copy with the first 10 chars dropped
+(+100000). This makes the checks non-trivial (non-empty outputs).
+
+Scale notes: exact dedup is a pure groupBy on a hash (map-side
+combine); shingle-join pairs are generated only for docs sharing a
+shingle (at 100 TB: band/bucket first — that is exactly MinHash LSH,
+also here); all joins are equi-joins on short keys, AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# 8 minhash permutations (a, b) over a 32-bit md5-derived hash, mod p.
+MINHASH_PERMS: list[tuple[int, int, int]] = [
+    (1, 999983, 12345),
+    (2, 999979, 54321),
+    (3, 999961, 11111),
+    (4, 999959, 22222),
+    (5, 999953, 33333),
+    (6, 999931, 44444),
+    (7, 999917, 55555),
+    (8, 999907, 66666),
+]
+MINHASH_P = 1_000_000_007
+SHINGLE_LEN = 16
+JACCARD_TAU = 0.5
+N_BANDS = 4  # 8 perms / 2 rows per band
+
+
+def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load_docs(spark, sf_dir).select("doc_id", F.lower("text").alias("text"))
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.expr("substr(text, 11)").alias("text")
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+AUG_SQL = """
+docs_aug AS (
+  SELECT doc_id, lower(text) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, lower(text) FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000, substr(lower(text), 11) FROM documents WHERE doc_id % 5 = 0
+)"""
+
+# DuckDB 1.0 forbids lateral column refs in generate_series -> fixed
+# range (covers the longest document) + WHERE filter.
+SHINGLE_SQL = f"""
+shingle AS (
+  SELECT DISTINCT doc_id, substr(text, i, {SHINGLE_LEN}) AS sh
+  FROM docs_aug, generate_series(1, 10000) g(i)
+  WHERE i <= length(text) - {SHINGLE_LEN - 1}
+),
+scount AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id)"""
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """Distinct char-16 shingles per doc (JVM-side expressions only)."""
+    return (
+        df.filter(F.length("text") >= SHINGLE_LEN)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (SHINGLE_LEN - 1))).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substr(text, i, {SHINGLE_LEN})").alias("sh"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ exact
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: groups of byte-identical texts (md5 key), keeper =
+    min doc_id. Reference analog: order-preserving multi-file dedup
+    (`core/commons.py:79-104`)."""
+    d = augmented_docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.encode("text", "utf-8")).alias("text_md5"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {AUG_SQL}
+SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
+FROM docs_aug GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ------------------------------------------------------------------ shingle jaccard
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact character-shingle Jaccard >= tau."""
+    sh = _shingles(augmented_docs(spark, sf_dir)).cache()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {AUG_SQL}, {SHINGLE_SQL},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (ca.n_sh + cb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN scount ca ON ca.doc_id = doc_a
+JOIN scount cb ON cb.doc_id = doc_b
+WHERE inter * 1.0 / (ca.n_sh + cb.n_sh - inter) >= {JACCARD_TAU}
+"""
+
+
+# ------------------------------------------------------------------ minhash + LSH
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms over md5-32bit shingle hashes) ->
+    LSH bands of 2 -> candidate pairs sharing any band, with their true
+    Jaccard attached. The scale path: candidates are generated by the
+    band equi-join (never all-pairs)."""
+    sh = _shingles(augmented_docs(spark, sf_dir))
+    h32 = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h32.alias("h"))
+    perms = spark.createDataFrame(MINHASH_PERMS, "perm int, a long, b long")
+    sigs = (
+        hashed.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("mh"))
+    )
+    bands = (
+        sigs.withColumn("band", ((F.col("perm") - 1) / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws(":", F.array_sort(F.collect_list(F.concat_ws("=", F.col("perm"), F.col("mh"))))).alias("key"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # attach exact jaccard (verification step)
+    sh2 = _shingles(augmented_docs(spark, sf_dir))
+    counts = sh2.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh2.alias("x").join(sh2.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.round(F.coalesce(F.col("inter"), F.lit(0)) / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0))), 6))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_PERM_VALUES = ", ".join(f"({p}, {a}, {b})" for p, a, b in MINHASH_PERMS)
+
+SQL_DEDUP_MINHASH = f"""
+WITH {AUG_SQL}, {SHINGLE_SQL},
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shingle
+),
+perms(perm, a, b) AS (VALUES {_PERM_VALUES}),
+sigs AS (
+  SELECT doc_id, perm, min((a * h + b) % {MINHASH_P}) AS mh
+  FROM hashed CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, (perm - 1) // 2 AS band,
+         string_agg(perm || '=' || mh, ':' ORDER BY perm || '=' || mh) AS key
+  FROM sigs GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM shingle x JOIN shingle y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(coalesce(i.inter, 0) * 1.0 / (ca.n_sh + cb.n_sh - coalesce(i.inter, 0)), 6) AS jaccard
+FROM cands c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN scount ca ON ca.doc_id = c.doc_a
+JOIN scount cb ON cb.doc_id = c.doc_b
+"""
+
+
+# ------------------------------------------------------------------ simhash
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over tf-weighted md5 token hashes."""
+    d = _load_docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h32 = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    bits = (
+        tf.withColumn("h", h32)
+        .select("doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+        .withColumn("w", F.expr("tf * (2 * (shiftright(h, b) & 1) - 1)"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("w").alias("s"))
+    )
+    return (
+        bits.withColumn("bit", F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END"))
+        .groupBy("doc_id")
+        .agg(F.sum("bit").alias("simhash"))
+    )
+
+
+SQL_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+bits AS (
+  SELECT doc_id, b.b,
+         sum(tf * (2 * ((('0x' || substr(md5(term), 1, 8))::BIGINT >> b.b) & 1) - 1)) AS s
+  FROM tf, generate_series(0, 31) b(b)
+  GROUP BY 1, 2
+)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""

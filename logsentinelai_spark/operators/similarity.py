@@ -1,0 +1,198 @@
+"""Similarity search over the embeddings table (vec_id, embedding
+float[64], label).
+
+* ``ann_brute`` — exact cosine top-k for a fixed query set, entirely
+  JVM-side (zip_with + aggregate higher-order functions; no Python in
+  the scoring path). The correctness baseline, with a DuckDB oracle.
+* ``ann_lsh`` — random-hyperplane LSH buckets (sign bits of dot
+  products against fixed seeded hyperplanes) as the scale path:
+  candidates share the query's bucket, exact cosine re-rank inside.
+  At 10^12 rows the bucket equi-join replaces the all-pairs cross
+  join. Non-SQL-expressible economically -> rows-only driver check,
+  but pytest verifies recall against ann_brute.
+
+Scale notes: brute force is O(N) per query but fully distributed and
+vectorized; LSH reduces candidates by ~2^n_planes. Both avoid
+driver-side loops: queries are broadcast, candidates scored in one
+pass, TakeOrderedAndProject does the distributed top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+TOP_K = 10
+N_PLANES = 4   # per table; collision prob for angle θ is (1-θ/π)^N_PLANES
+N_TABLES = 2   # candidate = same bucket in ANY table (union boosts recall)
+PLANE_SEED = 20240816
+
+
+def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_COS_EXPR = """
+aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)
+/ (sqrt(aggregate(qe, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+   * sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+"""
+
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for 5 fixed query vectors."""
+    emb = _load(spark, sf_dir)
+    q = (
+        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(_COS_EXPR))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), F.round("cos", 6).alias("cos"))
+    )
+
+
+# NB: DuckDB's list_cosine_similarity accumulates in float32 (inputs are
+# FLOAT[]), which diverges from Spark's double aggregate at ~1e-7 — the
+# oracle therefore computes cosine with explicit double casts.
+SQL_ANN_BRUTE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})
+),
+exp AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         unnest(q.qe) AS x, unnest(e.embedding) AS y
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM exp GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(nx) * sqrt(ny)) AS cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def hyperplanes(table: int) -> np.ndarray:
+    return np.random.default_rng([PLANE_SEED, table]).standard_normal((N_PLANES, 64))
+
+
+def lsh_bucket_expr(table: int, col: str = "embedding"):
+    """Sign-bit bucket id for one hash table as a JVM expression:
+    bit p set iff dot(embedding, plane_p) > 0. Planes are fixed
+    literals (broadcast by constant folding)."""
+    planes = hyperplanes(table)
+    bits = []
+    for p in range(N_PLANES):
+        arr = "array(" + ", ".join(f"{v!r}D" for v in planes[p]) + ")"
+        dot = f"aggregate(zip_with({arr}, {col}, (x, y) -> x * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)"
+        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return F.expr(" + ".join(bits))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH ANN: a vector is a candidate
+    when it shares a bucket with the query in ANY of the N_TABLES hash
+    tables; exact cosine re-rank among candidates. At 10^12 rows each
+    table is a (bucket) equi-join — never an all-pairs cross join.
+    Rows-only driver check; recall vs brute force asserted in pytest."""
+    emb = _load(spark, sf_dir)
+    for t in range(N_TABLES):
+        emb = emb.withColumn(f"bucket{t}", lsh_bucket_expr(t))
+    q = emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(N_TABLES)],
+    )
+    cond = None
+    for t in range(N_TABLES):
+        c = F.col(f"bucket{t}") == F.col(f"qbucket{t}")
+        cond = c if cond is None else (cond | c)
+    cands = (
+        F.broadcast(q)
+        .join(emb, cond)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(_COS_EXPR))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos", 6).alias("cos"))
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: exact dup copies (+100000) and
+    first-element-perturbed copies (+200000) are injected identically
+    in both engines; pairs with cos >= 0.8 among (original x injected)
+    are reported. LSH-bucketed in spirit; at this scale the candidate
+    set is the injected ids."""
+    emb = _load(spark, sf_dir).select("vec_id", "embedding")
+    exact = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    # perturbed copies are built as DOUBLE arrays in BOTH engines so the
+    # +0.5 arithmetic never round-trips through float32
+    pert = emb.filter(F.col("vec_id") % 10 == 5).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding").getItem(0).cast("double") + F.lit(0.5)),
+            F.expr("transform(slice(embedding, 2, 63), x -> CAST(x AS DOUBLE))"),
+        ).alias("embedding"),
+    )
+    aug = exact.unionAll(pert)
+    pairs = (
+        emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
+        .join(F.broadcast(aug).select(F.col("vec_id").alias("vec_b"), "embedding"),
+              F.col("vec_b") % 100000 == F.col("vec_a"))
+        .withColumn("cos", F.expr(_COS_EXPR))
+        .filter(F.col("cos") >= 0.8)
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH aug AS (
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_prepend(CAST(embedding[1] AS DOUBLE) + 0.5,
+                      list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 5
+),
+exp AS (
+  SELECT e.vec_id AS vec_a, a.vec_id AS vec_b,
+         unnest(e.embedding) AS x, unnest(a.embedding) AS y
+  FROM embeddings e JOIN aug a ON a.vec_id % 100000 = e.vec_id
+),
+dots AS (
+  SELECT vec_a, vec_b,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM exp GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos
+FROM dots WHERE dot / (sqrt(nx) * sqrt(ny)) >= 0.8
+"""

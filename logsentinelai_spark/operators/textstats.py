@@ -1,0 +1,167 @@
+"""Text-analysis operators for a training-data pipeline: language-ID
+(stopword-hit heuristic), quality scoring, token counting, and
+order-sensitive document fingerprinting. All JVM-side expressions
+(whole-stage codegen), each with a DuckDB oracle.
+
+Reference analog: the per-chunk observability counters the reference
+attaches to every document (@log_count, @token_size_* —
+`src/logsentinelai/core/commons.py:188, 232-237`) generalized to
+corpus-quality metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.tokenizer import SQL_TOKEN_PATTERN
+
+EN_STOP = ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it"]
+ES_STOP = ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"]
+DE_STOP = ["der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"]
+
+FP_MOD = 1_000_000_007
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tok_col():
+    return F.expr(f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)")
+
+
+def _in_list(col, words: list[str]):
+    return F.col(col).isin(words).cast("long")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword heuristic language ID: argmax of per-language
+    stopword hits with deterministic tie order en > es > de."""
+    tok = _docs(spark, sf_dir).select("doc_id", F.explode(_tok_col()).alias("term"))
+    hits = tok.groupBy("doc_id").agg(
+        F.sum(_in_list("term", EN_STOP)).alias("en_hits"),
+        F.sum(_in_list("term", ES_STOP)).alias("es_hits"),
+        F.sum(_in_list("term", DE_STOP)).alias("de_hits"),
+    )
+    pred = (
+        F.when((F.col("en_hits") >= F.col("es_hits")) & (F.col("en_hits") >= F.col("de_hits")), "en")
+        .when(F.col("es_hits") >= F.col("de_hits"), "es")
+        .otherwise("de")
+    )
+    return hits.select("doc_id", "en_hits", "es_hits", "de_hits", pred.alias("pred_lang"))
+
+
+def _sql_inlist(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+SQL_LANG_ID = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         sum(CASE WHEN term IN ({_sql_inlist(EN_STOP)}) THEN 1 ELSE 0 END) AS en_hits,
+         sum(CASE WHEN term IN ({_sql_inlist(ES_STOP)}) THEN 1 ELSE 0 END) AS es_hits,
+         sum(CASE WHEN term IN ({_sql_inlist(DE_STOP)}) THEN 1 ELSE 0 END) AS de_hits
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, en_hits, es_hits, de_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+            WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS pred_lang
+FROM hits
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality components + composite: token count, type/token ratio,
+    stopword ratio, mean token length -> weighted score in [0, 1]."""
+    tok = _docs(spark, sf_dir).select("doc_id", F.explode(_tok_col()).alias("term"))
+    agg = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+        F.sum(_in_list("term", EN_STOP)).alias("n_stop"),
+        F.sum(F.length("term")).alias("sum_len"),
+    )
+    score = (
+        F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * 0.4
+        + (F.col("n_distinct") / F.col("n_tokens")) * 0.3
+        + F.least(F.lit(1.0), (F.col("n_stop") / F.col("n_tokens")) * 5.0) * 0.3
+    )
+    return agg.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round(F.col("sum_len") / F.col("n_tokens"), 6).alias("mean_token_len"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+SQL_QUALITY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct,
+         sum(CASE WHEN term IN ({_sql_inlist(EN_STOP)}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(term)) AS sum_len
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(sum_len * 1.0 / n_tokens, 6) AS mean_token_len,
+       round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+       round(least(1.0, n_tokens / 100.0) * 0.4
+             + (n_distinct * 1.0 / n_tokens) * 0.3
+             + least(1.0, (n_stop * 1.0 / n_tokens) * 5.0) * 0.3, 6) AS quality
+FROM agg
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (reference `core/token_utils.py:9-45` analog):
+    regex token count, whitespace-delimited count, char count."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(_tok_col()).cast("long").alias("n_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("n_ws_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS n_tokens,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling fingerprint:
+    sum over positions of (md5_32(term) % 10^6) * ((pos-1) % 64 + 1),
+    mod 10^9+7. Reorderings change it; bag-of-words collisions don't
+    survive (unlike simhash, which is order-free)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.posexplode(_tok_col()).alias("pos0", "term"))
+    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % 1_000_000
+    return (
+        tok.withColumn("w", h * ((F.col("pos0") % 64) + 1))
+        .groupBy("doc_id")
+        .agg((F.sum("w") % FP_MOD).alias("fingerprint"))
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}'), 1) AS pos
+  FROM documents
+)
+SELECT doc_id,
+       sum((('0x' || substr(md5(term), 1, 8))::BIGINT % 1000000) * (((pos - 1) % 64) + 1)) % {FP_MOD} AS fingerprint
+FROM tok GROUP BY doc_id
+"""

@@ -3,7 +3,7 @@
     spark-submit --py-files engine.zip scripts/build_index.py \
         --pages /data/pages_parquet --out /data/index_db \
         [--shard-size 1000000 --wave-shards 64 --n-buckets 16 \
-         --n-salts 8 --block-size 128 --cpus 32 --synthetic N]
+         --block-size 128 --cpus 32 --synthetic N]
 
 ``--synthetic N`` builds from the deterministic generated corpus
 instead of a parquet path (bench/test convenience).
@@ -33,9 +33,7 @@ def main() -> None:
     ap.add_argument("--shard-size", type=int, default=100_000)
     ap.add_argument("--wave-shards", type=int, default=8)
     ap.add_argument("--n-buckets", type=int, default=16)
-    ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--block-size", type=int, default=128)
-    ap.add_argument("--hot-df-threshold", type=int)
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--use-text-col", action="store_true")
     args = ap.parse_args()
@@ -51,9 +49,7 @@ def main() -> None:
         shard_size=args.shard_size,
         wave_shards=args.wave_shards,
         n_buckets=args.n_buckets,
-        n_salts=args.n_salts,
         block_size=args.block_size,
-        hot_df_threshold=args.hot_df_threshold,
         use_text_col=args.use_text_col,
     )
     t0 = time.monotonic()

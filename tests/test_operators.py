@@ -1,0 +1,122 @@
+"""Semantic tests for the dedup / similarity / text-analysis /
+multimodal operator suites (beyond the DuckDB hash-match gate):
+injected duplicates are actually recovered, LSH has real recall vs
+brute force, simhash is order-insensitive while the fingerprint is
+order-sensitive, and the multimodal decode stub is correctly gated."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logsentinelai_spark.operators import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_exact_dedup_recovers_injected(spark):
+    rows = dedup.q_dedup_exact(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_injected = docs.filter(F.col("doc_id") % 7 == 0).count()
+    assert len(rows) == n_injected
+    for r in rows:
+        assert r.n_dups == 2
+        assert r.keeper_doc_id % 7 == 0 and r.keeper_doc_id < 200000
+
+
+def test_jaccard_finds_near_copies(spark):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.q_dedup_jaccard(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    near_ids = [r.doc_id for r in docs.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect()]
+    found = sum((i, i + 100000) in pairs for i in near_ids)
+    assert found >= 0.9 * len(near_ids)  # dropping 10 chars keeps most shingles
+    for (a, b), j in pairs.items():
+        assert 0.5 <= j <= 1.0 and a < b
+
+
+def test_minhash_lsh_candidates_cover_exact_dups(spark):
+    cands = {(r.doc_a, r.doc_b) for r in dedup.q_dedup_minhash_lsh(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact_ids = [r.doc_id for r in docs.filter(F.col("doc_id") % 7 == 0).select("doc_id").collect()]
+    # identical texts have identical signatures -> every exact pair is a candidate
+    for i in exact_ids:
+        assert (i, i + 200000) in cands
+
+
+def test_simhash_order_insensitive(spark):
+    out = {r.doc_id: r.simhash for r in dedup.q_simhash(spark, SF).collect()}
+    assert len(out) > 0
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5).collect()
+    # recompute locally with shuffled token order -> same simhash
+    import hashlib
+    from collections import Counter
+
+    from logsentinelai_spark.functions.tokenizer import SQL_TOKEN_PATTERN
+    import re
+
+    pat = re.compile(SQL_TOKEN_PATTERN)
+    for d in docs:
+        toks = pat.findall(d.text.lower())
+        tf = Counter(toks)
+        sig = 0
+        for b in range(32):
+            s = sum(
+                c * (2 * ((int(hashlib.md5(t.encode()).hexdigest()[:8], 16) >> b) & 1) - 1)
+                for t, c in tf.items()
+            )
+            if s > 0:
+                sig |= 1 << b
+        assert sig == out[d.doc_id]
+
+
+def test_fingerprint_order_sensitive(spark):
+    fp = {r.doc_id: r.fingerprint for r in textstats.q_doc_fingerprint(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    two = docs.limit(2).collect()
+    # reversing a doc's tokens changes its fingerprint (near-certain)
+    rev = spark.createDataFrame(
+        [(r.doc_id, " ".join(reversed(r.text.split())), r.lang, r.source, r.n_chars) for r in two],
+        docs.schema,
+    )
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    rev.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    fp_rev = {r.doc_id: r.fingerprint for r in textstats.q_doc_fingerprint(spark, tmp).collect()}
+    changed = sum(fp[k] != fp_rev[k] for k in fp_rev)
+    assert changed >= 1
+
+
+def test_ann_lsh_recall_vs_brute(spark):
+    brute = similarity.q_ann_brute(spark, SF).collect()
+    lsh = similarity.q_ann_lsh(spark, SF).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # bucketed search returns a nonempty, genuine subset with some overlap
+    assert lsh_sets, "LSH returned nothing"
+    recalls = [
+        len(brute_sets[q] & lsh_sets.get(q, set())) / len(brute_sets[q]) for q in brute_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.05  # random-vector recall is modest; >0 proves plumbing
+
+
+def test_multimodal_stub_gated(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...")
+    meta = multimodal.q_multimodal_meta(spark, SF).limit(5).collect()
+    for r in meta:
+        assert r.magic == "IMG0"
+        assert r.n_bytes > 4
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
+
+
+def test_lang_id_plausible(spark):
+    out = textstats.q_lang_id(spark, SF).collect()
+    assert len(out) == spark.read.parquet(f"{SF}/documents.parquet").count()
+    # the synthetic corpus is English-ish -> 'en' dominates
+    en = sum(r.pred_lang == "en" for r in out)
+    assert en > len(out) * 0.5
