@@ -79,8 +79,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.extract import extract_series
 from ..functions.tokenizer import tokens_series
-from .codec import encode_blocks, vb_decode
-from .docids import assign_doc_ids_with_count
+from .codec import encode_blocks_grouped, vb_decode
+from .docids import doc_map_df, read_doc_map_meta, wave_url_bounds, write_doc_map
 from .lineage import StageTimer, commit_wave, committed_waves
 
 
@@ -89,7 +89,8 @@ class IndexConfig:
     shard_size: int = 1_000_000      # docs per shard (tests use ~512)
     n_buckets: int = 16              # term buckets per shard
     block_size: int = 128            # postings per block
-    wave_shards: int = 64            # shards per wave (checkpoint unit)
+    wave_shards: int = 16            # shards per wave (checkpoint unit; also
+                                     # bounds the broadcast id-map at ~1 GB)
     use_text_col: bool = False       # skip HTML extraction (pre-extracted corpus)
 
     @property
@@ -130,141 +131,248 @@ def _bucket_np(terms: np.ndarray, n_buckets: int) -> np.ndarray:
 
 # --------------------------------------------------------------------- stage 1
 
+def _stage1_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("kind", pa.int32()), ("doc_id", pa.int64()), ("url", pa.string()),
+        ("dl", pa.int64()), ("shard", pa.int64()), ("term_bucket", pa.int32()),
+        ("salt", pa.int64()), ("term", pa.string()), ("block_id", pa.int32()),
+        ("n", pa.int32()), ("first_doc", pa.int64()), ("last_doc", pa.int64()),
+        ("max_tf", pa.int64()), ("min_dl", pa.int64()), ("sum_tf", pa.int64()),
+        ("gaps_vb", pa.binary()), ("tfs_vb", pa.binary()), ("dls_vb", pa.binary()),
+    ])
+
+
+def _lineage_row(pa, schema, const, pid, bi, n_docs, lens, n_blocks, n_groups, elapsed_ms):
+    """kind=2: one per-batch lineage row (the engine's analog of the
+    reference's per-chunk @-metrics, core/commons.py:214-237). Field
+    reuse: salt=pid, block_id=batch, n=docs, first_doc=sum(dl),
+    last_doc=elapsed_ms, max_tf=blocks, sum_tf=(shard,term) groups.
+    The wave commit aggregates these instead of re-scanning doc rows."""
+    return pa.RecordBatch.from_arrays(
+        [
+            const(2, np.int32, 1), const(-1, np.int64, 1),
+            pa.array([f"pid={pid}/batch={bi}"], type=pa.string()),
+            const(-1, np.int64, 1), const(-1, np.int64, 1),
+            const(-1, np.int32, 1), const(pid, np.int64, 1),
+            pa.nulls(1, pa.string()), const(bi, np.int32, 1),
+            const(n_docs, np.int32, 1), const(int(lens.sum()), np.int64, 1),
+            const(elapsed_ms, np.int64, 1), const(n_blocks, np.int64, 1),
+            const(-1, np.int64, 1), const(n_groups, np.int64, 1),
+            pa.nulls(1, pa.binary()), pa.nulls(1, pa.binary()),
+            pa.nulls(1, pa.binary()),
+        ],
+        schema=schema,
+    )
+
+
 def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFrame:
     """Fused extract + tokenize + tf + per-batch compressed run build.
 
     Emits doc marker rows (kind=0: doc_id, url, dl) and run block rows
-    (kind=1) in one Arrow pass — no posting-row shuffle ever exists.
+    (kind=1) in one Arrow pass (``mapInArrow``) — no posting-row shuffle
+    ever exists, and no per-row Python: extraction/tokenization are
+    pandas .str ops, tf is a vectorized groupby, and ALL (shard, term)
+    groups of a batch are block-encoded in one numpy/pyarrow pass
+    (codec.encode_blocks_grouped) with zero-copy binary columns.
     """
     use_text = cfg.use_text_col
     shard_size, n_buckets, block_size = cfg.shard_size, cfg.n_buckets, cfg.block_size
 
-    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _gen(batches):
+        import pyarrow as pa
+
+        schema = _stage1_arrow_schema()
         pid = TaskContext.get().partitionId()
-        for bi, pdf in enumerate(batches):
-            if len(pdf) == 0:
+        for bi, rb in enumerate(batches):
+            nrows = rb.num_rows
+            if nrows == 0:
                 continue
+            t_batch = time.monotonic()
             run_id = pid * 1_000_000 + bi
-            text = pdf["text"] if use_text else extract_series(pdf["html"])
+            content = rb.column("text" if use_text else "html").to_pandas()
+            text = content if use_text else extract_series(content)
             toks = tokens_series(text)
             lens = toks.map(len).to_numpy(dtype=np.int64)
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            docs_out = pd.DataFrame(
-                {"kind": 0, "doc_id": doc_ids, "url": pdf["url"].to_numpy(), "dl": lens}
+            doc_ids = rb.column("doc_id").to_numpy()
+
+            def const(v, dtype, n=nrows):
+                return pa.array(np.full(n, v, dtype=dtype))
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    const(0, np.int32), pa.array(doc_ids), rb.column("url"),
+                    pa.array(lens), pa.array(doc_ids // shard_size),
+                    const(-1, np.int32), const(-1, np.int64), pa.nulls(nrows, pa.string()),
+                    const(-1, np.int32), const(-1, np.int32), const(-1, np.int64),
+                    const(-1, np.int64), const(-1, np.int64), const(-1, np.int64),
+                    const(-1, np.int64), pa.nulls(nrows, pa.binary()),
+                    pa.nulls(nrows, pa.binary()), pa.nulls(nrows, pa.binary()),
+                ],
+                schema=schema,
             )
-            for c in RUN_COLS:
-                docs_out[c] = (
-                    None if c in ("term", "gaps_vb", "tfs_vb", "dls_vb") else -1
-                )
-            # doc rows land in kind=0/shard=S dirs: they ARE doc_stats
-            docs_out["shard"] = doc_ids // shard_size
-            yield docs_out[ALL_COLS]
+            nb = 0
             if lens.sum() == 0:
+                yield _lineage_row(pa, schema, const, pid, bi, nrows, lens, 0, 0,
+                                   int((time.monotonic() - t_batch) * 1000))
                 continue
-            flat = pd.DataFrame(
-                {
-                    "doc_id": np.repeat(doc_ids, lens),
-                    "dl": np.repeat(lens, lens),
-                    "term": np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)]),
-                }
-            )
-            tf = (
-                flat.groupby(["doc_id", "term", "dl"], sort=False)
-                .size()
-                .rename("tf")
-                .reset_index()
-            )
-            terms = tf["term"].to_numpy()
-            docs = tf["doc_id"].to_numpy(dtype=np.int64)
-            tfs = tf["tf"].to_numpy(dtype=np.int64)
-            dls = tf["dl"].to_numpy(dtype=np.int64)
+            # term strings touch Python objects exactly twice — findall
+            # and factorize — then everything is int64 until the final
+            # per-group gather. Object-dtype groupbys/sorts are memory-
+            # bandwidth-hostile and anti-scale at 32 concurrent workers
+            # (measured 2.1x per-worker slowdown); int keys don't.
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if len(t)])
+            codes, uniq = pd.factorize(flat_terms, sort=False)
+            nvocab = len(uniq)
+            doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+            # tf(doc, term) = run lengths of the sorted (doc_idx, code) key
+            key = doc_idx * nvocab + codes
+            ks = np.sort(key)
+            starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+            tfs = np.diff(np.append(starts, ks.size)).astype(np.int64)
+            ukey = ks[starts]
+            udoc_idx = ukey // nvocab
+            ucode = (ukey % nvocab).astype(np.int64)
+            docs = doc_ids[udoc_idx]
+            dls = lens[udoc_idx]
             shards = docs // shard_size
-            # encode doc-sorted runs per (shard, term): one lexsort, then
-            # contiguous slices per (shard, term) group
-            order = np.lexsort((docs, terms, shards))
-            terms, docs, tfs, dls, shards = (
-                terms[order], docs[order], tfs[order], dls[order], shards[order])
+            # doc-sorted runs per (shard, term): one int lexsort, then one
+            # grouped encode over all contiguous (shard, term) slices
+            order = np.lexsort((docs, ucode, shards))
+            docs, tfs, dls, ucode, shards = (
+                docs[order], tfs[order], dls[order], ucode[order], shards[order])
             newgrp = np.concatenate(
-                ([True], (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])))
-            bounds = np.append(np.flatnonzero(newgrp), len(terms))
-            rows = []
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                shard = int(shards[s])
-                base = shard * shard_size
-                for blk in encode_blocks(docs[s:e], tfs[s:e], dls[s:e], base, block_size):
-                    rows.append(
-                        (shard, term_bucket_py(terms[s], n_buckets), run_id, terms[s],
-                         blk["block_id"], blk["n"], blk["first_doc"], blk["last_doc"],
-                         blk["max_tf"], blk["min_dl"], int(tfs[s:e].sum()),
-                         blk["gaps_vb"], blk["tfs_vb"], blk["dls_vb"])
-                    )
-            out = pd.DataFrame(rows, columns=RUN_COLS)
-            out.insert(0, "kind", 1)
-            out.insert(1, "doc_id", -1)
-            out.insert(2, "url", None)
-            out.insert(3, "dl", -1)
-            yield out[ALL_COLS]
+                ([True], (ucode[1:] != ucode[:-1]) | (shards[1:] != shards[:-1])))
+            group_starts = np.flatnonzero(newgrp)
+            shards_g = shards[group_starts]
+            terms_g = uniq[ucode[group_starts]]
+            ub = np.fromiter(
+                (term_bucket_py(t, n_buckets) for t in uniq), dtype=np.int32, count=nvocab)
+            buckets_g = ub[ucode[group_starts]]
+            enc = encode_blocks_grouped(
+                docs, tfs, dls, group_starts, shards_g * shard_size, block_size)
+            gid = enc["gid"]
+            nb = gid.size
+            yield pa.RecordBatch.from_arrays(
+                [
+                    const(1, np.int32, nb), const(-1, np.int64, nb),
+                    pa.nulls(nb, pa.string()), const(-1, np.int64, nb),
+                    pa.array(shards_g[gid]), pa.array(buckets_g[gid]),
+                    const(run_id, np.int64, nb), pa.array(terms_g[gid], type=pa.string()),
+                    pa.array(enc["block_id"].astype(np.int32)),
+                    pa.array(enc["n"].astype(np.int32)),
+                    pa.array(enc["first_doc"]), pa.array(enc["last_doc"]),
+                    pa.array(enc["max_tf"]), pa.array(enc["min_dl"]),
+                    pa.array(enc["group_sum_tf"][gid]),
+                    enc["gaps_vb"], enc["tfs_vb"], enc["dls_vb"],
+                ],
+                schema=schema,
+            )
+            yield _lineage_row(pa, schema, const, pid, bi, nrows, lens, nb,
+                               len(group_starts), int((time.monotonic() - t_batch) * 1000))
 
     return pages_with_ids.select(
         "doc_id", "url", "text" if use_text else "html"
-    ).mapInPandas(_gen, schema=STAGE1_SCHEMA)
+    ).mapInArrow(_gen, schema=STAGE1_SCHEMA)
 
 
 # --------------------------------------------------------------------- stage 2
 
 def _merge_runs_fn(shard_size: int, block_size: int):
-    """Vectorized run merge. Within a run the per-block gap streams
-    chain (block b's first gap is relative to block b-1's last doc), and
-    varbyte is self-delimiting — so one run's gaps decode in a SINGLE
-    vb_decode over the concatenated blobs: docs = base + cumsum. No
-    pandas itertuples / per-block Python anywhere on the hot path."""
+    """Fully vectorized run merge — zero per-term Python.
+
+    Within a run the per-block gap streams chain (block b's first gap is
+    relative to block b-1's last doc) and varbyte is self-delimiting, so
+    ALL runs of the whole (shard, term_bucket) group decode in ONE
+    vb_decode over the concatenated blobs; per-run doc ids come back via
+    a segmented cumsum (global cumsum minus its value at each run
+    start). Runs of one term are doc-disjoint, so a single lexsort by
+    (term, doc) yields every term's globally doc-sorted postings, and
+    codec.encode_blocks_grouped re-blocks all terms in one pass.
+    """
+
+    out_cols = ["shard", "term_bucket", "term", "block_id", "n", "first_doc",
+                "last_doc", "max_tf", "min_dl", "sum_tf", "gaps_vb", "tfs_vb", "dls_vb"]
 
     def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard, bucket = (int(k) for k in key)
         base = shard * shard_size
-        out_cols = ["shard", "term_bucket", "term", "block_id", "n", "first_doc",
-                    "last_doc", "max_tf", "min_dl", "sum_tf", "gaps_vb", "tfs_vb", "dls_vb"]
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=out_cols)
         pdf = pdf.sort_values(["term", "salt", "block_id"], kind="mergesort", ignore_index=True)
         terms = pdf["term"].to_numpy()
         salts = pdf["salt"].to_numpy()
-        n_rows = len(terms)
-        tb = np.append(
-            np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1]))), n_rows)
-        gaps_a = pdf["gaps_vb"].to_numpy()
-        tfs_a = pdf["tfs_vb"].to_numpy()
-        dls_a = pdf["dls_vb"].to_numpy()
-        pass_mask = np.zeros(n_rows, dtype=bool)
-        merged_rows = []
-        for s, e in zip(tb[:-1], tb[1:]):
-            if salts[s] == salts[e - 1]:  # rows sorted by salt -> single run
-                pass_mask[s:e] = True
-                continue
-            ssl = salts[s:e]
-            rb = np.flatnonzero(np.concatenate(([True], ssl[1:] != ssl[:-1]))) + s
-            rb = np.append(rb, e)
-            docs_p, tf_p, dl_p = [], [], []
-            for rs, re_ in zip(rb[:-1], rb[1:]):
-                g = vb_decode(b"".join(gaps_a[rs:re_])).astype(np.int64)
-                docs_p.append(np.cumsum(g) + base)
-                tf_p.append(vb_decode(b"".join(tfs_a[rs:re_])).astype(np.int64))
-                dl_p.append(vb_decode(b"".join(dls_a[rs:re_])).astype(np.int64))
-            docs = np.concatenate(docs_p)
-            tfs = np.concatenate(tf_p)
-            dls = np.concatenate(dl_p)
-            order = np.argsort(docs, kind="mergesort")  # doc-disjoint runs
-            docs, tfs, dls = docs[order], tfs[order], dls[order]
-            sum_tf = int(tfs.sum())
-            for blk in encode_blocks(docs, tfs, dls, base, block_size):
-                merged_rows.append(
-                    (shard, bucket, terms[s], blk["block_id"], blk["n"], blk["first_doc"],
-                     blk["last_doc"], blk["max_tf"], blk["min_dl"], sum_tf,
-                     blk["gaps_vb"], blk["tfs_vb"], blk["dls_vb"])
-                )
-        passthrough = pdf.loc[pass_mask, out_cols]
-        if not merged_rows:
-            return passthrough
-        merged = pd.DataFrame(merged_rows, columns=out_cols)
-        return pd.concat([passthrough, merged], ignore_index=True)
+        n_vals = pdf["n"].to_numpy(dtype=np.int64)
+
+        gaps = vb_decode(b"".join(pdf["gaps_vb"])).astype(np.int64)
+        tfs = vb_decode(b"".join(pdf["tfs_vb"])).astype(np.int64)
+        dls = vb_decode(b"".join(pdf["dls_vb"])).astype(np.int64)
+
+        # run = maximal (term, salt) span of block rows; gap chains reset there
+        new_run = np.concatenate(([True], (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])))
+        row_val_starts = np.concatenate(([0], np.cumsum(n_vals)))
+        run_rows = np.flatnonzero(new_run)
+        run_val_starts = row_val_starts[run_rows]
+        run_val_sizes = np.diff(np.append(run_val_starts, gaps.size))
+        csum = np.cumsum(gaps)
+        csum_before = np.concatenate(([0], csum[:-1]))[run_val_starts]
+        docs = csum - np.repeat(csum_before, run_val_sizes) + base
+
+        run_terms = terms[run_rows]
+        new_term = np.concatenate(([True], run_terms[1:] != run_terms[:-1]))
+        tid = np.repeat(np.cumsum(new_term) - 1, run_val_sizes)
+        uniq_terms = run_terms[new_term]
+
+        order = np.lexsort((docs, tid))
+        docs, tfs, dls, tid = docs[order], tfs[order], dls[order], tid[order]
+        group_starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
+        enc = encode_blocks_grouped(
+            docs, tfs, dls, group_starts,
+            np.full(group_starts.size, base, dtype=np.int64), block_size)
+        gid = enc["gid"]
+        out = pd.DataFrame(
+            {
+                "shard": np.full(gid.size, shard, dtype=np.int64),
+                "term_bucket": np.full(gid.size, bucket, dtype=np.int32),
+                "term": uniq_terms[gid],
+                "block_id": enc["block_id"].astype(np.int32),
+                "n": enc["n"].astype(np.int32),
+                "first_doc": enc["first_doc"],
+                "last_doc": enc["last_doc"],
+                "max_tf": enc["max_tf"],
+                "min_dl": enc["min_dl"],
+                "sum_tf": enc["group_sum_tf"][gid],
+                "gaps_vb": np.asarray(enc["gaps_vb"].to_pandas(), dtype=object),
+                "tfs_vb": np.asarray(enc["tfs_vb"].to_pandas(), dtype=object),
+                "dls_vb": np.asarray(enc["dls_vb"].to_pandas(), dtype=object),
+            }
+        )
+        # segment-metrics row (block_id=-1, term=NULL): n=n_terms,
+        # first_doc=n_blocks, last_doc=postings, max_tf=bytes. Readers
+        # never see it — every posting read filters term IN (...), and
+        # NULL never matches; the wave commit reads ONLY these rows.
+        seg_bytes = sum(
+            len(enc[c].buffers()[2]) for c in ("gaps_vb", "tfs_vb", "dls_vb"))
+        metrics = pd.DataFrame(
+            {
+                "shard": np.array([shard], dtype=np.int64),
+                "term_bucket": np.array([bucket], dtype=np.int32),
+                "term": np.array([None], dtype=object),
+                "block_id": np.array([-1], dtype=np.int32),
+                "n": np.array([len(uniq_terms)], dtype=np.int32),
+                "first_doc": np.array([gid.size], dtype=np.int64),
+                "last_doc": np.array([int(enc["n"].sum())], dtype=np.int64),
+                "max_tf": np.array([seg_bytes], dtype=np.int64),
+                "min_dl": np.array([-1], dtype=np.int64),
+                "sum_tf": np.array([-1], dtype=np.int64),
+                "gaps_vb": np.array([None], dtype=object),
+                "tfs_vb": np.array([None], dtype=object),
+                "dls_vb": np.array([None], dtype=object),
+            }
+        )
+        return pd.concat([out, metrics], ignore_index=True)
 
     return _merge
 
@@ -285,21 +393,22 @@ def build_index(
     out.mkdir(parents=True, exist_ok=True)
     meta_path = out / "_meta.json"
 
-    # ---- stage 0: doc_map (write-once; ids are never re-derived)
+    # ---- stage 0: doc_map (write-once; ids are never re-derived).
+    # One sort+stamp+write job; row count, per-pid id offsets, and
+    # per-file url bounds all come from parquet footers (docids.py) —
+    # no count() job, no cache, no per-wave bounds job.
     doc_map_dir = out / "doc_map"
     if meta_path.exists() and (doc_map_dir / "_SUCCESS").exists():
         meta = json.loads(meta_path.read_text())
         assert meta["shard_size"] == cfg.shard_size, "config mismatch vs existing index"
         n_docs = meta["n_docs"]
+        dm_meta = read_doc_map_meta(str(doc_map_dir))
     else:
-        # assign ids over urls only — the rank sort must not shuffle html
-        # bytes; row count comes from the offset pass (no count() job)
-        with_ids, n_docs = assign_doc_ids_with_count(pages_df.select("url"))
-        with_ids.select("url", "doc_id").write.mode("overwrite").parquet(str(doc_map_dir))
+        dm_meta = write_doc_map(pages_df, str(doc_map_dir))
+        n_docs = dm_meta["n_docs"]
         meta = dict(asdict(cfg), n_docs=n_docs, created_at=time.time())
         meta_path.write_text(json.dumps(meta, indent=1))
 
-    doc_map = spark.read.parquet(str(doc_map_dir))
     n_waves = max(1, -(-n_docs // cfg.wave_docs))
     done = committed_waves(index_dir)
     summary = {"n_docs": n_docs, "n_waves": n_waves, "skipped_waves": sorted(done), "built_waves": []}
@@ -307,14 +416,14 @@ def build_index(
     for wave in range(n_waves):
         if wave in done:
             continue
-        _build_one_wave(spark, pages_df, doc_map, index_dir, cfg, wave, n_docs)
+        _build_one_wave(spark, pages_df, str(doc_map_dir), dm_meta, index_dir, cfg, wave, n_docs)
         summary["built_waves"].append(wave)
         if fail_after_wave is not None and wave >= fail_after_wave:
             raise RuntimeError(f"injected failure after wave {wave}")
     return summary
 
 
-def _build_one_wave(spark, pages_df, doc_map, index_dir, cfg: IndexConfig, wave: int, n_docs: int):
+def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, index_dir, cfg: IndexConfig, wave: int, n_docs: int):
     out = Path(index_dir)
     timer = StageTimer()
     lo, hi = wave * cfg.wave_docs, min((wave + 1) * cfg.wave_docs, n_docs)
@@ -324,21 +433,34 @@ def _build_one_wave(spark, pages_df, doc_map, index_dir, cfg: IndexConfig, wave:
     # uncommitted wave with a half-gone store is recomputed
     if not ((store_dir / "_SUCCESS").exists() and (store_dir / "kind=1").exists()):
         with timer.time("stage1_partial_runs"):
-            dslice = doc_map.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            b = dslice.agg(F.min("url").alias("lo"), F.max("url").alias("hi")).collect()[0]
-            # url-range pushdown so each wave scans only its slice of the
-            # (url-sorted / min-max-pruned) pages table
-            wave_pages = pages_df.filter(F.col("url").between(b.lo, b.hi)).join(dslice, "url")
+            # file-pruned id slice + footer-derived url bounds (both
+            # driver-side metadata, no Spark job) so each wave scans
+            # only its slice of the (url-sorted, min-max-pruned) table
+            dslice = doc_map_df(spark, doc_map_dir, dm_meta, lo, hi)
+            url_lo, url_hi = wave_url_bounds(dm_meta, lo, hi)
+            # BROADCAST the wave's url->id map: the alternative plan
+            # (sort-merge join) shuffles every html byte of the wave,
+            # which is exactly what bounded waves exist to avoid. A
+            # wave is wave_docs rows of (url, doc_id) — e.g. 16M docs
+            # ~ 1 GB — sized to stay broadcastable; Catalyst can't
+            # infer that from a derived plan, so the hint is explicit.
+            wave_pages = pages_df.filter(F.col("url").between(url_lo, url_hi)).join(
+                F.broadcast(dslice), "url")
+            # partitionBy kind ONLY: the (shard, term_bucket) routing is
+            # the merge shuffle's job, and hive-partitioning the store by
+            # them costs a per-task sort + hundreds of tiny files per
+            # task (measured ~3.4x stage-1 wall at 32 cores). doc rows
+            # (kind=0) keep shard as a data column; parquet row-group
+            # stats still prune doc_id lookups.
             (
                 stage1_partial_runs(wave_pages, cfg)
                 .write.mode("overwrite")
-                .partitionBy("kind", "shard", "term_bucket")
+                .partitionBy("kind")
                 .parquet(str(store_dir))
             )
 
     s1 = spark.read.parquet(str(store_dir))
     runs = s1.filter(F.col("kind") == 1).drop("kind", "doc_id", "url", "dl")
-    doc_rows = s1.filter(F.col("kind") == 0).select("doc_id", "url", "dl")
 
     with timer.time("stage2_salted_merge"):
         segments = runs.groupBy("shard", "term_bucket").applyInPandas(
@@ -348,18 +470,20 @@ def _build_one_wave(spark, pages_df, doc_map, index_dir, cfg: IndexConfig, wave:
         segments.write.mode("overwrite").partitionBy("shard", "term_bucket").parquet(str(seg_dir))
 
     with timer.time("commit_metrics"):
-        g = doc_rows.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")).collect()[0]
-        seg = spark.read.parquet(str(seg_dir))
+        # both aggregations read ONLY in-band metric rows (kind=2 batch
+        # lineage; block_id=-1 segment metrics) — tiny pruned scans, no
+        # full-data re-read
+        g = (
+            s1.filter(F.col("kind") == 2)
+            .agg(F.sum("n").alias("n_docs"), F.sum("first_doc").alias("sum_dl"))
+            .collect()[0]
+        )
+        seg = spark.read.parquet(str(seg_dir)).filter(F.col("block_id") == -1)
         part_metrics = [
-            r.asDict()
-            for r in seg.groupBy("shard", "term_bucket")
-            .agg(
-                F.countDistinct("term").alias("n_terms"),
-                F.count("*").alias("n_blocks"),
-                F.sum("n").alias("postings"),
-                F.sum(F.length("gaps_vb") + F.length("tfs_vb") + F.length("dls_vb")).alias("bytes"),
-            )
-            .collect()
+            {"shard": r.shard, "term_bucket": r.term_bucket, "n_terms": int(r.n),
+             "n_blocks": int(r.first_doc), "postings": int(r.last_doc),
+             "bytes": int(r.max_tf)}
+            for r in seg.select("shard", "term_bucket", "n", "first_doc", "last_doc", "max_tf").collect()
         ]
 
     commit_wave(

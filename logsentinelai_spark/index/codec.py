@@ -41,11 +41,13 @@ def block_upper_bound(max_tf, min_dl, idf_t: float, avgdl: float):
 _THRESH = [1 << (7 * i) for i in range(1, 10)]
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of a uint64 array."""
+def vb_encode_with_lens(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte encode of a uint64 array. Returns
+    (byte buffer, per-value byte lengths) so callers can slice the
+    buffer at arbitrary value boundaries without re-encoding."""
     x = np.asarray(values, dtype=np.uint64)
     if x.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     lens = np.ones(x.size, dtype=np.int64)
     for t in _THRESH:
         lens += (x >= np.uint64(t)).astype(np.int64)
@@ -57,6 +59,12 @@ def vb_encode(values: np.ndarray) -> bytes:
         b = (x[sel] >> np.uint64(7 * i)) & np.uint64(0x7F)
         cont = np.where(lens[sel] > i + 1, 0x80, 0).astype(np.uint8)
         buf[offsets[sel] + i] = b.astype(np.uint8) | cont
+    return buf, lens
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of a uint64 array."""
+    buf, _ = vb_encode_with_lens(values)
     return buf.tobytes()
 
 
@@ -112,6 +120,81 @@ def encode_blocks(
             }
         )
     return out
+
+
+def encode_blocks_grouped(
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    group_starts: np.ndarray,
+    bases: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+):
+    """Encode posting blocks for MANY term groups in one vectorized pass.
+
+    This is the hot path of the index build: a 10k-page Arrow batch
+    yields ~10^5 (shard, term) groups, and calling :func:`encode_blocks`
+    per group costs more in numpy call overhead than in work. Here the
+    three varbyte streams are encoded over the WHOLE batch once, and the
+    per-block binary cells are zero-copy slices of that single buffer
+    (pyarrow BinaryArray built from offsets into it).
+
+    Args:
+      docs/tfs/dls: concatenated postings, doc-sorted within each group
+        (groups contiguous, in group order).
+      group_starts: int64 start index of each group (no end sentinel).
+      bases: per-group shard base doc id (gap 0 is relative to it).
+
+    Returns dict with per-block columns:
+      gid (group index), block_id, n, first_doc, last_doc, max_tf,
+      min_dl, and pyarrow BinaryArrays gaps_vb / tfs_vb / dls_vb;
+      plus per-group ``group_sum_tf``.
+    """
+    import pyarrow as pa
+
+    n = docs.size
+    if n == 0:
+        empty_b = pa.array([], type=pa.binary())
+        z = np.empty(0, dtype=np.int64)
+        return {
+            "gid": z, "block_id": z, "n": z, "first_doc": z, "last_doc": z,
+            "max_tf": z, "min_dl": z, "gaps_vb": empty_b, "tfs_vb": empty_b,
+            "dls_vb": empty_b, "group_sum_tf": z,
+        }
+    group_starts = np.asarray(group_starts, dtype=np.int64)
+    sizes = np.diff(np.append(group_starts, n))
+    ngroups = group_starts.size
+    pos = np.arange(n, dtype=np.int64) - np.repeat(group_starts, sizes)
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = docs[1:] - docs[:-1]
+    gaps[group_starts] = docs[group_starts] - np.asarray(bases, dtype=np.int64)
+
+    block_starts = np.flatnonzero(pos % block_size == 0)
+    boundaries = np.append(block_starts, n)
+    block_ends = boundaries[1:]
+    gid = np.repeat(np.arange(ngroups, dtype=np.int64), sizes)[block_starts]
+
+    bufs = {}
+    for name, arr in (("gaps_vb", gaps), ("tfs_vb", tfs), ("dls_vb", dls)):
+        buf, lens = vb_encode_with_lens(arr.astype(np.uint64))
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        offsets = cum[boundaries]  # byte offset of each block boundary
+        bufs[name] = pa.BinaryArray.from_buffers(
+            pa.binary(), block_starts.size,
+            [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+    return {
+        "gid": gid,
+        "block_id": pos[block_starts] // block_size,
+        "n": block_ends - block_starts,
+        "first_doc": docs[block_starts],
+        "last_doc": docs[block_ends - 1],
+        "max_tf": np.maximum.reduceat(tfs, block_starts),
+        "min_dl": np.minimum.reduceat(dls, block_starts),
+        "group_sum_tf": np.add.reduceat(tfs, group_starts),
+        **bufs,
+    }
 
 
 def decode_blocks(rows, base: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

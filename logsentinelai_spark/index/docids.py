@@ -4,66 +4,182 @@ Contract: ``doc_id = rank of url in the globally url-sorted snapshot``,
 stable across cluster sizes and partition counts (rank-identity killer
 if wrong; `monotonically_increasing_id` is explicitly NOT acceptable).
 
-Scalable two-phase assignment (no single-task window):
-  1. range-partition + sort by url (unique urls assumed — Iceberg
-     snapshot primary key)
-  2. one small job collects per-partition row counts -> exclusive
-     prefix offsets (len = #partitions, driver-side, tiny)
-  3. mapInArrow adds offset[partition_id] + local_row_number
+Scalable assignment in ONE Spark job (plus the range sampler Spark runs
+internally) — no count() job, no cache():
+  1. range-partition + sort pages' urls; a fused mapInArrow stamps each
+     row with (pid = sort partition, local_idx = row index within the
+     partition) — plain int columns, order-preserving; write parquet.
+  2. the driver reads the parquet FOOTERS (row counts + url min/max +
+     pid stats per file; metadata only, no data scan) -> per-pid
+     exclusive prefix offsets and per-file url bounds, persisted to
+     ``_doc_map_meta.json``.
+  3. ``doc_id = offset[pid] + local_idx`` is assembled lazily as a pure
+     JVM-side expression (broadcast join against the tiny (pid, offset)
+     table) whenever (url, doc_id) is needed. Robust to Spark splitting
+     or packing the files arbitrarily, since every row is
+     self-identifying.
 
 The result is independent of the (sampled) range boundaries because
-rank(url) = rows in lower ranges + local index, whatever the split.
-For test-sized data a plain window is equivalent; we always use the
-scalable path so it is the tested path.
+rank(url) = rows in lower partitions + index within partition, whatever
+the split. Footer url bounds also give each build wave its url range
+for predicate-pruned pages scans — again without a Spark job.
 """
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark import TaskContext
-from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
+import json
+import os
+from pathlib import Path
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+META_NAME = "_doc_map_meta.json"
+
+
+def write_doc_map(pages_df: DataFrame, doc_map_dir: str, partitions: int | None = None) -> dict:
+    """One sort+stamp+write job + a driver footer pass. Returns the meta
+    dict (also persisted inside ``doc_map_dir``)."""
+    sess = pages_df.sparkSession
+    nparts = partitions or sess.sparkContext.defaultParallelism
+    ranged = (
+        pages_df.select("url")
+        .repartitionByRange(nparts, F.col("url"))
+        .sortWithinPartitions("url")
+    )
+
+    def _stamp(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for rb in batches:
+            n = rb.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("url").cast(pa.string()),
+                    pa.array(np.full(n, pid, dtype=np.int32)),
+                    pa.array(np.arange(seen, seen + n, dtype=np.int64)),
+                ],
+                names=["url", "pid", "local_idx"],
+            )
+            seen += n
+
+    stamped = ranged.mapInArrow(_stamp, schema="url string, pid int, local_idx long")
+    stamped.write.mode("overwrite").parquet(doc_map_dir)
+
+    files = []
+    for name in sorted(os.listdir(doc_map_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(Path(doc_map_dir) / name).metadata
+        if md.num_rows == 0:
+            continue
+        url_lo = url_hi = None
+        pid = None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                leaf = col.path_in_schema
+                if leaf == "url":
+                    url_lo = st.min if url_lo is None else min(url_lo, st.min)
+                    url_hi = st.max if url_hi is None else max(url_hi, st.max)
+                elif leaf == "pid":
+                    pid = int(st.min)
+        files.append({"name": name, "rows": md.num_rows, "pid": pid,
+                      "min_url": url_lo, "max_url": url_hi})
+
+    pid_rows: dict[int, int] = {}
+    for f in files:
+        pid_rows[f["pid"]] = pid_rows.get(f["pid"], 0) + f["rows"]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(pid_rows):
+        offsets[pid] = acc
+        acc += pid_rows[pid]
+    # per-file doc_id start (files of one pid sort after each other by
+    # name, matching write order) — used for wave -> file/url pruning
+    seen_in_pid: dict[int, int] = {}
+    for f in files:
+        f["doc_start"] = offsets[f["pid"]] + seen_in_pid.get(f["pid"], 0)
+        seen_in_pid[f["pid"]] = seen_in_pid.get(f["pid"], 0) + f["rows"]
+    meta = {"n_docs": acc, "offsets": {str(k): v for k, v in offsets.items()}, "files": files}
+    (Path(doc_map_dir) / META_NAME).write_text(json.dumps(meta, indent=1))
+    return meta
+
+
+def read_doc_map_meta(doc_map_dir: str) -> dict:
+    return json.loads((Path(doc_map_dir) / META_NAME).read_text())
+
+
+def doc_map_df(
+    spark: SparkSession,
+    doc_map_dir: str,
+    meta: dict | None = None,
+    doc_lo: int | None = None,
+    doc_hi: int | None = None,
+) -> DataFrame:
+    """Lazy (url, doc_id) DataFrame; optionally restricted to the files
+    overlapping doc id range [doc_lo, doc_hi) — file-level pruning done
+    driver-side from the footer meta. Pure JVM expression, no UDF."""
+    meta = meta or read_doc_map_meta(doc_map_dir)
+    files = meta["files"]
+    hi = doc_hi if doc_hi is not None else meta["n_docs"]
+    if doc_lo is not None:
+        files = [f for f in files if f["doc_start"] < hi and f["doc_start"] + f["rows"] > doc_lo]
+    if not files:
+        return spark.createDataFrame([], "url string, doc_id long")
+    paths = [str(Path(doc_map_dir) / f["name"]) for f in files]
+    offsets_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in meta["offsets"].items()], "pid int, offset long")
+    out = (
+        spark.read.parquet(*paths)
+        .join(F.broadcast(offsets_df), "pid")
+        .select("url", (F.col("offset") + F.col("local_idx")).alias("doc_id"))
+    )
+    if doc_lo is not None:
+        out = out.filter((F.col("doc_id") >= doc_lo) & (F.col("doc_id") < hi))
+    return out
+
+
+def wave_url_bounds(meta: dict, doc_lo: int, doc_hi: int) -> tuple[str | None, str | None]:
+    """url range covering doc ids [doc_lo, doc_hi), from footer stats —
+    enables predicate-pruned pages scans without a Spark job."""
+    lo = hi = None
+    for f in meta["files"]:
+        if f["doc_start"] < doc_hi and f["doc_start"] + f["rows"] > doc_lo:
+            if f["min_url"] is not None:
+                lo = f["min_url"] if lo is None else min(lo, f["min_url"])
+            if f["max_url"] is not None:
+                hi = f["max_url"] if hi is None else max(hi, f["max_url"])
+    return lo, hi
+
+
+# ---- generic API (tests + other operators use these) -----------------
 
 def assign_doc_ids_with_count(
     pages_df: DataFrame, url_col: str = "url", partitions: int | None = None
 ) -> tuple[DataFrame, int]:
-    """Like assign_doc_ids but also returns the total row count (known
-    for free from the offset pass — saves callers a count() job)."""
-    df = assign_doc_ids(pages_df, url_col, partitions)
-    return df, df._lsai_n_rows  # type: ignore[attr-defined]
+    """Assign rank-of-url doc ids via a temp doc_map. For callers that
+    want ids inline without an index directory."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="doc_map_")
+    sess = pages_df.sparkSession
+    src = pages_df if url_col == "url" else pages_df.withColumnRenamed(url_col, "url")
+    meta = write_doc_map(src, tmp, partitions)
+    ids = doc_map_df(sess, tmp, meta)
+    out = src.join(ids, "url")
+    if url_col != "url":
+        out = out.withColumnRenamed("url", url_col)
+    return out, meta["n_docs"]
 
 
 def assign_doc_ids(pages_df: DataFrame, url_col: str = "url", partitions: int | None = None) -> DataFrame:
-    sess = pages_df.sparkSession
-    nparts = partitions or sess.sparkContext.defaultParallelism
-    ranged = pages_df.repartitionByRange(nparts, F.col(url_col)).sortWithinPartitions(url_col)
-    ranged = ranged.cache()
-    counts = (
-        ranged.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
-    by_pid = {r["pid"]: r["count"] for r in counts}
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(by_pid):
-        offsets[pid] = acc
-        acc += by_pid[pid]
-    boff = sess.sparkContext.broadcast(offsets)
-
-    out_schema = T.StructType(list(pages_df.schema.fields) + [T.StructField("doc_id", T.LongType(), False)])
-
-    def _assign(batches):
-        base = boff.value[TaskContext.get().partitionId()]
-        seen = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["doc_id"] = range(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    out = ranged.mapInPandas(_assign, schema=out_schema)
-    out._lsai_n_rows = acc  # total rows, known from the offset pass
-    return out
+    return assign_doc_ids_with_count(pages_df, url_col, partitions)[0]

@@ -49,6 +49,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Our post-shuffle stages run CPU-heavy Python (posting merge)
+        # on COMPRESSED bytes, so AQE's bytes-based coalescing to its
+        # 1 MB default min starves them of parallelism; keep partitions
+        # fine-grained and let parallelismFirst target the core count.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16kb")
+        # finer input splits than the 128 MB default: our scans feed
+        # CPU-heavy Python stages, so task granularity should track
+        # cores, not bytes; 16 MB keeps every level busy and bounds
+        # stragglers when task count ~ slot count
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
