@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from logsentinelai_spark import entry_queries  # noqa: E402
 from logsentinelai_spark.corpus import gen_pages_df, gen_queries  # noqa: E402
 from logsentinelai_spark.index.build import IndexConfig, build_index  # noqa: E402
-from logsentinelai_spark.index.query import topk  # noqa: E402
+from logsentinelai_spark.index.query import topk, topk_local  # noqa: E402
 from logsentinelai_spark.index.reader import IndexReader  # noqa: E402
 from logsentinelai_spark.session import get_spark  # noqa: E402
 
@@ -72,12 +72,16 @@ def main() -> None:
         reader = IndexReader(spark, idx_dir)
         queries = gen_queries()
         sel = list(queries.head(6).itertuples()) + list(queries.iloc[20:24].itertuples())
-        lat: dict[str, list[float]] = {"wand": [], "acc": []}
+        lat: dict[str, list[float]] = {
+            "wand": [], "acc": [], "wand_local": [], "acc_local": []}
         for mode in ("wand", "acc"):
             for q in sel:
                 t0 = time.monotonic()
                 topk(reader, q.query_text, k=10, mode=mode)
                 lat[mode].append((time.monotonic() - t0) * 1000)
+                t0 = time.monotonic()
+                topk_local(reader, q.query_text, k=10, mode=mode)
+                lat[mode + "_local"].append((time.monotonic() - t0) * 1000)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(pages_dir, ignore_errors=True)

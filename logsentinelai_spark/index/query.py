@@ -137,6 +137,16 @@ class _Cursor:
         dl = float(self.dls[self.pos])
         return self.idf * tf / (tf + K1 * (1 - B + B * dl / self.avgdl))
 
+    def slice_window(self, hi: int):
+        """(docs, contribs) of this cursor's postings in [cur, hi] —
+        all inside the current decoded block (callers guarantee
+        hi <= block_last). Vectorized; does not advance the cursor."""
+        p_hi = int(np.searchsorted(self.docs, hi, side="right"))
+        d = self.docs[self.pos:p_hi]
+        t = self.tfs[self.pos:p_hi].astype(np.float64)
+        dl = self.dls[self.pos:p_hi].astype(np.float64)
+        return d, self.idf * t / (t + K1 * (1 - B + B * dl / self.avgdl))
+
 
 class _TopK:
     """k-best under ordering (-score, doc) with threshold θ."""
@@ -147,6 +157,11 @@ class _TopK:
 
     def push(self, doc: int, score: float) -> None:
         self.items.append((doc, score))
+        if len(self.items) > 4 * self.k:
+            self._trim()
+
+    def push_many(self, docs, scores) -> None:
+        self.items.extend(zip(docs.tolist(), scores.tolist()))
         if len(self.items) > 4 * self.k:
             self._trim()
 
@@ -164,15 +179,36 @@ class _TopK:
 
 
 def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int = 0):
+    """Windowed block-max WAND: classic WAND pivoting (term-UB prefix
+    sums over cur-sorted cursors) + block-max pruning, but instead of
+    scoring one pivot doc per iteration, every surviving iteration
+    fully scores the whole window [pivot_doc, W] vectorized, where
+      W = min(block_last of pivot-prefix cursors, next cursor's cur - 1)
+    Within that window (a) only the prefix cursors can hold postings
+    (every later cursor's cur > W), and (b) each prefix cursor's
+    postings lie inside its current decoded block — so the window's
+    scores are complete, computed with numpy slices, and docs outside
+    any surviving window are exactly those WAND proves cannot beat θ."""
     cursors: list[_Cursor] = []
     for term, g in pdf.groupby("term", sort=False):
         rows = list(g.sort_values("block_id").itertuples())
         cursors.append(_Cursor(rows, idfs[term], avgdl))
     heap = _TopK(k)
+    # θ warm-start: the k-th best SINGLE-term contribution of the most
+    # selective term is a sound floor for the k-th best final score
+    # (those k docs' final scores only grow), so pruning can kick in
+    # before the heap fills. One vectorized pass over one term's run.
+    theta_floor = -1.0
+    seed = max(cursors, key=lambda c: c.term_ub, default=None)
+    if seed is not None and sum(r.n for r in seed.rows) >= k:
+        tfs = vb_decode(b"".join(r.tfs_vb for r in seed.rows)).astype(np.float64)
+        dls = vb_decode(b"".join(r.dls_vb for r in seed.rows)).astype(np.float64)
+        con = _contrib(tfs, dls, seed.idf, avgdl)
+        theta_floor = float(np.partition(con, con.size - k)[con.size - k]) if con.size >= k else -1.0
     live = [c for c in cursors if c.cur is not None]
     while live:
         live.sort(key=lambda c: c.cur)
-        theta = heap.theta()
+        theta = max(heap.theta(), theta_floor)
         # pivot: first prefix whose term-UB sum can beat θ
         acc = 0.0
         pivot_i = -1
@@ -184,44 +220,47 @@ def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k
         if pivot_i < 0:
             break  # no prefix can beat θ
         pivot_doc = live[pivot_i].cur
-        # include all cursors already positioned on pivot_doc
-        while pivot_i + 1 < len(live) and live[pivot_i + 1].cur == pivot_doc:
-            pivot_i += 1
-        if live[0].cur == pivot_doc:
-            # block-max check: current-block UB sum of involved cursors
-            bub = sum(c.block_ub() for c in live[: pivot_i + 1])
-            if bub >= theta:
-                score = 0.0
-                for c in live[: pivot_i + 1]:
-                    if c.cur == pivot_doc:
-                        score += c.contrib_at_cur()
-                if score >= theta:
-                    heap.push(pivot_doc, score)
-                for c in live[: pivot_i + 1]:
-                    if c.cur == pivot_doc:
-                        c.next()
-            else:
-                # BMW deep move: no doc in [pivot, min(block_last)] can beat
-                # θ using terms[0..p] only — but cap the skip at the next
-                # cursor's current doc, where a new term starts participating
-                d = min(c.block_last() for c in live[: pivot_i + 1]) + 1
-                if pivot_i + 1 < len(live):
-                    d = min(d, live[pivot_i + 1].cur)
-                d = max(d, pivot_doc + 1)
-                for c in live[: pivot_i + 1]:
-                    c.seek(d)
-        else:
-            # advance the leading cursors (before pivot) up to pivot_doc
+        if live[0].cur < pivot_doc:
+            # advance the leading cursors up to pivot_doc
             for c in live[:pivot_i]:
                 if c.cur < pivot_doc:
                     c.seek(pivot_doc)
+            live = [c for c in live if c.cur is not None]
+            continue
+        # include all cursors already positioned on pivot_doc
+        while pivot_i + 1 < len(live) and live[pivot_i + 1].cur == pivot_doc:
+            pivot_i += 1
+        prefix = live[: pivot_i + 1]
+        w_hi = min(c.block_last() for c in prefix)
+        if pivot_i + 1 < len(live):
+            w_hi = min(w_hi, live[pivot_i + 1].cur - 1)
+        w_hi = max(w_hi, pivot_doc)
+        # block-max check: current-block UB sum of the window's cursors
+        if sum(c.block_ub() for c in prefix) >= theta:
+            parts = [c.slice_window(w_hi) for c in prefix]
+            docs = np.concatenate([p[0] for p in parts])
+            con = np.concatenate([p[1] for p in parts])
+            uniq, inv = np.unique(docs, return_inverse=True)
+            heap.push_many(uniq, np.bincount(inv, weights=con))
+        # advance every window cursor past the (scored or pruned) window
+        for c in prefix:
+            c.seek(w_hi + 1)
         live = [c for c in live if c.cur is not None]
-    out = heap.result()
-    # exact-tie safety at θ boundary: heap kept score >= θ candidates, fine
-    return out
+    return heap.result()
 
 
 # ----------------------------------------------------------------- distributed top-k
+
+# Below this many candidate postings, exhaustively decoding + summing
+# (acc) beats WAND's cursor machinery; above it, block skipping pays.
+AUTO_WAND_POSTINGS = 2_000_000
+
+
+def _pick_scorer(mode: str, total_postings: int):
+    if mode == "auto":
+        mode = "wand" if total_postings > AUTO_WAND_POSTINGS else "acc"
+    return _score_shard_wand if mode == "wand" else _score_shard_acc
+
 
 def topk(
     reader: IndexReader,
@@ -245,7 +284,7 @@ def topk(
             return []
         N, avgdl = reader.global_stats()
         idfs = {t: idf_fn(N, dfs[t]) for t in qterms}
-        score_fn = _score_shard_wand if mode == "wand" else _score_shard_acc
+        score_fn = _pick_scorer(mode, sum(dfs[t] for t in qterms))
         shard_size = reader.cfg.shard_size
 
         def _per_shard(key, pdf):
@@ -259,5 +298,39 @@ def topk(
     top = _topk_merge(pairs, k)
     if with_urls:
         urls = reader.doc_urls([d for d, _ in top])
+        return [(d, s, urls.get(d)) for d, s in top]
+    return top
+
+
+def topk_local(
+    reader: IndexReader,
+    query_text: str,
+    k: int = 10,
+    mode: str = "wand",
+    with_urls: bool = False,
+) -> list[tuple]:
+    """Driver-local BM25 top-k: identical pruning (bucket dirs + term
+    predicate) and identical scorers as :func:`topk`, but the pruned
+    block read goes straight to storage via pyarrow — no Spark job, so
+    per-query latency is file-read-bound (ms) instead of
+    job-scheduling-bound. This is the query-serving path; the Spark
+    path remains for batch query workloads over huge indexes."""
+    qterms = sorted(set(tokenize(query_text)))
+    if not qterms:
+        return []
+    pdf = reader.postings_blocks_local(qterms)
+    pdf = pdf[pdf["block_id"] >= 0]  # drop in-band segment-metrics rows
+    if pdf.empty:
+        return []
+    dfs = pdf.groupby("term", sort=False)["n"].sum().to_dict()
+    N, avgdl = reader.global_stats()
+    idfs = {t: idf_fn(N, int(df)) for t, df in dfs.items() if df}
+    score_fn = _pick_scorer(mode, int(sum(dfs.values())))
+    pairs: list[tuple[int, float]] = []
+    for shard, g in pdf.groupby("shard", sort=False):
+        pairs += score_fn(g, idfs, avgdl, k, base=int(shard) * reader.cfg.shard_size)
+    top = _topk_merge(pairs, k)
+    if with_urls:
+        urls = reader.doc_urls_local([d for d, _ in top])
         return [(d, s, urls.get(d)) for d, s in top]
     return top

@@ -66,6 +66,37 @@ class IndexReader:
             F.col("term_bucket").isin(buckets) & F.col("term").isin(list(terms))
         )
 
+    # ---- driver-local reads: same files, same pruning, no Spark job.
+    # Query serving at low latency reads the (heavily pruned) posting
+    # blocks straight off storage with pyarrow — a search head does not
+    # need a cluster for one query's ~dozens of row groups; Spark jobs
+    # are for the build and for batch/scale-out query workloads.
+    def postings_blocks_local(self, terms: list[str]):
+        import pyarrow.dataset as pads
+
+        buckets = sorted({term_bucket_py(t, self.cfg.n_buckets) for t in terms})
+        children = [
+            pads.dataset(str(self.dir / "postings" / f"wave={w}"), format="parquet", partitioning="hive")
+            for w in sorted(self.waves)
+        ]
+        dataset = pads.dataset(children)
+        filt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(list(terms))
+        return dataset.to_table(filter=filt).to_pandas()
+
+    def doc_urls_local(self, doc_ids: list[int]) -> dict[int, str]:
+        import pyarrow.dataset as pads
+
+        if not doc_ids:
+            return {}
+        dataset = pads.dataset([
+            pads.dataset(str(self.dir / "store" / f"wave={w}" / "kind=0"), format="parquet")
+            for w in sorted(self.waves)
+        ])
+        shards = sorted({d // self.cfg.shard_size for d in doc_ids})
+        filt = pads.field("shard").isin(shards) & pads.field("doc_id").isin(list(doc_ids))
+        t = dataset.to_table(filter=filt, columns=["doc_id", "url"])
+        return dict(zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist()))
+
     # ---- url lookup for a final top-k (tiny pruned read of the kind=0
     # doc rows that live in the stage-1 store)
     def doc_urls(self, doc_ids: list[int]) -> dict[int, str]:

@@ -11,7 +11,7 @@ from logsentinelai_spark.corpus import gen_pages_df, gen_queries
 from logsentinelai_spark.functions.tokenizer import tokens
 from logsentinelai_spark.index.bm25 import bm25_oracle_topk
 from logsentinelai_spark.index.build import IndexConfig, build_index
-from logsentinelai_spark.index.query import topk
+from logsentinelai_spark.index.query import topk, topk_local
 from logsentinelai_spark.index.reader import IndexReader
 
 N_DOCS = 1200
@@ -68,6 +68,29 @@ def test_topk_rank_identical_to_oracle(spark, built, mode):
 def test_topk_with_urls(spark, built):
     r = IndexReader(spark, built["idx"])
     got = topk(r, "the data index", k=5, with_urls=True)
+    assert len(got) == 5
+    for d, s, u in got:
+        assert u == built["urls"][d]
+
+
+@pytest.mark.parametrize("mode", ["acc", "wand"])
+def test_topk_local_rank_identical_to_oracle(spark, built, mode):
+    """Driver-local (pyarrow, no Spark job) serving path: same pruning,
+    same scorers, rank-identical to the oracle and the Spark path."""
+    r = IndexReader(spark, built["idx"])
+    queries = gen_queries()
+    sel = list(queries.head(8).itertuples()) + list(queries.iloc[20:26].itertuples())
+    for q in sel:
+        want = bm25_oracle_topk(built["doc_tokens"], tokens(q.query_text), k=q.k)
+        got = topk_local(r, q.query_text, k=q.k, mode=mode)
+        assert [d for d, _ in got] == [d for d, _ in want], f"local/{mode} q{q.query_id}"
+        for (wd, ws), (gd, gs) in zip(want, got):
+            assert abs(ws - gs) <= 1e-6
+
+
+def test_topk_local_with_urls(spark, built):
+    r = IndexReader(spark, built["idx"])
+    got = topk_local(r, "the data index", k=5, with_urls=True)
     assert len(got) == 5
     for d, s, u in got:
         assert u == built["urls"][d]
