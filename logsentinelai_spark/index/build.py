@@ -401,32 +401,97 @@ def build_index(
     if meta_path.exists() and (doc_map_dir / "_SUCCESS").exists():
         meta = json.loads(meta_path.read_text())
         assert meta["shard_size"] == cfg.shard_size, "config mismatch vs existing index"
-        n_docs = meta["n_docs"]
-        dm_meta = read_doc_map_meta(str(doc_map_dir))
+        meta.setdefault("epochs", [{"doc_lo": 0, "doc_hi": meta["n_docs"], "dir": "doc_map"}])
+        meta.setdefault("id_hw", meta["n_docs"])
     else:
         dm_meta = write_doc_map(pages_df, str(doc_map_dir))
         n_docs = dm_meta["n_docs"]
-        meta = dict(asdict(cfg), n_docs=n_docs, created_at=time.time())
+        meta = dict(
+            asdict(cfg), n_docs=n_docs, id_hw=n_docs, created_at=time.time(),
+            epochs=[{"doc_lo": 0, "doc_hi": n_docs, "dir": "doc_map"}])
         meta_path.write_text(json.dumps(meta, indent=1))
+    return _run_waves(spark, pages_df, index_dir, cfg, meta, fail_after_wave)
 
-    n_waves = max(1, -(-n_docs // cfg.wave_docs))
+
+def extend_index(spark: SparkSession, pages_df: DataFrame, index_dir: str) -> dict:
+    """Incremental build over a NEW snapshot of the pages table (the
+    engine's analog of the reference's realtime tail, which indexes
+    only lines past the last position — core/monitoring.py:158-245;
+    ours indexes only urls past the last committed epoch).
+
+    New urls (anti-joined against every committed epoch's url map) get
+    ids ranked among themselves, starting at the next SHARD boundary
+    above the previous id high-water mark — the padding keeps the
+    invariant that a shard never spans waves (scorers chain a term's
+    blocks per (wave, shard) run). Existing urls are immutable (url =
+    snapshot key); their pages are skipped. Everything else — waves,
+    manifests, resume, readers — is unchanged: old waves stay
+    committed, new waves cover only the new id range, and N / avgdl /
+    df at query time already aggregate across all committed waves.
+    """
+    out = Path(index_dir)
+    meta = json.loads((out / "_meta.json").read_text())
+    cfg = IndexConfig(**{k: meta[k] for k in (
+        "shard_size", "n_buckets", "block_size", "wave_shards", "use_text_col")})
+    known = None
+    for ep in meta["epochs"]:
+        u = spark.read.parquet(str(out / ep["dir"])).select("url")
+        known = u if known is None else known.union(u)
+    new_pages = pages_df.join(known, "url", "left_anti")
+    epoch_idx = len(meta["epochs"])
+    ep_dir_name = f"doc_map_epoch_{epoch_idx}"
+    dm_meta = write_doc_map(new_pages, str(out / ep_dir_name))
+    if dm_meta["n_docs"] == 0:
+        return dict(_run_waves(spark, pages_df, index_dir, cfg, meta, None), new_docs=0)
+    base = -(-meta["id_hw"] // cfg.shard_size) * cfg.shard_size  # next shard boundary
+    meta["epochs"].append(
+        {"doc_lo": base, "doc_hi": base + dm_meta["n_docs"], "dir": ep_dir_name})
+    meta["n_docs"] += dm_meta["n_docs"]
+    meta["id_hw"] = base + dm_meta["n_docs"]
+    (out / "_meta.json").write_text(json.dumps(meta, indent=1))
+    return dict(_run_waves(spark, pages_df, index_dir, cfg, meta, None),
+                new_docs=dm_meta["n_docs"])
+
+
+def _enumerate_waves(cfg: IndexConfig, epochs: list[dict]) -> list[tuple[int, int, int, int]]:
+    """[(wave_idx, doc_lo, doc_hi, epoch_idx)] — each epoch split into
+    wave_docs chunks; boundaries stay shard-aligned because epoch
+    doc_lo is shard-aligned and wave_docs is a shard multiple."""
+    waves = []
+    for ei, ep in enumerate(epochs):
+        lo = ep["doc_lo"]
+        while lo < ep["doc_hi"]:
+            hi = min(lo + cfg.wave_docs, ep["doc_hi"])
+            waves.append((len(waves), lo, hi, ei))
+            lo = hi
+    return waves
+
+
+def _run_waves(spark, pages_df, index_dir, cfg: IndexConfig, meta: dict, fail_after_wave):
+    out = Path(index_dir)
+    epochs = meta["epochs"]
+    ep_metas = {ep["dir"]: read_doc_map_meta(str(out / ep["dir"])) for ep in epochs}
+    waves = _enumerate_waves(cfg, epochs)
     done = committed_waves(index_dir)
-    summary = {"n_docs": n_docs, "n_waves": n_waves, "skipped_waves": sorted(done), "built_waves": []}
-
-    for wave in range(n_waves):
+    summary = {"n_docs": meta["n_docs"], "n_waves": len(waves),
+               "skipped_waves": sorted(done), "built_waves": []}
+    for wave, lo, hi, ei in waves:
         if wave in done:
             continue
-        _build_one_wave(spark, pages_df, str(doc_map_dir), dm_meta, index_dir, cfg, wave, n_docs)
+        ep = epochs[ei]
+        _build_one_wave(
+            spark, pages_df, str(out / ep["dir"]), ep_metas[ep["dir"]],
+            ep["doc_lo"], index_dir, cfg, wave, lo, hi)
         summary["built_waves"].append(wave)
         if fail_after_wave is not None and wave >= fail_after_wave:
             raise RuntimeError(f"injected failure after wave {wave}")
     return summary
 
 
-def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, index_dir, cfg: IndexConfig, wave: int, n_docs: int):
+def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: int,
+                    index_dir, cfg: IndexConfig, wave: int, lo: int, hi: int):
     out = Path(index_dir)
     timer = StageTimer()
-    lo, hi = wave * cfg.wave_docs, min((wave + 1) * cfg.wave_docs, n_docs)
     store_dir = out / "store" / f"wave={wave}"
 
     # resume-safe: runs (kind=1) are deleted after commit, so an
@@ -436,8 +501,8 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, index_dir,
             # file-pruned id slice + footer-derived url bounds (both
             # driver-side metadata, no Spark job) so each wave scans
             # only its slice of the (url-sorted, min-max-pruned) table
-            dslice = doc_map_df(spark, doc_map_dir, dm_meta, lo, hi)
-            url_lo, url_hi = wave_url_bounds(dm_meta, lo, hi)
+            dslice = doc_map_df(spark, doc_map_dir, dm_meta, lo, hi, id_base=id_base)
+            url_lo, url_hi = wave_url_bounds(dm_meta, lo, hi, id_base=id_base)
             # BROADCAST the wave's url->id map: the alternative plan
             # (sort-merge join) shuffles every html byte of the wave,
             # which is exactly what bounded waves exist to avoid. A

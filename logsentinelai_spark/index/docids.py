@@ -124,34 +124,40 @@ def doc_map_df(
     meta: dict | None = None,
     doc_lo: int | None = None,
     doc_hi: int | None = None,
+    id_base: int = 0,
 ) -> DataFrame:
     """Lazy (url, doc_id) DataFrame; optionally restricted to the files
-    overlapping doc id range [doc_lo, doc_hi) — file-level pruning done
-    driver-side from the footer meta. Pure JVM expression, no UDF."""
+    overlapping GLOBAL doc id range [doc_lo, doc_hi) — file-level
+    pruning done driver-side from the footer meta. ``id_base`` shifts
+    this map's local ranks into the global id space (incremental
+    epochs start above the previous high-water mark, shard-aligned).
+    Pure JVM expression, no UDF."""
     meta = meta or read_doc_map_meta(doc_map_dir)
     files = meta["files"]
-    hi = doc_hi if doc_hi is not None else meta["n_docs"]
-    if doc_lo is not None:
-        files = [f for f in files if f["doc_start"] < hi and f["doc_start"] + f["rows"] > doc_lo]
+    hi = (doc_hi - id_base) if doc_hi is not None else meta["n_docs"]
+    lo = (doc_lo - id_base) if doc_lo is not None else None
+    if lo is not None:
+        files = [f for f in files if f["doc_start"] < hi and f["doc_start"] + f["rows"] > lo]
     if not files:
         return spark.createDataFrame([], "url string, doc_id long")
     paths = [str(Path(doc_map_dir) / f["name"]) for f in files]
     offsets_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in meta["offsets"].items()], "pid int, offset long")
+        [(int(p), int(o) + id_base) for p, o in meta["offsets"].items()], "pid int, offset long")
     out = (
         spark.read.parquet(*paths)
         .join(F.broadcast(offsets_df), "pid")
         .select("url", (F.col("offset") + F.col("local_idx")).alias("doc_id"))
     )
-    if doc_lo is not None:
-        out = out.filter((F.col("doc_id") >= doc_lo) & (F.col("doc_id") < hi))
+    if lo is not None:
+        out = out.filter((F.col("doc_id") >= lo + id_base) & (F.col("doc_id") < hi + id_base))
     return out
 
 
-def wave_url_bounds(meta: dict, doc_lo: int, doc_hi: int) -> tuple[str | None, str | None]:
-    """url range covering doc ids [doc_lo, doc_hi), from footer stats —
-    enables predicate-pruned pages scans without a Spark job."""
+def wave_url_bounds(meta: dict, doc_lo: int, doc_hi: int, id_base: int = 0) -> tuple[str | None, str | None]:
+    """url range covering GLOBAL doc ids [doc_lo, doc_hi), from footer
+    stats — enables predicate-pruned pages scans without a Spark job."""
     lo = hi = None
+    doc_lo, doc_hi = doc_lo - id_base, doc_hi - id_base
     for f in meta["files"]:
         if f["doc_start"] < doc_hi and f["doc_start"] + f["rows"] > doc_lo:
             if f["min_url"] is not None:

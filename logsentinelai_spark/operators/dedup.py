@@ -176,8 +176,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # attach exact jaccard (verification step)
-    sh2 = _shingles(augmented_docs(spark, sf_dir))
+    # attach exact jaccard — verification restricted to CANDIDATE docs
+    # via a semi-join (the whole point of LSH at 100 TB: the exact
+    # shingle self-join runs over the candidate subset, never the corpus)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh2 = _shingles(augmented_docs(spark, sf_dir)).join(cand_docs, "doc_id", "semi")
     counts = sh2.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh2.alias("x").join(sh2.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))

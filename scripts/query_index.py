@@ -2,7 +2,7 @@
 
     spark-submit --py-files engine.zip scripts/query_index.py \
         --index /data/index_db --query "web search ranking" \
-        [--k 10 --mode wand|acc --urls]
+        [--k 10 --mode auto|wand|acc --local --urls]
 
 or a TSV batch: --queries q.tsv (query_id<TAB>query_text).
 """
@@ -17,7 +17,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from logsentinelai_spark.index.query import topk  # noqa: E402
+from logsentinelai_spark.index.query import topk, topk_local  # noqa: E402
 from logsentinelai_spark.index.reader import IndexReader  # noqa: E402
 from logsentinelai_spark.session import get_spark  # noqa: E402
 
@@ -28,7 +28,9 @@ def main() -> None:
     ap.add_argument("--query")
     ap.add_argument("--queries", help="TSV file: query_id\\tquery_text")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=["wand", "acc"], default="wand")
+    ap.add_argument("--mode", choices=["auto", "wand", "acc"], default="auto")
+    ap.add_argument("--local", action="store_true",
+                    help="driver-local pyarrow read path (low-latency serving)")
     ap.add_argument("--urls", action="store_true")
     ap.add_argument("--cpus", type=int)
     args = ap.parse_args()
@@ -44,7 +46,8 @@ def main() -> None:
             batch.append((qid, text))
     for qid, text in batch:
         t0 = time.monotonic()
-        res = topk(reader, text, k=args.k, mode=args.mode, with_urls=args.urls)
+        fn = topk_local if args.local else topk
+        res = fn(reader, text, k=args.k, mode=args.mode, with_urls=args.urls)
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({"query_id": qid, "query": text, "ms": round(ms, 1),
                           "hits": [list(r) for r in res]}))

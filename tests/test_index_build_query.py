@@ -96,6 +96,40 @@ def test_topk_local_with_urls(spark, built):
         assert u == built["urls"][d]
 
 
+def test_extend_index_new_snapshot(spark, built, tmp_path):
+    """Incremental epoch: build on the first 800 docs, extend with the
+    full 1200-doc snapshot; results must be rank-identical to the
+    oracle over the UNION corpus (with the extended id mapping —
+    epoch-2 ids start at the next shard boundary)."""
+    from logsentinelai_spark.index.build import extend_index
+
+    idx = str(tmp_path / "db_inc")
+    pages_all = gen_pages_df(spark, N_DOCS, partitions=8)
+    # first snapshot = 800 docs (deterministic subset by url rank)
+    urls_sorted = sorted(r.url for r in pages_all.select("url").collect())
+    first = set(urls_sorted[:800])
+    pages_v1 = pages_all.filter(pages_all.url.isin(list(first)))
+    build_index(spark, pages_v1, idx, CFG)
+    s = extend_index(spark, pages_all, idx)
+    assert s["new_docs"] == N_DOCS - 800
+
+    r = IndexReader(spark, idx)
+    N, _ = r.global_stats()
+    assert N == N_DOCS
+    # oracle with the extended id mapping (ids read back from doc_stats)
+    text_by_url = {u: t for u, t in ((row.url, row.text) for row in pages_all.select("url", "text").collect())}
+    id_url = {row.doc_id: row.url for row in r.doc_stats_df().select("doc_id", "url").collect()}
+    assert len(id_url) == N_DOCS
+    doc_tokens = {d: tokens(text_by_url[u]) for d, u in id_url.items()}
+    queries = gen_queries()
+    for q in list(queries.head(6).itertuples()):
+        want = bm25_oracle_topk(doc_tokens, tokens(q.query_text), k=q.k)
+        got = topk_local(r, q.query_text, k=q.k, mode="acc")
+        assert [d for d, _ in got] == [d for d, _ in want], f"inc q{q.query_id}"
+        for (wd, ws), (gd, gs) in zip(want, got):
+            assert abs(ws - gs) <= 1e-6
+
+
 def test_resume_identical_to_uninterrupted(spark, built, tmp_path):
     idx2 = str(tmp_path / "db2")
     pages = gen_pages_df(spark, N_DOCS, partitions=8)
