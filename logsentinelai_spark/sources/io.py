@@ -1,0 +1,43 @@
+"""Table access layer — SURVEY.md §7 hard-parts list: "keep catalog
+behind io.py; parquet fallback must preserve snapshot semantics".
+
+Production input is an Iceberg table (BASELINE.json input_hint); this
+sandbox has no iceberg-spark-runtime jar, so the reader is gated:
+
+* ``catalog.db.table`` identifiers (or anything without a '/') go
+  through ``spark.read.table`` with optional time travel
+  (``VERSION AS OF`` snapshot pinning — Iceberg's native snapshot
+  isolation, which is what the reference's snapshot-bounded scan
+  becomes, SURVEY §2.1 S2/S3).
+* paths read as parquet. Snapshot semantics are preserved by the
+  engine's OWN layers instead: immutable corpus dirs + the doc_map
+  epoch manifest (docids.py) pin exactly which rows a build covers,
+  and wave manifests gate reader visibility (lineage.py).
+
+Either way the build sees one DataFrame of
+(url, warc_ts, html, text, lang).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def read_table(spark: SparkSession, source: str, snapshot_id: int | None = None) -> DataFrame:
+    """Read a table by Iceberg identifier or parquet path."""
+    if "/" not in source:
+        if snapshot_id is not None:
+            return spark.read.option("snapshot-id", str(snapshot_id)).table(source)
+        return spark.read.table(source)
+    return spark.read.parquet(source)
+
+
+def read_pages(spark: SparkSession, source: str, snapshot_id: int | None = None) -> DataFrame:
+    """Pages table with the contract schema, column-pruned lazily."""
+    df = read_table(spark, source, snapshot_id)
+    missing = [c for c in PAGES_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"pages source {source!r} missing columns {missing}")
+    return df.select(*PAGES_COLUMNS)

@@ -20,13 +20,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from logsentinelai_spark.corpus import gen_pages_df, pages_from_documents  # noqa: E402
+from logsentinelai_spark.sources import read_pages  # noqa: E402
 from logsentinelai_spark.index.build import IndexConfig, build_index  # noqa: E402
 from logsentinelai_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages")
+    ap.add_argument("--pages", help="Iceberg table identifier or parquet path")
+    ap.add_argument("--snapshot-id", type=int, help="pin an Iceberg snapshot (time travel)")
     ap.add_argument("--synthetic", type=int)
     ap.add_argument("--from-documents", help="sf dir with documents.parquet")
     ap.add_argument("--out", required=True)
@@ -44,7 +46,8 @@ def main() -> None:
     elif args.from_documents:
         pages = pages_from_documents(spark, args.from_documents)
     else:
-        pages = spark.read.parquet(args.pages)
+        # Iceberg identifier or parquet path (sources/io.py)
+        pages = read_pages(spark, args.pages, snapshot_id=args.snapshot_id)
     cfg = IndexConfig(
         shard_size=args.shard_size,
         wave_shards=args.wave_shards,

@@ -1,0 +1,52 @@
+"""Physical-plan audits (plans/audit.py): the scale-critical plan
+properties — pushdown, pruning, broadcast wave join — pinned so they
+cannot silently regress. explain() only; no jobs run beyond tiny setup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logsentinelai_spark.corpus import gen_pages_df
+from logsentinelai_spark.index.build import IndexConfig
+from logsentinelai_spark.index.docids import doc_map_df, wave_url_bounds, write_doc_map
+from logsentinelai_spark.plans import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    explain_str,
+)
+
+CFG = IndexConfig(shard_size=256, wave_shards=2, n_buckets=4)
+
+
+def test_wave_join_is_broadcast_and_pruned(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    gen_pages_df(spark, 600, partitions=4).write.parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    dm = str(tmp_path / "dm")
+    meta = write_doc_map(pages, dm)
+    dslice = doc_map_df(spark, dm, meta, 0, 512)
+    lo, hi = wave_url_bounds(meta, 0, 512)
+    wave_pages = pages.filter(F.col("url").between(lo, hi)).join(
+        F.broadcast(dslice), "url").select("doc_id", "url", "html")
+    # the id-map side broadcasts; the fact (html) side never shuffles
+    assert_broadcast_join(wave_pages)
+    # url-range predicate reaches the parquet scan
+    assert_pushed_filter(wave_pages, "url")
+    # column pruning: scans read only what stage 1 needs
+    assert_read_schema_only(
+        wave_pages, {"url", "html", "pid", "local_idx", "doc_id"})
+
+
+def test_pages_lang_filter_pushdown(spark, tmp_path):
+    pages_dir = str(tmp_path / "p2")
+    gen_pages_df(spark, 300, partitions=2).write.parquet(pages_dir)
+    q = spark.read.parquet(pages_dir).filter(F.col("lang") == "en").select("url")
+    assert_pushed_filter(q, "lang")
+    assert_read_schema_only(q, {"url", "lang"})
+
+
+def test_explain_str_smoke(spark):
+    df = spark.range(10).filter("id > 5")
+    s = explain_str(df)
+    assert "Physical Plan" in s or "Range" in s
