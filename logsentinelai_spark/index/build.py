@@ -108,10 +108,15 @@ STAGE1_SCHEMA = (
 RUN_COLS = ["shard", "term_bucket", "salt", "term", "block_id", "n", "first_doc",
             "last_doc", "max_tf", "min_dl", "sum_tf", "gaps_vb", "tfs_vb", "dls_vb"]
 ALL_COLS = ["kind", "doc_id", "url", "dl", *RUN_COLS]
+# on-disk segment layout (documentation; shard/term_bucket live in the
+# hive directory names, the rest are file columns written by the merge)
 SEGMENT_SCHEMA = (
     "shard long, term_bucket int, term string, block_id int, n int, "
     "first_doc long, last_doc long, max_tf long, min_dl long, sum_tf long, "
     "gaps_vb binary, tfs_vb binary, dls_vb binary"
+)
+MERGE_METRICS_SCHEMA = (
+    "shard long, term_bucket int, n_terms long, n_blocks long, postings long, bytes long"
 )
 
 
@@ -280,7 +285,7 @@ def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFram
 
 # --------------------------------------------------------------------- stage 2
 
-def _merge_runs_fn(shard_size: int, block_size: int):
+def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str):
     """Fully vectorized run merge — zero per-term Python.
 
     Within a run the per-block gap streams chain (block b's first gap is
@@ -293,14 +298,13 @@ def _merge_runs_fn(shard_size: int, block_size: int):
     codec.encode_blocks_grouped re-blocks all terms in one pass.
     """
 
-    out_cols = ["shard", "term_bucket", "term", "block_id", "n", "first_doc",
-                "last_doc", "max_tf", "min_dl", "sum_tf", "gaps_vb", "tfs_vb", "dls_vb"]
+    metrics_cols = ["shard", "term_bucket", "n_terms", "n_blocks", "postings", "bytes"]
 
     def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard, bucket = (int(k) for k in key)
         base = shard * shard_size
         if len(pdf) == 0:
-            return pd.DataFrame(columns=out_cols)
+            return pd.DataFrame(columns=metrics_cols)
         pdf = pdf.sort_values(["term", "salt", "block_id"], kind="mergesort", ignore_index=True)
         terms = pdf["term"].to_numpy()
         salts = pdf["salt"].to_numpy()
@@ -332,47 +336,45 @@ def _merge_runs_fn(shard_size: int, block_size: int):
             docs, tfs, dls, group_starts,
             np.full(group_starts.size, base, dtype=np.int64), block_size)
         gid = enc["gid"]
-        out = pd.DataFrame(
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
             {
-                "shard": np.full(gid.size, shard, dtype=np.int64),
-                "term_bucket": np.full(gid.size, bucket, dtype=np.int32),
-                "term": uniq_terms[gid],
-                "block_id": enc["block_id"].astype(np.int32),
-                "n": enc["n"].astype(np.int32),
-                "first_doc": enc["first_doc"],
-                "last_doc": enc["last_doc"],
-                "max_tf": enc["max_tf"],
-                "min_dl": enc["min_dl"],
-                "sum_tf": enc["group_sum_tf"][gid],
-                "gaps_vb": np.asarray(enc["gaps_vb"].to_pandas(), dtype=object),
-                "tfs_vb": np.asarray(enc["tfs_vb"].to_pandas(), dtype=object),
-                "dls_vb": np.asarray(enc["dls_vb"].to_pandas(), dtype=object),
+                "term": pa.array(uniq_terms[gid], type=pa.string()),
+                "block_id": pa.array(enc["block_id"].astype(np.int32)),
+                "n": pa.array(enc["n"].astype(np.int32)),
+                "first_doc": pa.array(enc["first_doc"]),
+                "last_doc": pa.array(enc["last_doc"]),
+                "max_tf": pa.array(enc["max_tf"]),
+                "min_dl": pa.array(enc["min_dl"]),
+                "sum_tf": pa.array(enc["group_sum_tf"][gid]),
+                "gaps_vb": enc["gaps_vb"],
+                "tfs_vb": enc["tfs_vb"],
+                "dls_vb": enc["dls_vb"],
             }
         )
-        # segment-metrics row (block_id=-1, term=NULL): n=n_terms,
-        # first_doc=n_blocks, last_doc=postings, max_tf=bytes. Readers
-        # never see it — every posting read filters term IN (...), and
-        # NULL never matches; the wave commit reads ONLY these rows.
+        d = f"{seg_dir}/shard={shard}/term_bucket={bucket}"
+        os.makedirs(d, exist_ok=True)
+        tmp = f"{d}/.part-0.{uuid.uuid4().hex}.tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, f"{d}/part-0.parquet")
+
         seg_bytes = sum(
             len(enc[c].buffers()[2]) for c in ("gaps_vb", "tfs_vb", "dls_vb"))
-        metrics = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "shard": np.array([shard], dtype=np.int64),
                 "term_bucket": np.array([bucket], dtype=np.int32),
-                "term": np.array([None], dtype=object),
-                "block_id": np.array([-1], dtype=np.int32),
-                "n": np.array([len(uniq_terms)], dtype=np.int32),
-                "first_doc": np.array([gid.size], dtype=np.int64),
-                "last_doc": np.array([int(enc["n"].sum())], dtype=np.int64),
-                "max_tf": np.array([seg_bytes], dtype=np.int64),
-                "min_dl": np.array([-1], dtype=np.int64),
-                "sum_tf": np.array([-1], dtype=np.int64),
-                "gaps_vb": np.array([None], dtype=object),
-                "tfs_vb": np.array([None], dtype=object),
-                "dls_vb": np.array([None], dtype=object),
+                "n_terms": np.array([len(uniq_terms)], dtype=np.int64),
+                "n_blocks": np.array([gid.size], dtype=np.int64),
+                "postings": np.array([int(enc["n"].sum())], dtype=np.int64),
+                "bytes": np.array([seg_bytes], dtype=np.int64),
             }
         )
-        return pd.concat([out, metrics], ignore_index=True)
 
     return _merge
 
@@ -528,28 +530,31 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
     runs = s1.filter(F.col("kind") == 1).drop("kind", "doc_id", "url", "dl")
 
     with timer.time("stage2_salted_merge"):
-        segments = runs.groupBy("shard", "term_bucket").applyInPandas(
-            _merge_runs_fn(cfg.shard_size, cfg.block_size), schema=SEGMENT_SCHEMA
-        )
         seg_dir = out / "postings" / f"wave={wave}"
-        segments.write.mode("overwrite").partitionBy("shard", "term_bucket").parquet(str(seg_dir))
+        if seg_dir.exists():
+            shutil.rmtree(seg_dir)  # uncommitted leftovers from a crash
+        seg_dir.mkdir(parents=True, exist_ok=True)
+        # merge tasks write their own segment files (see _merge_runs_fn);
+        # the job's RESULT is the per-(shard, bucket) metrics — one
+        # action, no second scan, no dynamic-partition write sort
+        part_metrics = [
+            r.asDict()
+            for r in runs.groupBy("shard", "term_bucket")
+            .applyInPandas(
+                _merge_runs_fn(cfg.shard_size, cfg.block_size, str(seg_dir)),
+                schema=MERGE_METRICS_SCHEMA,
+            )
+            .collect()
+        ]
 
     with timer.time("commit_metrics"):
-        # both aggregations read ONLY in-band metric rows (kind=2 batch
-        # lineage; block_id=-1 segment metrics) — tiny pruned scans, no
-        # full-data re-read
+        # doc totals from the in-band kind=2 batch-lineage rows — a tiny
+        # pruned scan, no full-data re-read
         g = (
             s1.filter(F.col("kind") == 2)
             .agg(F.sum("n").alias("n_docs"), F.sum("first_doc").alias("sum_dl"))
             .collect()[0]
         )
-        seg = spark.read.parquet(str(seg_dir)).filter(F.col("block_id") == -1)
-        part_metrics = [
-            {"shard": r.shard, "term_bucket": r.term_bucket, "n_terms": int(r.n),
-             "n_blocks": int(r.first_doc), "postings": int(r.last_doc),
-             "bytes": int(r.max_tf)}
-            for r in seg.select("shard", "term_bucket", "n", "first_doc", "last_doc", "max_tf").collect()
-        ]
 
     commit_wave(
         index_dir,

@@ -25,9 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
+def _is_path(source: str) -> bool:
+    import os
+
+    return (
+        "/" in source
+        or "://" in source
+        or os.path.exists(source)
+    )
+
+
 def read_table(spark: SparkSession, source: str, snapshot_id: int | None = None) -> DataFrame:
-    """Read a table by Iceberg identifier or parquet path."""
-    if "/" not in source:
+    """Read a table by Iceberg identifier, or a (possibly relative)
+    filesystem/URI path as parquet."""
+    if not _is_path(source):
         if snapshot_id is not None:
             return spark.read.option("snapshot-id", str(snapshot_id)).table(source)
         return spark.read.table(source)
