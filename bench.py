@@ -39,13 +39,6 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
     t_all = time.monotonic()
 
-    # (a) oracle-suite headline queries
-    qtimes: dict[str, float] = {}
-    for name, fn in entry_queries.QUERIES.items():
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).collect()
-        qtimes[name] = round(time.monotonic() - t0, 3)
-
     # (b) index build throughput on synthetic pages. The corpus is
     # materialized to parquet first — the engine's contract input is a
     # table on storage (Iceberg-style), and regenerating rows per scan
@@ -85,6 +78,13 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(pages_dir, ignore_errors=True)
+
+    # (a) oracle-suite headline queries
+    qtimes: dict[str, float] = {}
+    for name, fn in entry_queries.QUERIES.items():
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).collect()
+        qtimes[name] = round(time.monotonic() - t0, 3)
 
     total = round(time.monotonic() - t_all, 3)
     out = {

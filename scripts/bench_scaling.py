@@ -134,6 +134,21 @@ block_size=128. Corpus: deterministic synthetic Common-Crawl-style pages
 extracts from `html:binary`; the `text` column is only the test oracle).
 
 Generated by scripts/bench_scaling.py on {time.strftime('%Y-%m-%d %H:%M:%S')}.
+
+## Deployment form
+
+The measured job is the exact `spark-submit --py-files` shape the
+north_rule names, verified end-to-end with the driver script OUTSIDE the
+repo (imports resolve only via the shipped zip):
+
+```
+python scripts/make_engine_zip.py engine.zip
+spark-submit --master local[8] --py-files engine.zip \
+    scripts/build_index.py --synthetic 20000 --out /tmp/idx ...
+```
+
+`bench_scaling.py` invokes the same script as a fresh process per level
+(`get_spark`'s ship_package mirrors --py-files in-process).
 """
     (bench_dir / "BASELINE.md").write_text(md)
     print(json.dumps(out))
