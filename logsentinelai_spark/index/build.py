@@ -78,7 +78,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.extract import extract_series
-from ..functions.tokenizer import tokens_series
+from ..functions.tokenizer import tokens_arrow
 from .codec import encode_blocks_grouped, vb_decode
 from .docids import doc_map_df, read_doc_map_meta, wave_url_bounds, write_doc_map
 from .lineage import StageTimer, commit_wave, committed_waves
@@ -187,6 +187,7 @@ def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFram
 
     def _gen(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         schema = _stage1_arrow_schema()
         pid = TaskContext.get().partitionId()
@@ -196,10 +197,20 @@ def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFram
                 continue
             t_batch = time.monotonic()
             run_id = pid * 1_000_000 + bi
-            content = rb.column("text" if use_text else "html").to_pandas()
-            text = content if use_text else extract_series(content)
-            toks = tokens_series(text)
-            lens = toks.map(len).to_numpy(dtype=np.int64)
+            if use_text:
+                text_arr = rb.column("text").cast(pa.string())
+            else:
+                text_arr = pa.array(
+                    extract_series(rb.column("html").to_pandas()), type=pa.string())
+            # Arrow tokenization (RE2, zero PyObjects per token) —
+            # byte-identical to the Python oracle by construction
+            # (functions/tokenizer.py); empties from split edges dropped
+            parts = tokens_arrow(text_arr)
+            raw_lens = parts.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = parts.flatten()
+            nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+            doc_local = np.repeat(np.arange(nrows, dtype=np.int64), raw_lens)[nonempty]
+            lens = np.bincount(doc_local, minlength=nrows).astype(np.int64)
             doc_ids = rb.column("doc_id").to_numpy()
 
             def const(v, dtype, n=nrows):
@@ -222,18 +233,17 @@ def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFram
                 yield _lineage_row(pa, schema, const, pid, bi, nrows, lens, 0, 0,
                                    int((time.monotonic() - t_batch) * 1000))
                 continue
-            # term strings touch Python objects exactly twice — findall
-            # and factorize — then everything is int64 until the final
-            # per-group gather. Object-dtype groupbys/sorts are memory-
-            # bandwidth-hostile and anti-scale at 32 concurrent workers
-            # (measured 2.1x per-worker slowdown); int keys don't.
-            flat_terms = np.concatenate(
-                [np.asarray(t, dtype=object) for t in toks if len(t)])
-            codes, uniq = pd.factorize(flat_terms, sort=False)
+            # term strings exist as Python objects ONLY for the (small)
+            # batch vocabulary; the token stream itself stays in Arrow —
+            # dictionary_encode gives int codes at C speed. Object-dtype
+            # per-token work is memory-bandwidth-hostile and anti-scales
+            # at 32 concurrent workers.
+            de = flat.filter(pa.array(nonempty)).dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = np.asarray(de.dictionary.to_pandas(), dtype=object)
             nvocab = len(uniq)
-            doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), lens)
             # tf(doc, term) = run lengths of the sorted (doc_idx, code) key
-            key = doc_idx * nvocab + codes
+            key = doc_local * nvocab + codes
             ks = np.sort(key)
             starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
             tfs = np.diff(np.append(starts, ks.size)).astype(np.int64)

@@ -83,3 +83,27 @@ def test_distributed_extract_byte_identity(spark):
     assert len(got) == 300
     for r in got:
         assert r.extracted_text == r.text, r.url
+
+
+def test_tokens_arrow_identical_to_python_fuzz():
+    """The Arrow (RE2) tokenizer must produce byte-identical token
+    streams to the Python-re oracle — fuzzed over adversarial unicode
+    (word/non-word boundaries, combining marks, Turkish dotted I,
+    surrogate-adjacent planes)."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from logsentinelai_spark.functions.tokenizer import tokens, tokens_arrow
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=200))
+    def _check(s):
+        got = [t for t in tokens_arrow(pa.array([s], type=pa.string()))[0].as_py() if t]
+        assert got == tokens(s), repr(s)
+
+    _check()
+    # directed cases
+    for s in ["İstanbul İİ x", "ȧb", "foo_bar", "ŉ ǅ ǰ", "ß STRASSE",
+              "한글123 فارسی_٤٥٦", "①²½", "a\U0001F600b"]:
+        got = [t for t in tokens_arrow(pa.array([s], type=pa.string()))[0].as_py() if t]
+        assert got == tokens(s), repr(s)
