@@ -227,6 +227,8 @@ QUERIES = {
     "doc_fingerprint": _ts.q_doc_fingerprint,
     # multimodal plumbing
     "multimodal_meta": _mm.q_multimodal_meta,
+    "multimodal_resize": _mm.q_multimodal_resize,
+    "frame_sample": _mm.q_frame_sample,
 }
 
 ORACLES = {
@@ -252,5 +254,7 @@ ORACLES = {
     "token_count": _ts.SQL_TOKEN_COUNT,
     "doc_fingerprint": _ts.SQL_FINGERPRINT,
     "multimodal_meta": _mm.SQL_MULTIMODAL_META,
+    "multimodal_resize": _mm.SQL_MULTIMODAL_RESIZE,
+    "frame_sample": _mm.SQL_FRAME_SAMPLE,
     # "ann_lsh" intentionally absent: rows-only check
 }

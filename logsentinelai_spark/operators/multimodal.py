@@ -87,3 +87,96 @@ SELECT doc_id,
        64 + (octet_length(encode(text)) % 192) AS height
 FROM documents
 """
+
+
+def fake_resize(width: int, height: int, max_side: int = 128) -> tuple[int, int]:
+    """Deterministic stand-in for a resize kernel: scale the longer side
+    to max_side preserving aspect ratio (integer floor), never upscale.
+    Pure arithmetic so the oracle reproduces it."""
+    longer = max(width, height)
+    if longer <= max_side:
+        return width, height
+    return (width * max_side) // longer, (height * max_side) // longer
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-then-resize plumbing: mapInPandas batch in, per-row dims
+    out — the batch shape a real thumbnailer (PIL/cv2) would use, with
+    the kernel stubbed to deterministic arithmetic."""
+    df = with_blob(spark, sf_dir).select("doc_id", "blob")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["blob"].map(lambda b: fake_decode_meta(b[4:]))
+            rs = dims.map(lambda d: fake_resize(*d))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": dims.map(lambda d: d[0]),
+                    "height": dims.map(lambda d: d[1]),
+                    "out_width": rs.map(lambda d: d[0]),
+                    "out_height": rs.map(lambda d: d[1]),
+                }
+            )
+
+    return df.mapInPandas(
+        _resize, schema="doc_id long, width int, height int, out_width int, out_height int")
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH dims AS (
+  SELECT doc_id,
+         64 + (octet_length(encode(text)) * 7) % 192 AS width,
+         64 + (octet_length(encode(text)) % 192) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CASE WHEN greatest(width, height) <= 128 THEN width
+            ELSE (width * 128) // greatest(width, height) END AS out_width,
+       CASE WHEN greatest(width, height) <= 128 THEN height
+            ELSE (height * 128) // greatest(width, height) END AS out_height
+FROM dims
+"""
+
+FRAME_BYTES = 256  # fake fixed-size frame
+FRAME_STRIDE = 4   # sample every 4th frame
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: the payload is
+    treated as fixed-size frames; every FRAME_STRIDE-th frame is emitted
+    as (doc_id, frame_no, frame_md5) — one input row fans out to many
+    (the mapInPandas-as-UDTF shape a real ffmpeg sampler would use)."""
+    df = with_blob(spark, sf_dir).select("doc_id", "blob")
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, md5s = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                payload = blob[4:]
+                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for f in range(0, n_frames, FRAME_STRIDE):
+                    ids.append(doc_id)
+                    frames.append(f)
+                    md5s.append(hashlib.md5(
+                        payload[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_no": frames, "frame_md5": md5s})
+
+    return df.mapInPandas(_sample, schema="doc_id long, frame_no int, frame_md5 string")
+
+
+# The engine truth is BYTE slicing (above). DuckDB substring() is
+# VARCHAR-only, so the oracle slices characters — equivalent here
+# because the driver documents fixture is pure ASCII (all 500 rows have
+# octet_length(encode(text)) == length(text); verified at sf0.01).
+SQL_FRAME_SAMPLE = f"""
+WITH f AS (
+  SELECT doc_id, text AS payload,
+         (octet_length(encode(text)) + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS n_frames
+  FROM documents
+)
+SELECT doc_id, g.f AS frame_no,
+       md5(substring(payload, g.f * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM f, generate_series(0, 100000) g(f)
+WHERE g.f < n_frames AND g.f % {FRAME_STRIDE} = 0
+"""

@@ -34,6 +34,20 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+def _quiesce() -> None:
+    """Flush the previous run's writeback so it is not charged to the
+    next measurement (deleted-but-dirty parquet pages otherwise flush
+    DURING the following run — measured as monotonically increasing
+    walls across identical repeats)."""
+    os.sync()
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+    except OSError:
+        pass
+    time.sleep(5)
+
+
 def run_build(pages_dir: str, out_dir: str, cpus: int, shard_size: int, wave_shards: int) -> dict:
     cmd = [
         sys.executable, str(REPO / "scripts" / "build_index.py"),
@@ -51,6 +65,7 @@ def run_build(pages_dir: str, out_dir: str, cpus: int, shard_size: int, wave_sha
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--repeats", type=int, default=1, help="runs per level; median reported")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="scaling_")
@@ -70,18 +85,28 @@ def main() -> None:
         raise RuntimeError(gen.stderr[-2000:])
 
     shard_size = max(2500, args.docs // 16)
-    results = {}
+    levels = (2, 8, 32)
+    runs: dict[int, list] = {c: [] for c in levels}
     try:
-        for cpus in (2, 8, 32):
-            out_dir = f"{work}/idx_{cpus}"
-            t0 = time.monotonic()
-            r = run_build(pages_dir, out_dir, cpus, shard_size, wave_shards=16)
-            results[cpus] = {
-                "docs_per_sec": r["docs_per_sec"],
-                "wall_sec": r["elapsed_sec"],
-                "waves": len(r["built_waves"]),
-                "total_proc_sec": round(time.monotonic() - t0, 1),
-            }
+        # round-robin over levels (a fixed per-level order biases later
+        # levels with the earlier runs' writeback); quiesce between runs
+        for rep in range(args.repeats):
+            for cpus in levels:
+                _quiesce()
+                out_dir = f"{work}/idx_{cpus}_{rep}"
+                t0 = time.monotonic()
+                r = run_build(pages_dir, out_dir, cpus, shard_size, wave_shards=16)
+                runs[cpus].append({
+                    "docs_per_sec": r["docs_per_sec"],
+                    "wall_sec": r["elapsed_sec"],
+                    "total_proc_sec": round(time.monotonic() - t0, 1),
+                })
+                shutil.rmtree(out_dir, ignore_errors=True)
+        results = {}
+        for cpus in levels:
+            rr = sorted(runs[cpus], key=lambda x: x["wall_sec"])
+            results[cpus] = dict(rr[len(rr) // 2], waves=len(r["built_waves"]),
+                                 all_walls=[x["wall_sec"] for x in rr])
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -106,11 +131,11 @@ invoked as a fresh process per level — the in-process mirror of
 `spark-submit --py-files engine.zip`), on the same materialized
 {args.docs:,}-page parquet corpus, at three parallelism levels.
 
-| parallelism | wall (s) | docs/sec |
-|---|---|---|
-| local[2]       | {results[2]['wall_sec']} | {results[2]['docs_per_sec']} |
-| local[8]       | {results[8]['wall_sec']} | {results[8]['docs_per_sec']} |
-| local[32]      | {results[32]['wall_sec']} | {results[32]['docs_per_sec']} |
+| parallelism | wall (s, median of {args.repeats}) | docs/sec | all walls (s) |
+|---|---|---|---|
+| local[2]       | {results[2]['wall_sec']} | {results[2]['docs_per_sec']} | {results[2]['all_walls']} |
+| local[8]       | {results[8]['wall_sec']} | {results[8]['docs_per_sec']} | {results[8]['all_walls']} |
+| local[32]      | {results[32]['wall_sec']} | {results[32]['docs_per_sec']} | {results[32]['all_walls']} |
 
 **Scaling efficiency** (eff = docs_per_sec(4N) / (4 x docs_per_sec(N))):
 
