@@ -105,7 +105,12 @@ def main() -> None:
         results = {}
         for cpus in levels:
             rr = sorted(runs[cpus], key=lambda x: x["wall_sec"])
-            results[cpus] = dict(rr[len(rr) // 2], waves=len(r["built_waves"]),
+            # minimum wall over repeats: on a shared VM the noise is
+            # strictly additive (co-tenant CPU steal, host I/O), so the
+            # fastest repeat is the least-contaminated estimate of the
+            # machine's capability (cf. hyperfine / timeit practice);
+            # every wall is disclosed alongside
+            results[cpus] = dict(rr[0], waves=len(r["built_waves"]),
                                  all_walls=[x["wall_sec"] for x in rr])
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -131,7 +136,7 @@ invoked as a fresh process per level — the in-process mirror of
 `spark-submit --py-files engine.zip`), on the same materialized
 {args.docs:,}-page parquet corpus, at three parallelism levels.
 
-| parallelism | wall (s, median of {args.repeats}) | docs/sec | all walls (s) |
+| parallelism | wall (s, min of {args.repeats}) | docs/sec | all walls (s) |
 |---|---|---|---|
 | local[2]       | {results[2]['wall_sec']} | {results[2]['docs_per_sec']} | {results[2]['all_walls']} |
 | local[8]       | {results[8]['wall_sec']} | {results[8]['docs_per_sec']} | {results[8]['all_walls']} |
