@@ -154,20 +154,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bands of 2 -> candidate pairs sharing any band, with their true
     Jaccard attached. The scale path: candidates are generated by the
     band equi-join (never all-pairs)."""
-    sh = _shingles(augmented_docs(spark, sf_dir))
+    sh = _shingles(augmented_docs(spark, sf_dir)).cache()
     h32 = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
     hashed = sh.select("doc_id", h32.alias("h"))
-    perms = spark.createDataFrame(MINHASH_PERMS, "perm int, a long, b long")
-    sigs = (
-        hashed.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("mh"))
+    # all 8 permutation minima in ONE groupBy pass (8 agg columns) —
+    # the 8x crossJoin row explosion through the shuffle was the
+    # operator's dominant cost; band keys come from stack(), narrow
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{p}")
+          for p, a, b in MINHASH_PERMS]
     )
-    bands = (
-        sigs.withColumn("band", ((F.col("perm") - 1) / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws(":", F.array_sort(F.collect_list(F.concat_ws("=", F.col("perm"), F.col("mh"))))).alias("key"))
-    )
+    stack_args = ", ".join(
+        f"{b}, concat(mh{2 * b + 1}, '_', mh{2 * b + 2})" for b in range(N_BANDS))
+    bands = sigs.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) as (band, key)"))
     a = bands.alias("a")
     b = bands.alias("b")
     cands = (
@@ -184,7 +184,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh2 = _shingles(augmented_docs(spark, sf_dir)).join(cand_docs, "doc_id", "semi")
+    sh2 = sh.join(cand_docs, "doc_id", "semi")
     counts = sh2.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh2.alias("x").join(sh2.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
