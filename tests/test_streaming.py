@@ -60,3 +60,88 @@ def test_alert_stream(spark, tmp_path):
     want = ev.filter(ev.event_type.isin(["error", "purchase"])).count()
     assert alerts.count() == want
     assert set(alerts.select("severity").distinct().toPandas()["severity"]) <= {"CRITICAL", "HIGH"}
+
+
+def test_stateful_chunker(spark, tmp_path):
+    """T2/T3/T4 (SURVEY §2.9): count-window chunking with keep-latest
+    load shedding via applyInPandasWithState over a rate-limited file
+    stream. Chunk emission = count windows; a final partial buffer
+    remains in state (flushed by the T3 timeout in production)."""
+    from pyspark.sql import functions as F
+
+    from logsentinelai_spark.streaming.chunker import chunked_stream
+
+    src_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ck")
+    # two sources (94 and 24 events), one file so a single micro-batch
+    rows = [(f"s{1 if i % 5 else 2}", i) for i in range(118)]
+    spark.createDataFrame(rows, "source string, event_id long").coalesce(1).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("source string, event_id long")
+        .option("maxFilesPerTrigger", "100")
+        .parquet(src_dir)
+    )
+    chunks = chunked_stream(stream, chunk_size=10, pending_timeout_ms=5_000,
+                            sampling_threshold=1000)
+    q = (
+        chunks.writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(30)  # stateful timers keep the query alive; data+timers fire in ~15s
+    q.stop()
+    got = spark.read.parquet(out_dir).orderBy("source", "chunk_id").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    # full count-window chunks + one T3 timeout flush of the partial
+    # buffer (availableNow fires expired timers in its final batch)
+    n1 = sum(1 for s, _ in rows if s == "s1")
+    n2 = len(rows) - n1
+    for src, n in (("s1", n1), ("s2", n2)):
+        rs = by_src[src]
+        full = [r for r in rs if r.reason == "count"]
+        flushed = [r for r in rs if r.reason == "timeout"]
+        assert len(full) == n // 10
+        assert all(r.n_rows == 10 for r in full)
+        assert len(flushed) == (1 if n % 10 else 0)
+        if flushed:
+            assert flushed[0].n_rows == n % 10
+        assert [r.chunk_id for r in rs] == list(range(len(rs)))
+        assert sum(r.n_rows for r in rs) == n  # no loss, no duplication
+        for r in rs:
+            assert r.first_event <= r.last_event
+
+
+def test_stateful_chunker_load_shedding(spark, tmp_path):
+    """T4: a trigger delivering more than sampling_threshold pending
+    rows keeps only the LATEST chunk_size (reference keep-latest)."""
+    from logsentinelai_spark.streaming.chunker import chunked_stream
+
+    src_dir = str(tmp_path / "ev2")
+    out_dir = str(tmp_path / "chunks2")
+    ckpt = str(tmp_path / "ck2")
+    rows = [("s", i) for i in range(500)]
+    spark.createDataFrame(rows, "source string, event_id long").coalesce(1).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("source string, event_id long")
+        .option("maxFilesPerTrigger", "100")
+        .parquet(src_dir)
+    )
+    chunks = chunked_stream(stream, chunk_size=10, pending_timeout_ms=5_000,
+                            sampling_threshold=100)
+    q = (
+        chunks.writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(30)
+    q.stop()
+    got = spark.read.parquet(out_dir).collect()
+    # 500 > threshold 100 -> shed to latest 10 -> exactly one chunk of the tail
+    assert len(got) == 1
+    r = got[0]
+    assert r.reason == "sampled" and r.n_rows == 10
+    assert r.last_event == 499 and r.first_event == 490
