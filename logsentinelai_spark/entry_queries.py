@@ -89,9 +89,12 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_doc_stats() -> str:
+    # len() per document (not GROUP BY over exploded tokens) so a
+    # zero-token doc yields (doc_id, 0) exactly like Spark's size().
     return f"""
-WITH {_TOK_CTE}
-SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS BIGINT) AS dl
+FROM documents
 """
 
 
@@ -104,8 +107,12 @@ def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_global_stats() -> str:
+    # per-doc len() keeps zero-token docs in both N and avgdl,
+    # matching the Spark side (see sql_doc_stats).
     return f"""
-WITH {_TOK_CTE}, dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+WITH dl AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS dl
+  FROM documents)
 SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl
 """
 
@@ -190,8 +197,32 @@ def sql_events_formula() -> str:
     )
 
 
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 JSON parse: `from_json(props, schema)` materialization —
+    reference analog `core/commons.py:163,241` (json.loads + schema
+    validation of every LLM response). Declared-schema parse keeps the
+    whole expression in codegen; malformed rows yield NULL k (grouped,
+    not dropped), mirroring the reference's validate-then-keep step."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k BIGINT").getField("k").alias("k"), "value"
+    )
+    return parsed.groupBy("k").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+def sql_events_props() -> str:
+    return (
+        "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+        "count(*) AS n, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1"
+    )
+
+
 from .operators import analytics as _an  # noqa: E402
 from .operators import dedup as _dd  # noqa: E402
+from .operators import geo as _geo  # noqa: E402
 from .operators import multimodal as _mm  # noqa: E402
 from .operators import similarity as _sim  # noqa: E402
 from .operators import textstats as _ts  # noqa: E402
@@ -207,6 +238,10 @@ QUERIES = {
     "events_terms": q_events_terms_topk,
     "events_date_histogram": q_events_date_histogram,
     "events_formula": q_events_formula,
+    "events_props": q_events_props,
+    # geo enrichment + map aggregation (SURVEY §2 J1/Q7/F4/F5)
+    "geo_enrich": _geo.q_geo_enrich,
+    "geo_grid": _geo.q_geo_grid,
     # severity / window / session analytics (SURVEY §2.2, §2.5)
     "severity_rollup": _an.q_severity_rollup,
     "top_event_per_user": _an.q_top_event_per_user,
@@ -240,6 +275,9 @@ ORACLES = {
     "events_terms": sql_events_terms_topk(),
     "events_date_histogram": sql_events_date_histogram(),
     "events_formula": sql_events_formula(),
+    "events_props": sql_events_props(),
+    "geo_enrich": _geo.SQL_GEO_ENRICH,
+    "geo_grid": _geo.SQL_GEO_GRID,
     "severity_rollup": _an.SQL_SEVERITY_ROLLUP,
     "top_event_per_user": _an.SQL_TOP_EVENT_PER_USER,
     "user_sessions": _an.SQL_USER_SESSIONS,

@@ -266,10 +266,15 @@ def topk(
     reader: IndexReader,
     query_text: str,
     k: int = 10,
-    mode: str = "wand",
+    mode: str = "auto",
     with_urls: bool = False,
 ) -> list[tuple]:
-    """Distributed BM25 top-k. Returns [(doc_id, score[, url])]."""
+    """Distributed BM25 top-k. Returns [(doc_id, score[, url])].
+
+    ``mode="auto"`` (default) picks acc below AUTO_WAND_POSTINGS
+    candidate postings and block-max WAND above — measured crossover:
+    acc wins at every sandbox scale; WAND's skipping pays only on
+    posting lists long enough that block pruning beats linear decode."""
     qterms = sorted(set(tokenize(query_text)))
     if not qterms:
         return []
@@ -306,7 +311,7 @@ def topk_local(
     reader: IndexReader,
     query_text: str,
     k: int = 10,
-    mode: str = "wand",
+    mode: str = "auto",
     with_urls: bool = False,
 ) -> list[tuple]:
     """Driver-local BM25 top-k: identical pruning (bucket dirs + term

@@ -73,8 +73,11 @@ shingle AS (
 scount AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id)"""
 
 
-def _shingles(df: DataFrame) -> DataFrame:
-    """Distinct char-16 shingles per doc (JVM-side expressions only)."""
+def _shingles_all(df: DataFrame) -> DataFrame:
+    """ALL char-16 shingles per doc (with duplicates) — a narrow
+    explode, no shuffle. The MinHash signature path consumes this
+    directly: min() is insensitive to duplicate shingles, so the
+    corpus-wide distinct() shuffle is unnecessary there."""
     return (
         df.filter(F.length("text") >= SHINGLE_LEN)
         .select(
@@ -83,8 +86,14 @@ def _shingles(df: DataFrame) -> DataFrame:
             "text",
         )
         .select("doc_id", F.expr(f"substr(text, i, {SHINGLE_LEN})").alias("sh"))
-        .distinct()
     )
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """Distinct char-16 shingles per doc (JVM-side expressions only).
+    Needed only where exact Jaccard is computed; at scale, apply a
+    candidate semi-join BEFORE this distinct (see q_dedup_minhash_lsh)."""
+    return _shingles_all(df).distinct()
 
 
 # ------------------------------------------------------------------ exact
@@ -153,13 +162,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 perms over md5-32bit shingle hashes) ->
     LSH bands of 2 -> candidate pairs sharing any band, with their true
     Jaccard attached. The scale path: candidates are generated by the
-    band equi-join (never all-pairs)."""
-    sh = _shingles(augmented_docs(spark, sf_dir)).cache()
+    band equi-join (never all-pairs).
+
+    Shuffle budget at 100 TB: the signature pass is explode ->
+    hash-aggregate with map-side combine, so only (doc_id, 8 longs)
+    crosses the wire — no distinct-shingle shuffle (min over duplicate
+    shingles == min over distinct shingles). Distinct shingles are
+    materialized only AFTER the candidate semi-join, bounding the exact
+    Jaccard verify to candidate docs."""
+    docs = augmented_docs(spark, sf_dir)
+    raw = _shingles_all(docs)
     h32 = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
-    hashed = sh.select("doc_id", h32.alias("h"))
+    hashed = raw.select("doc_id", h32.alias("h"))
     # all 8 permutation minima in ONE groupBy pass (8 agg columns) —
-    # the 8x crossJoin row explosion through the shuffle was the
-    # operator's dominant cost; band keys come from stack(), narrow
+    # narrow map + partial agg; band keys come from stack() afterwards
     sigs = hashed.groupBy("doc_id").agg(
         *[F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{p}")
           for p, a, b in MINHASH_PERMS]
@@ -178,13 +194,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # attach exact jaccard — verification restricted to CANDIDATE docs
     # via a semi-join (the whole point of LSH at 100 TB: the exact
-    # shingle self-join runs over the candidate subset, never the corpus)
+    # shingle self-join runs over the candidate subset, never the
+    # corpus). distinct() runs only on this candidate-bounded set.
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh2 = sh.join(cand_docs, "doc_id", "semi")
+    sh2 = raw.join(cand_docs, "doc_id", "semi").distinct().cache()
     counts = sh2.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh2.alias("x").join(sh2.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
@@ -238,25 +255,28 @@ JOIN scount cb ON cb.doc_id = c.doc_b
 # ------------------------------------------------------------------ simhash
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over tf-weighted md5 token hashes."""
+    """32-bit SimHash over tf-weighted md5 token hashes.
+
+    Single shuffle: the tf-weighted per-bit sum is linear in tf, so
+    summing the +/-1 bit contribution per TOKEN INSTANCE equals the
+    per-distinct-term tf-weighted sum — one explode -> one groupBy with
+    32 conditional-sum agg columns (map-side combine; the shuffle
+    carries one (doc_id, 32 longs) row per doc, never a 32x bit
+    explode or a (doc, term) tf pre-aggregation)."""
     d = _load_docs(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     h32 = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
-    bits = (
-        tf.withColumn("h", h32)
-        .select("doc_id", "tf", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
-        .withColumn("w", F.expr("tf * (2 * (shiftright(h, b) & 1) - 1)"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("w").alias("s"))
+    sums = tok.withColumn("h", h32).groupBy("doc_id").agg(
+        *[F.sum(F.expr(f"2 * (shiftright(h, {b}) & 1) - 1")).alias(f"s{b}")
+          for b in range(32)]
     )
-    return (
-        bits.withColumn("bit", F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END"))
-        .groupBy("doc_id")
-        .agg(F.sum("bit").alias("simhash"))
+    bit_terms = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END"
+        for b in range(32)
     )
+    return sums.select("doc_id", F.expr(bit_terms).alias("simhash"))
 
 
 SQL_SIMHASH = """
@@ -270,6 +290,7 @@ bits AS (
   FROM tf, generate_series(0, 31) b(b)
   GROUP BY 1, 2
 )
-SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """

@@ -1,0 +1,168 @@
+"""GeoIP-style enrichment + geo-grid aggregation (SURVEY.md §2 J1/Q7,
+predicates F4/F5).
+
+Reference semantics (`/root/reference/src/logsentinelai/core/geoip.py`):
+every event IP is classified — invalid strings and out-of-range octets
+are dropped (`:101-106`, validity check), private / loopback /
+link-local ranges are dropped (`:72-79`, `_is_private_ip`), and the
+surviving public IPs are enriched with a
+``{country_code, location:{lat,lon}}`` struct via a point lookup
+against a local GeoLite2 database (`:91-136`). Kibana's map panel then
+aggregates the resulting ``geo_point`` field into grid cells
+(`INSTALL-and-USAGE.md:409-422`).
+
+Spark mapping:
+  * the GeoLite2 database is a SMALL DIMENSION — here a deterministic
+    256-row ip-prefix -> (country_code, lat, lon) table, broadcast to
+    every executor (at 100 TB the real MMDB is still a broadcast: a
+    few hundred MB, orders of magnitude under the fact table).
+  * the lookup is a BROADCAST HASH JOIN on the prefix key — no shuffle
+    of the fact side; the F4/F5 predicates run before the join so
+    dropped IPs never reach it.
+  * the fixture ``events`` table has no IP column, so a deterministic
+    dotted-quad is synthesized from event_id by the SAME SQL
+    expression in Spark and DuckDB (exercising every predicate branch:
+    non-numeric host strings, out-of-range octets, 10/8, 127/8,
+    192.168/16, plus public addresses).
+
+All expressions are JVM-side (whole-stage codegen); the oracle runs
+the identical logic in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+COUNTRIES = [
+    "US", "KR", "DE", "FR", "GB", "JP", "CN", "BR",
+    "IN", "CA", "AU", "NL", "SE", "SG", "ZA", "MX",
+]
+
+# Deterministic per-event IP synthesis — parses identically in Spark
+# SQL and DuckDB (|| concat auto-casts ints in both).
+IP_SYNTH_SQL = """CASE
+  WHEN event_id % 97 = 0 THEN 'host-' || event_id
+  WHEN event_id % 23 = 0 THEN '300.' || (event_id % 256) || '.1.2'
+  WHEN event_id % 13 = 0 THEN '10.' || (event_id % 256) || '.' || (event_id % 254) || '.1'
+  WHEN event_id % 17 = 0 THEN '127.0.0.' || (1 + event_id % 254)
+  WHEN event_id % 19 = 0 THEN '192.168.' || (event_id % 256) || '.' || (1 + event_id % 254)
+  ELSE (1 + (event_id * 7919) % 223) || '.' || ((event_id * 104729) % 256)
+       || '.' || ((event_id * 31) % 256) || '.' || (1 + event_id % 254)
+END"""
+
+# F5: syntactic dotted-quad + per-octet range check. The regex admits
+# only digit octets, so try_cast below never yields NULL on valid rows.
+_OCTET = "try_cast(split_part(ip, '.', {i}) AS INT)"
+O1, O2, O3, O4 = (_OCTET.format(i=i) for i in (1, 2, 3, 4))
+
+IP_VALID_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
+# Spark SQL string literals treat backslash as an escape; DuckDB's do
+# not — double them only on the Spark side so both engines see \d.
+_IP_VALID_RE_SPARK = IP_VALID_RE.replace("\\", "\\\\")
+
+VALID_SQL_SPARK = (
+    f"ip RLIKE '{_IP_VALID_RE_SPARK}' AND {O1} <= 255 AND {O2} <= 255 "
+    f"AND {O3} <= 255 AND {O4} <= 255"
+)
+VALID_SQL_DUCK = (
+    f"regexp_matches(ip, '{IP_VALID_RE}') AND {O1} <= 255 AND {O2} <= 255 "
+    f"AND {O3} <= 255 AND {O4} <= 255"
+)
+
+# F4: private / loopback / link-local ranges
+# (reference `core/geoip.py:72-79` via ipaddress.is_private et al.).
+PRIVATE_SQL = (
+    f"({O1} = 10 OR {O1} = 127 OR ({O1} = 172 AND {O2} BETWEEN 16 AND 31) "
+    f"OR ({O1} = 192 AND {O2} = 168) OR ({O1} = 169 AND {O2} = 254))"
+)
+
+# Dimension formulas keyed on the first octet (the "prefix").
+DIM_CC_SPARK = f"element_at(array({', '.join(repr(c) for c in COUNTRIES)}), CAST(octet1 % 16 AS INT) + 1)"
+DIM_CC_DUCK = f"([{', '.join(repr(c) for c in COUNTRIES)}])[octet1 % 16 + 1]"
+DIM_LAT = "CAST((octet1 * 37) % 141 - 70 AS DOUBLE) + 0.5"
+DIM_LON = "CAST((octet1 * 73) % 341 - 170 AS DOUBLE) + 0.5"
+
+
+def geo_dim(spark: SparkSession) -> DataFrame:
+    """256-row prefix -> (country_code, lat, lon) dimension (the
+    broadcast stand-in for a GeoLite2 point-lookup database)."""
+    return spark.range(0, 256).select(
+        F.col("id").cast("int").alias("octet1"),
+        F.expr(DIM_CC_SPARK).alias("country_code"),
+        F.expr(DIM_LAT).alias("lat"),
+        F.expr(DIM_LON).alias("lon"),
+    )
+
+
+def enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> synth ip -> F5 valid -> F4 drop private -> broadcast
+    hash join against the geo dimension on the prefix key."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with_ip = ev.select("event_id", "user_id", F.expr(IP_SYNTH_SQL).alias("ip"))
+    public = (
+        with_ip.filter(F.expr(VALID_SQL_SPARK))
+        .filter(~F.expr(PRIVATE_SQL))
+        .withColumn("octet1", F.expr(O1))
+    )
+    return public.join(F.broadcast(geo_dim(spark)), "octet1").select(
+        "event_id", "user_id", "ip", "country_code", "lat", "lon"
+    )
+
+
+def q_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + F4/F5: per-event geo enrichment of public IPs."""
+    return enriched_events(spark, sf_dir).select(
+        "event_id", "ip", "country_code", "lat", "lon"
+    )
+
+
+def q_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: Kibana-map-style grid aggregation — 10-degree cells,
+    event count + distinct source IPs per cell."""
+    return (
+        enriched_events(spark, sf_dir)
+        .groupBy(
+            (F.expr("CAST(floor(lat / 10) AS BIGINT)") * 10).alias("lat_cell"),
+            (F.expr("CAST(floor(lon / 10) AS BIGINT)") * 10).alias("lon_cell"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("ip").alias("n_ips"),
+        )
+    )
+
+
+_DIM_CTE = f"""
+geo_dim AS (
+  SELECT i AS octet1, {DIM_CC_DUCK} AS country_code,
+         {DIM_LAT} AS lat, {DIM_LON} AS lon
+  FROM generate_series(0, 255) g(i)
+)"""
+
+_ENRICH_CTE = f"""
+with_ip AS (
+  SELECT event_id, user_id, {IP_SYNTH_SQL} AS ip FROM events
+),
+public AS (
+  SELECT event_id, user_id, ip, {O1} AS octet1
+  FROM with_ip
+  WHERE ({VALID_SQL_DUCK}) AND NOT {PRIVATE_SQL}
+),
+enriched AS (
+  SELECT p.event_id, p.user_id, p.ip, d.country_code, d.lat, d.lon
+  FROM public p JOIN geo_dim d USING (octet1)
+)"""
+
+SQL_GEO_ENRICH = f"""
+WITH {_DIM_CTE}, {_ENRICH_CTE}
+SELECT event_id, ip, country_code, lat, lon FROM enriched
+"""
+
+SQL_GEO_GRID = f"""
+WITH {_DIM_CTE}, {_ENRICH_CTE}
+SELECT CAST(floor(lat / 10) AS BIGINT) * 10 AS lat_cell,
+       CAST(floor(lon / 10) AS BIGINT) * 10 AS lon_cell,
+       count(*) AS n_events,
+       CAST(count(DISTINCT ip) AS BIGINT) AS n_ips
+FROM enriched GROUP BY 1, 2
+"""

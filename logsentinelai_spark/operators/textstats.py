@@ -62,9 +62,9 @@ WITH tok AS (
 ),
 hits AS (
   SELECT doc_id,
-         sum(CASE WHEN term IN ({_sql_inlist(EN_STOP)}) THEN 1 ELSE 0 END) AS en_hits,
-         sum(CASE WHEN term IN ({_sql_inlist(ES_STOP)}) THEN 1 ELSE 0 END) AS es_hits,
-         sum(CASE WHEN term IN ({_sql_inlist(DE_STOP)}) THEN 1 ELSE 0 END) AS de_hits
+         CAST(sum(CASE WHEN term IN ({_sql_inlist(EN_STOP)}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+         CAST(sum(CASE WHEN term IN ({_sql_inlist(ES_STOP)}) THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+         CAST(sum(CASE WHEN term IN ({_sql_inlist(DE_STOP)}) THEN 1 ELSE 0 END) AS BIGINT) AS de_hits
   FROM tok GROUP BY doc_id
 )
 SELECT doc_id, en_hits, es_hits, de_hits,
@@ -162,6 +162,6 @@ WITH tok AS (
   FROM documents
 )
 SELECT doc_id,
-       sum((('0x' || substr(md5(term), 1, 8))::BIGINT % 1000000) * (((pos - 1) % 64) + 1)) % {FP_MOD} AS fingerprint
+       CAST(sum((('0x' || substr(md5(term), 1, 8))::BIGINT % 1000000) * (((pos - 1) % 64) + 1)) % {FP_MOD} AS BIGINT) AS fingerprint
 FROM tok GROUP BY doc_id
 """

@@ -1,0 +1,107 @@
+"""Geo enrichment (J1/Q7) + IP predicate (F4/F5) semantics, the
+broadcast plan pin, and the empty-document doc_stats contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logsentinelai_spark.operators import geo
+
+SF = "/root/testdata/sf0.01"
+
+
+def _classify(spark, ips: list[str]):
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip string")
+    return {
+        r.ip: (r.valid, r.private)
+        for r in df.select(
+            "ip",
+            F.expr(geo.VALID_SQL_SPARK).alias("valid"),
+            F.expr(geo.PRIVATE_SQL).alias("private"),
+        ).collect()
+    }
+
+
+def test_ip_predicates(spark):
+    c = _classify(spark, [
+        "8.8.8.8", "1.2.3.4", "223.255.255.254",   # public
+        "10.0.0.1", "127.0.0.1", "192.168.1.1",     # private/loopback
+        "172.16.0.1", "172.31.255.255", "169.254.0.1",
+        "172.15.0.1", "172.32.0.1",                 # NOT in 172.16/12
+        "300.1.2.3", "1.2.3", "host-42", "", "1.2.3.4.5",  # invalid
+    ])
+    for ip in ["8.8.8.8", "1.2.3.4", "223.255.255.254", "172.15.0.1", "172.32.0.1"]:
+        assert c[ip] == (True, False), ip
+    for ip in ["10.0.0.1", "127.0.0.1", "192.168.1.1", "172.16.0.1",
+               "172.31.255.255", "169.254.0.1"]:
+        assert c[ip][0] is True and c[ip][1] is True, ip
+    for ip in ["300.1.2.3", "1.2.3", "host-42", "", "1.2.3.4.5"]:
+        assert c[ip][0] is not True, ip  # False or NULL -> filtered
+
+
+def test_geo_enrich_drops_non_public(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    with_ip = ev.select("event_id", F.expr(geo.IP_SYNTH_SQL).alias("ip"))
+    enriched = geo.q_geo_enrich(spark, SF)
+    out_ids = {r.event_id for r in enriched.select("event_id").collect()}
+    # every synthesized invalid/private arm is absent from the output
+    for r in with_ip.collect():
+        first = r.ip.split(".")[0]
+        if not first.isdigit() or int(first) in (10, 127) or r.ip.startswith("192.168."):
+            assert r.event_id not in out_ids, r.ip
+        if first.isdigit() and int(first) > 255:
+            assert r.event_id not in out_ids, r.ip
+    # enrichment struct is complete on every surviving row
+    assert enriched.filter(
+        F.col("country_code").isNull() | F.col("lat").isNull() | F.col("lon").isNull()
+    ).count() == 0
+    assert len(out_ids) > 0
+
+
+def test_geo_join_is_broadcast(spark):
+    """The dimension lookup must be a broadcast hash join: no shuffle
+    of the event-fact side (at 100 TB a sort-merge join here would
+    shuffle the whole corpus against a 256-row table)."""
+    plan = geo.q_geo_enrich(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_geo_grid_totals(spark):
+    grid = geo.q_geo_grid(spark, SF).collect()
+    n_enriched = geo.q_geo_enrich(spark, SF).count()
+    assert sum(r.n_events for r in grid) == n_enriched
+    for r in grid:
+        assert r.lat_cell % 10 == 0 and r.lon_cell % 10 == 0
+        assert -90 <= r.lat_cell <= 90 and -180 <= r.lon_cell <= 180
+        assert 1 <= r.n_ips <= r.n_events
+
+
+def test_doc_stats_keeps_empty_docs(spark, tmp_path):
+    """A zero-token document must appear with dl=0 in BOTH the Spark
+    query and the DuckDB oracle (round-1 latent divergence)."""
+    import duckdb
+
+    from logsentinelai_spark.entry_queries import (
+        q_doc_stats, q_global_stats, sql_doc_stats, sql_global_stats,
+    )
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "...!!!"), (4, "one")],
+        "doc_id long, text string",
+    ).write.parquet(f"{p}/documents.parquet")
+
+    srows = {r.doc_id: r.dl for r in q_doc_stats(spark, p).collect()}
+    assert srows == {1: 2, 2: 0, 3: 0, 4: 1}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/documents.parquet/*.parquet')"
+    )
+    orows = dict(con.execute(sql_doc_stats()).fetchall())
+    assert orows == srows
+
+    sg = q_global_stats(spark, p).collect()[0]
+    og = con.execute(sql_global_stats()).fetchall()[0]
+    assert (sg.n_docs, sg.avgdl) == (og[0], og[1]) == (4, 0.75)
