@@ -246,6 +246,7 @@ QUERIES = {
     "severity_rollup": _an.q_severity_rollup,
     "top_event_per_user": _an.q_top_event_per_user,
     "user_sessions": _an.q_user_sessions,
+    "alert_feed": _an.q_alert_feed,
     # dedup suite
     "dedup_exact": _dd.q_dedup_exact,
     "dedup_jaccard": _dd.q_dedup_jaccard,
@@ -281,6 +282,7 @@ ORACLES = {
     "severity_rollup": _an.SQL_SEVERITY_ROLLUP,
     "top_event_per_user": _an.SQL_TOP_EVENT_PER_USER,
     "user_sessions": _an.SQL_USER_SESSIONS,
+    "alert_feed": _an.SQL_ALERT_FEED,
     "dedup_exact": _dd.SQL_DEDUP_EXACT,
     "dedup_jaccard": _dd.SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": _dd.SQL_DEDUP_MINHASH,

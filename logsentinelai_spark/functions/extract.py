@@ -112,3 +112,14 @@ def extract_pages(pages_df, html_col: str = "html", out_col: str = "extracted_te
             yield pdf
 
     return pages_df.mapInPandas(_extract, schema=out_schema)
+
+
+def unescape_newlines(col):
+    """C11: turn literal backslash-n sequences into real newlines in a
+    string column (reference `utils/general.py:56-58`, which renders
+    multiline log payloads by `line.replace('\\n', '\n')`). JVM-side
+    regexp_replace — pattern '\\\\n' (an escaped backslash + n) to a
+    real newline."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, r"\\n", "\n")

@@ -92,6 +92,9 @@ class IndexConfig:
     wave_shards: int = 16            # shards per wave (checkpoint unit; also
                                      # bounds the broadcast id-map at ~1 GB)
     use_text_col: bool = False       # skip HTML extraction (pre-extracted corpus)
+    executor_shared_fs: bool = False  # set True only when executors mount the
+                                      # SAME POSIX fs as the driver (NFS/Lustre);
+                                      # see _assert_segment_fs
 
     @property
     def wave_docs(self) -> int:
@@ -198,7 +201,10 @@ def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFram
             t_batch = time.monotonic()
             run_id = pid * 1_000_000 + bi
             if use_text:
-                text_arr = rb.column("text").cast(pa.string())
+                # null texts tokenize as empty docs (a null list from
+                # tokens_arrow would NaN-poison value_lengths below)
+                text_arr = pc.coalesce(
+                    rb.column("text").cast(pa.string()), pa.scalar("", type=pa.string()))
             else:
                 text_arr = pa.array(
                     extract_series(rb.column("html").to_pandas()), type=pa.string())
@@ -391,6 +397,24 @@ def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str):
 
 # --------------------------------------------------------------------- build driver
 
+def _assert_segment_fs(spark: SparkSession, cfg: IndexConfig) -> None:
+    """The merge stage's direct segment writes (os.makedirs +
+    pq.write_table + os.replace from executor tasks — _merge_runs_fn)
+    are only correct when every executor sees the driver's POSIX
+    filesystem: in local mode always, on a cluster only with a shared
+    mount (NFS/Lustre/FUSE). On executor-local disks the segments would
+    silently land on the wrong machines, and os.replace atomicity does
+    not hold on object stores. Fail loudly instead of corrupting."""
+    master = spark.sparkContext.master
+    if not master.startswith("local") and not cfg.executor_shared_fs:
+        raise RuntimeError(
+            f"index segment writes require a driver-shared POSIX filesystem; "
+            f"master={master!r}. On a multi-node cluster point index_dir at a "
+            "shared mount and set IndexConfig(executor_shared_fs=True), or use "
+            "a task-commit writer for object storage."
+        )
+
+
 def build_index(
     spark: SparkSession,
     pages_df: DataFrame,
@@ -401,6 +425,7 @@ def build_index(
     """Build (or resume) the full index at index_dir. Returns a summary
     dict. ``fail_after_wave`` injects a crash for resume tests."""
     cfg = cfg or IndexConfig()
+    _assert_segment_fs(spark, cfg)
     out = Path(index_dir)
     out.mkdir(parents=True, exist_ok=True)
     meta_path = out / "_meta.json"
@@ -445,6 +470,8 @@ def extend_index(spark: SparkSession, pages_df: DataFrame, index_dir: str) -> di
     meta = json.loads((out / "_meta.json").read_text())
     cfg = IndexConfig(**{k: meta[k] for k in (
         "shard_size", "n_buckets", "block_size", "wave_shards", "use_text_col")})
+    cfg.executor_shared_fs = bool(meta.get("executor_shared_fs", False))
+    _assert_segment_fs(spark, cfg)
     known = None
     for ep in meta["epochs"]:
         u = spark.read.parquet(str(out / ep["dir"])).select("url")

@@ -179,6 +179,16 @@ def encode_blocks_grouped(
     for name, arr in (("gaps_vb", gaps), ("tfs_vb", tfs), ("dls_vb", dls)):
         buf, lens = vb_encode_with_lens(arr.astype(np.uint64))
         cum = np.concatenate(([0], np.cumsum(lens)))
+        # BinaryArray offsets are int32: a merge group whose encoded
+        # stream exceeds 2 GiB would silently wrap and corrupt postings
+        # (config-dependent: huge shard_size x tiny n_buckets). Fail loud.
+        if cum[-1] >= 2**31:
+            raise ValueError(
+                f"encoded {name} stream is {int(cum[-1])} bytes >= 2 GiB; "
+                "increase n_buckets (or lower shard_size) so each "
+                "(shard, term_bucket) merge group stays under the int32 "
+                "BinaryArray offset limit"
+            )
         offsets = cum[boundaries]  # byte offset of each block boundary
         bufs[name] = pa.BinaryArray.from_buffers(
             pa.binary(), block_starts.size,

@@ -44,6 +44,9 @@ def q_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("priority") <= THRESHOLD)
         .groupBy("severity", "priority")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        # W5: severity-ordered render, CRITICAL first (reference
+        # `core/elasticsearch.py:164-169`); <=5 groups, trivial sort
+        .orderBy("priority")
     )
 
 
@@ -76,6 +79,56 @@ WITH ranked AS (
 )
 SELECT user_id, event_id, event_type, round(value, 6) AS value
 FROM ranked WHERE rn = 1
+"""
+
+
+ALERT_MSG_CAP = 32  # reference caps alert payloads (message[:4000])
+_WORST_CASE = "CASE min(priority) WHEN 1 THEN 'CRITICAL' ELSE 'HIGH' END"
+
+
+def q_alert_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert payload shaping (W2 + C8) — the reference truncates every
+    outgoing alert: ``source_ips[:5]``, ``related_logs[:3]``, message
+    capped at 4000 chars (`core/elasticsearch.py:210-257,279-280,327`).
+    Here: per-user alert doc over HIGH+ events with the related-event
+    list sliced to 3 (sort_array for determinism) and the rendered
+    message substring-capped."""
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("severity", F.expr(SEVERITY_CASE))
+        .withColumn("priority", F.expr(PRIORITY_CASE))
+        .filter(F.col("priority") <= 2)
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_alerts"),
+        F.min("priority").alias("priority"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("event_id")), 1, 3), ","
+        ).alias("sample_events"),
+    )
+    msg = F.concat(
+        F.lit("ALERT "), F.expr("CASE priority WHEN 1 THEN 'CRITICAL' ELSE 'HIGH' END"),
+        F.lit(" events="), F.col("sample_events"),
+    )
+    return agg.select(
+        "user_id", "n_alerts", "sample_events",
+        F.substring(msg, 1, ALERT_MSG_CAP).alias("message"),
+    )
+
+
+SQL_ALERT_FEED = f"""
+WITH ev AS (
+  SELECT user_id, event_id, {PRIORITY_CASE} AS priority FROM events
+),
+agg AS (
+  SELECT user_id, count(*) AS n_alerts, min(priority) AS priority,
+         array_to_string(list_sort(list(event_id))[1:3], ',') AS sample_events
+  FROM ev WHERE priority <= 2 GROUP BY user_id
+)
+SELECT user_id, n_alerts, sample_events,
+       substr('ALERT ' || (CASE priority WHEN 1 THEN 'CRITICAL' ELSE 'HIGH' END)
+              || ' events=' || sample_events, 1, {ALERT_MSG_CAP}) AS message
+FROM agg
 """
 
 

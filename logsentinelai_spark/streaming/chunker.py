@@ -45,10 +45,14 @@ def chunking_fn(chunk_size: int, pending_timeout_ms: int, sampling_threshold: in
     ) -> Iterator[pd.DataFrame]:
         (source,) = key
         if state.hasTimedOut:
-            # T3: force-flush the partial pending buffer
+            # T3: force-flush the partial pending buffer. The chunk
+            # counter must SURVIVE the flush — removing state here
+            # would restart chunk_id at 0 on the next event and emit
+            # duplicate (source, chunk_id) keys downstream.
             chunk_id, pending = state.get if state.exists else (0, [])
-            state.remove()
+            pending = list(pending)
             if pending:
+                state.update((chunk_id + 1, []))
                 yield pd.DataFrame(
                     {
                         "source": [source], "chunk_id": [chunk_id],
@@ -56,6 +60,10 @@ def chunking_fn(chunk_size: int, pending_timeout_ms: int, sampling_threshold: in
                         "last_event": [pending[-1]], "reason": ["timeout"],
                     }
                 )
+            elif chunk_id == 0:
+                state.remove()  # nothing ever emitted for this source: safe to GC
+            else:
+                state.update((chunk_id, []))
             return
         chunk_id, pending = state.get if state.exists else (0, [])
         pending = list(pending)

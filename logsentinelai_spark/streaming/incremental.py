@@ -32,6 +32,7 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 ALERT_SEVERITIES = ("CRITICAL", "HIGH")  # reference default threshold
+ALERT_MESSAGE_CAP = 120  # C8: reference caps alert messages (4000 chars)
 
 
 def incremental_index_stream(
@@ -98,10 +99,20 @@ def alert_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(events_dir)
     )
+    # alert payload shaping (W2/C8): the reference truncates every
+    # outgoing alert payload — message[:4000], source_ips[:5],
+    # related_logs[:3] (`core/elasticsearch.py:210-257,279-280,327`).
+    # Here the rendered message is substring-capped; the array-slice
+    # analog is the batch q_alert_feed (operators/analytics.py).
+    from ..functions.extract import unescape_newlines
+
+    msg = F.concat_ws(" ", F.lit("ALERT"), "severity", "event_type",
+                      unescape_newlines(F.col("props")))
     alerts = (
         stream.withColumn("severity", F.expr(SEVERITY_CASE))
         .filter(F.col("severity").isin(list(severities)))
         .select("event_id", "ts", "user_id", "event_type", "severity",
+                F.substring(msg, 1, ALERT_MESSAGE_CAP).alias("message"),
                 F.current_timestamp().alias("alerted_at"))
     )
     writer = (

@@ -100,6 +100,7 @@ def main() -> None:
                     "docs_per_sec": r["docs_per_sec"],
                     "wall_sec": r["elapsed_sec"],
                     "total_proc_sec": round(time.monotonic() - t0, 1),
+                    "waves": len(r["built_waves"]),
                 })
                 shutil.rmtree(out_dir, ignore_errors=True)
         results = {}
@@ -110,8 +111,12 @@ def main() -> None:
             # fastest repeat is the least-contaminated estimate of the
             # machine's capability (cf. hyperfine / timeit practice);
             # every wall is disclosed alongside
-            results[cpus] = dict(rr[0], waves=len(r["built_waves"]),
-                                 all_walls=[x["wall_sec"] for x in rr])
+            walls = sorted(x["wall_sec"] for x in rr)
+            results[cpus] = dict(
+                rr[0],
+                all_walls=[x["wall_sec"] for x in rr],
+                median_wall=walls[len(walls) // 2],
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -136,11 +141,15 @@ invoked as a fresh process per level — the in-process mirror of
 `spark-submit --py-files engine.zip`), on the same materialized
 {args.docs:,}-page parquet corpus, at three parallelism levels.
 
-| parallelism | wall (s, min of {args.repeats}) | docs/sec | all walls (s) |
-|---|---|---|---|
-| local[2]       | {results[2]['wall_sec']} | {results[2]['docs_per_sec']} | {results[2]['all_walls']} |
-| local[8]       | {results[8]['wall_sec']} | {results[8]['docs_per_sec']} | {results[8]['all_walls']} |
-| local[32]      | {results[32]['wall_sec']} | {results[32]['docs_per_sec']} | {results[32]['all_walls']} |
+| parallelism | wall (s, min of {args.repeats}) | docs/sec | median wall (s) | all walls (s) |
+|---|---|---|---|---|
+| local[2]       | {results[2]['wall_sec']} | {results[2]['docs_per_sec']} | {results[2]['median_wall']} | {results[2]['all_walls']} |
+| local[8]       | {results[8]['wall_sec']} | {results[8]['docs_per_sec']} | {results[8]['median_wall']} | {results[8]['all_walls']} |
+| local[32]      | {results[32]['wall_sec']} | {results[32]['docs_per_sec']} | {results[32]['median_wall']} | {results[32]['all_walls']} |
+
+Aggregate = minimum wall over repeats (additive noise on a shared VM;
+cf. hyperfine / timeit practice); the median column shows the min is
+not doing silent work — every wall is disclosed.
 
 **Scaling efficiency** (eff = docs_per_sec(4N) / (4 x docs_per_sec(N))):
 

@@ -71,3 +71,26 @@ def test_single_block_matches_chain():
     all_docs, _, _ = decode_blocks(blocks, base=0)
     per_block = np.concatenate([decode_single_block(b)[0] for b in blocks])
     assert np.array_equal(all_docs, per_block)
+
+
+def test_encode_blocks_rejects_2gib_offset_overflow(monkeypatch):
+    """int32 BinaryArray offsets: an encoded stream >= 2 GiB must fail
+    loudly, never wrap (simulated via a patched vb encoder — actually
+    materializing 2 GiB would dominate suite runtime)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from logsentinelai_spark.index import codec
+
+    def fake_vb_encode_with_lens(arr):
+        # pretend every value encoded to ~0.7 GiB so cumsum crosses 2^31
+        lens = np.full(arr.size, 700_000_000, dtype=np.int64)
+        return np.zeros(8, dtype=np.uint8), lens
+
+    monkeypatch.setattr(codec, "vb_encode_with_lens", fake_vb_encode_with_lens)
+    docs = np.array([0, 1, 2, 3], dtype=np.int64)
+    tfs = np.ones(4, dtype=np.int64)
+    dls = np.ones(4, dtype=np.int64)
+    with _pytest.raises(ValueError, match="2 GiB"):
+        codec.encode_blocks_grouped(
+            docs, tfs, dls, np.array([0]), np.array([0]), block_size=128)

@@ -107,3 +107,17 @@ def test_tokens_arrow_identical_to_python_fuzz():
               "한글123 فارسی_٤٥٦", "①²½", "a\U0001F600b"]:
         got = [t for t in tokens_arrow(pa.array([s], type=pa.string()))[0].as_py() if t]
         assert got == tokens(s), repr(s)
+
+
+def test_unescape_newlines(spark):
+    """C11 (reference `utils/general.py:56-58`): literal \\n sequences
+    become real newlines; already-real newlines pass through."""
+    from pyspark.sql import functions as F
+
+    from logsentinelai_spark.functions.extract import unescape_newlines
+
+    df = spark.createDataFrame(
+        [("a\\nb",), ("no escapes",), ("x\\ny\\nz",), ("real\nline",)], "s string"
+    )
+    got = [r.u for r in df.select(unescape_newlines(F.col("s")).alias("u")).collect()]
+    assert got == ["a\nb", "no escapes", "x\ny\nz", "real\nline"]

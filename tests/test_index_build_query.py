@@ -145,3 +145,43 @@ def test_resume_identical_to_uninterrupted(spark, built, tmp_path):
         a = topk(IndexReader(spark, built["idx"]), q.query_text, k=q.k)
         b = topk(r2, q.query_text, k=q.k)
         assert a == b
+
+
+def test_build_with_null_text_rows(spark, tmp_path):
+    """use_text_col=True must tolerate null text (tokenized as an empty
+    doc) — a null list from the tokenizer would NaN-poison the
+    value_lengths -> np.repeat path in stage 1."""
+    from pyspark.sql import functions as F
+
+    from logsentinelai_spark.corpus import gen_pages_df
+
+    pages = gen_pages_df(spark, 64, partitions=4).withColumn(
+        "text", F.when(F.col("url").endswith("7"), F.lit(None)).otherwise(F.col("text"))
+    )
+    n_null = pages.filter(F.col("text").isNull()).count()
+    assert n_null > 0
+    idx = str(tmp_path / "nulltext_idx")
+    cfg = IndexConfig(shard_size=32, wave_shards=2, n_buckets=2, block_size=16,
+                      use_text_col=True)
+    summary = build_index(spark, pages, idx, cfg)
+    r = IndexReader(spark, idx)
+    ds = r.doc_stats_df()
+    assert ds.count() == 64
+    assert ds.filter("dl = 0").count() >= n_null  # null docs indexed as empty
+
+
+def test_cluster_master_requires_shared_fs_flag(spark, tmp_path):
+    """_assert_segment_fs: direct executor segment writes are gated to
+    local mode unless the caller attests a shared POSIX filesystem."""
+    from logsentinelai_spark.index.build import _assert_segment_fs
+
+    class FakeSC:
+        master = "spark://cluster:7077"
+
+    class FakeSpark:
+        sparkContext = FakeSC()
+
+    with pytest.raises(RuntimeError, match="shared POSIX filesystem"):
+        _assert_segment_fs(FakeSpark(), IndexConfig())
+    _assert_segment_fs(FakeSpark(), IndexConfig(executor_shared_fs=True))  # no raise
+    _assert_segment_fs(spark, IndexConfig())  # local mode: no raise

@@ -120,3 +120,28 @@ def test_lang_id_plausible(spark):
     # the synthetic corpus is English-ish -> 'en' dominates
     en = sum(r.pred_lang == "en" for r in out)
     assert en > len(out) * 0.5
+
+
+def test_severity_rollup_ordered_critical_first(spark):
+    """W5: the rollup renders severity-ordered, CRITICAL -> INFO
+    (reference `core/elasticsearch.py:164-169`)."""
+    from logsentinelai_spark.operators.analytics import q_severity_rollup
+
+    rows = q_severity_rollup(spark, SF).collect()
+    assert [r.priority for r in rows] == sorted(r.priority for r in rows)
+    assert rows[0].severity == "CRITICAL"
+
+
+def test_alert_feed_truncation(spark):
+    """W2/C8: related-event list sliced to 3, message substring-capped."""
+    from logsentinelai_spark.operators.analytics import ALERT_MSG_CAP, q_alert_feed
+
+    rows = q_alert_feed(spark, SF).collect()
+    assert rows
+    for r in rows:
+        ids = r.sample_events.split(",")
+        assert 1 <= len(ids) <= 3
+        assert ids == sorted(ids, key=int)
+        assert len(r.message) <= ALERT_MSG_CAP
+        assert r.message.startswith("ALERT ")
+    assert any(r.n_alerts > 3 for r in rows)  # slice actually truncated some

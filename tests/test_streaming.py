@@ -60,6 +60,13 @@ def test_alert_stream(spark, tmp_path):
     want = ev.filter(ev.event_type.isin(["error", "purchase"])).count()
     assert alerts.count() == want
     assert set(alerts.select("severity").distinct().toPandas()["severity"]) <= {"CRITICAL", "HIGH"}
+    # C8/W2: the alert projection truncates the rendered payload
+    from logsentinelai_spark.streaming.incremental import ALERT_MESSAGE_CAP
+    from pyspark.sql import functions as F
+
+    msg_max = alerts.agg(F.max(F.length("message"))).collect()[0][0]
+    assert msg_max is not None and msg_max <= ALERT_MESSAGE_CAP
+    assert alerts.filter(~F.col("message").startswith("ALERT ")).count() == 0
 
 
 def test_stateful_chunker(spark, tmp_path):
@@ -145,3 +152,52 @@ def test_stateful_chunker_load_shedding(spark, tmp_path):
     r = got[0]
     assert r.reason == "sampled" and r.n_rows == 10
     assert r.last_event == 499 and r.first_event == 490
+
+
+def test_chunker_timeout_preserves_counter():
+    """T3 regression: a timeout flush must NOT reset chunk_id — later
+    chunks for the same source would reuse (source, chunk_id) keys."""
+    import pandas as pd
+
+    from logsentinelai_spark.streaming.chunker import chunking_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    fn = chunking_fn(chunk_size=10, pending_timeout_ms=1000, sampling_threshold=1000)
+    state = FakeState()
+
+    def feed(ids):
+        return list(fn(("s",), iter([pd.DataFrame({"event_id": ids})]), state))
+
+    emitted = []
+    emitted += feed(range(13))                      # chunk 0 + 3 pending
+    state.hasTimedOut = True
+    emitted += list(fn(("s",), iter([]), state))    # T3 flush -> chunk 1
+    emitted += list(fn(("s",), iter([]), state))    # empty-buffer timeout: no emit
+    state.hasTimedOut = False
+    emitted += feed(range(13, 23))                  # chunk 2
+    ids = [int(i) for df in emitted for i in df["chunk_id"]]
+    reasons = [r for df in emitted for r in df["reason"]]
+    assert ids == [0, 1, 2], ids                    # strictly increasing, no reuse
+    assert reasons == ["count", "timeout", "count"]
+    assert state.exists                             # counter retained in state
