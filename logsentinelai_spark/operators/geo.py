@@ -96,9 +96,20 @@ def geo_dim(spark: SparkSession) -> DataFrame:
 
 def enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> synth ip -> F5 valid -> F4 drop private -> broadcast
-    hash join against the geo dimension on the prefix key."""
+    hash join against the geo dimension on the prefix key.
+
+    The synthesized ip is MATERIALIZED (repartition + cache) before the
+    predicates: Catalyst pushes the filters below the projection and
+    inlines the synthesis CASE once per ip reference (~14 evaluations
+    per row, measured 4x slower). A real corpus reads ip from storage,
+    so the predicates reference a materialized column there — the cache
+    only reproduces that for the fixture-synthesized column."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    with_ip = ev.select("event_id", "user_id", F.expr(IP_SYNTH_SQL).alias("ip"))
+    with_ip = (
+        ev.repartition(spark.sparkContext.defaultParallelism)
+        .select("event_id", "user_id", F.expr(IP_SYNTH_SQL).alias("ip"))
+        .cache()
+    )
     public = (
         with_ip.filter(F.expr(VALID_SQL_SPARK))
         .filter(~F.expr(PRIVATE_SQL))

@@ -123,16 +123,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         *[F.col(f"bucket{t}").alias(f"qbucket{t}") for t in range(N_TABLES)],
     )
-    cond = None
+    # one broadcast HASH equi-join per table, unioned — an OR-of-tables
+    # join condition would degrade to a nested-loop join against the
+    # broadcast side (per-row predicate scan), which anti-scales with
+    # the query-set size; per-table equi-joins keep every probe O(1)
+    scored = None
     for t in range(N_TABLES):
-        c = F.col(f"bucket{t}") == F.col(f"qbucket{t}")
-        cond = c if cond is None else (cond | c)
-    cands = (
-        F.broadcast(q)
-        .join(emb, cond)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", F.expr(_COS_EXPR))
-    )
+        qt = q.select("query_id", "qe", F.col(f"qbucket{t}").alias("b"))
+        et = emb.select("vec_id", "embedding", F.col(f"bucket{t}").alias("b"))
+        j = (
+            F.broadcast(qt).join(et, "b")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", F.expr(_COS_EXPR).alias("cos"))
+        )
+        scored = j if scored is None else scored.unionAll(j)
+    # dedupe multi-table hits on the narrow (query_id, vec_id, cos)
+    # rows only — embeddings never cross this shuffle
+    cands = scored.groupBy("query_id", "vec_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         cands.withColumn("rank", F.row_number().over(w))

@@ -50,3 +50,14 @@ def test_explain_str_smoke(spark):
     df = spark.range(10).filter("id > 5")
     s = explain_str(df)
     assert "Physical Plan" in s or "Range" in s
+
+
+def test_ann_lsh_joins_are_hash_not_nested_loop(spark):
+    """Each LSH table must probe as a broadcast HASH equi-join; an
+    OR-of-tables condition would fall back to BroadcastNestedLoopJoin
+    (per-row predicate scan, anti-scales with the query set)."""
+    from logsentinelai_spark.operators.similarity import N_TABLES, q_ann_lsh
+
+    plan = q_ann_lsh(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == N_TABLES
+    assert "BroadcastNestedLoopJoin" not in plan
