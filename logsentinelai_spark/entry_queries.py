@@ -197,6 +197,33 @@ def sql_events_formula() -> str:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 category breakdown as a true pivot: daily event counts, one
+    column per event_type (reference analog: the Kibana category
+    breakdown panels, `analyzers/general_log.py:51-84` event_by_type).
+    Pivot values are pinned so the output schema is static — at scale
+    an unpinned pivot needs an extra distinct-values job."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def sql_events_pivot() -> str:
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in EVENT_TYPES
+    )
+    # DuckDB date_trunc('day') yields DATE; Spark yields TIMESTAMP
+    return f"SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, {cols} FROM events GROUP BY 1"
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 JSON parse: `from_json(props, schema)` materialization —
     reference analog `core/commons.py:163,241` (json.loads + schema
@@ -239,6 +266,7 @@ QUERIES = {
     "events_date_histogram": q_events_date_histogram,
     "events_formula": q_events_formula,
     "events_props": q_events_props,
+    "events_pivot": q_events_pivot,
     # geo enrichment + map aggregation (SURVEY §2 J1/Q7/F4/F5)
     "geo_enrich": _geo.q_geo_enrich,
     "geo_grid": _geo.q_geo_grid,
@@ -277,6 +305,7 @@ ORACLES = {
     "events_date_histogram": sql_events_date_histogram(),
     "events_formula": sql_events_formula(),
     "events_props": sql_events_props(),
+    "events_pivot": sql_events_pivot(),
     "geo_enrich": _geo.SQL_GEO_ENRICH,
     "geo_grid": _geo.SQL_GEO_GRID,
     "severity_rollup": _an.SQL_SEVERITY_ROLLUP,

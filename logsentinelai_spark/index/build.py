@@ -87,7 +87,9 @@ from .lineage import StageTimer, commit_wave, committed_waves
 @dataclass
 class IndexConfig:
     shard_size: int = 1_000_000      # docs per shard (tests use ~512)
-    n_buckets: int = 16              # term buckets per shard
+    n_buckets: int = 16              # term buckets per shard; at web-scale
+                                     # vocab use 64 — see _merge_runs_fn
+                                     # sizing note (bounds merge-task memory)
     block_size: int = 128            # postings per block
     wave_shards: int = 16            # shards per wave (checkpoint unit; also
                                      # bounds the broadcast id-map at ~1 GB)
@@ -312,6 +314,18 @@ def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str):
     start). Runs of one term are doc-disjoint, so a single lexsort by
     (term, doc) yields every term's globally doc-sorted postings, and
     codec.encode_blocks_grouped re-blocks all terms in one pass.
+
+    Merge-group sizing at production scale — the per-task memory bound.
+    A group holds one (shard, term_bucket) slice: with shard_size=1M
+    web pages at ~500 postings/doc, a shard carries ~5e8 postings, so
+    n_buckets=16 puts ~31M postings in one group. Peak working set is
+    the decoded int64 triple (docs/tfs/dls) + lexsort indices ≈ 32
+    bytes/posting ≈ 1.0 GB/task — workable on 4 GB executors but
+    tight. At web-scale vocabulary run n_buckets=64 (~8 M postings,
+    ~250 MB/task): the bucket count multiplies output files per shard,
+    not shuffle volume, so raising it is nearly free. The int32
+    BinaryArray offset guard in codec.encode_blocks_grouped makes an
+    oversized group fail loudly (>= 2 GiB encoded) rather than corrupt.
     """
 
     metrics_cols = ["shard", "term_bucket", "n_terms", "n_blocks", "postings", "bytes"]

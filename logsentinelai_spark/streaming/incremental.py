@@ -108,11 +108,22 @@ def alert_stream(
 
     msg = F.concat_ws(" ", F.lit("ALERT"), "severity", "event_type",
                       unescape_newlines(F.col("props")))
+    # J2 host-metadata "join": the reference merges @host metadata into
+    # every indexed doc (`core/elasticsearch.py:62-77`). A 1-row host
+    # dimension is the degenerate broadcast join — Catalyst constant-
+    # folds the literal struct straight into the projection (no join
+    # operator, no shuffle, free at any scale).
+    host_meta = F.struct(
+        F.lit(spark.conf.get("spark.app.name", "logsentinelai_spark")).alias("host"),
+        F.lit("logsentinelai_spark").alias("engine"),
+        F.lit(spark.version).alias("spark_version"),
+    )
     alerts = (
         stream.withColumn("severity", F.expr(SEVERITY_CASE))
         .filter(F.col("severity").isin(list(severities)))
         .select("event_id", "ts", "user_id", "event_type", "severity",
                 F.substring(msg, 1, ALERT_MESSAGE_CAP).alias("message"),
+                host_meta.alias("host_meta"),
                 F.current_timestamp().alias("alerted_at"))
     )
     writer = (

@@ -67,6 +67,9 @@ def test_alert_stream(spark, tmp_path):
     msg_max = alerts.agg(F.max(F.length("message"))).collect()[0][0]
     assert msg_max is not None and msg_max <= ALERT_MESSAGE_CAP
     assert alerts.filter(~F.col("message").startswith("ALERT ")).count() == 0
+    # J2: constant-folded host metadata struct on every alert doc
+    hm = alerts.select("host_meta.engine", "host_meta.spark_version").distinct().collect()
+    assert len(hm) == 1 and hm[0].engine == "logsentinelai_spark"
 
 
 def test_stateful_chunker(spark, tmp_path):
