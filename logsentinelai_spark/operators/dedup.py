@@ -19,7 +19,7 @@ also here); all joins are equi-joins on short keys, AQE handles skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 # 8 minhash permutations (a, b) over a 32-bit md5-derived hash, mod p.
 MINHASH_PERMS: list[tuple[int, int, int]] = [
@@ -73,27 +73,44 @@ shingle AS (
 scount AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id)"""
 
 
+SHINGLE_PARTITIONS = 64  # spread the (narrow-input, wide-output) shingle
+# explode: a small parquet file scans as 1-3 splits, which would serialize
+# the ~300x row blowup; at 100 TB inputs arrive pre-split and this
+# repartition is a cheap narrow-row shuffle of (doc_id, text)
+
+
+_SHINGLE_ARRAY = (
+    f"transform(sequence(1, length(text) - {SHINGLE_LEN - 1}),"
+    f" i -> substr(text, i, {SHINGLE_LEN}))"
+)
+
+
 def _shingles_all(df: DataFrame) -> DataFrame:
-    """ALL char-16 shingles per doc (with duplicates) — a narrow
-    explode, no shuffle. The MinHash signature path consumes this
-    directly: min() is insensitive to duplicate shingles, so the
-    corpus-wide distinct() shuffle is unnecessary there."""
+    """ALL char-16 shingles per doc (with duplicates) — built as a
+    per-row array then exploded, so the ~300x row blowup never carries
+    the text column. No post-explode shuffle. The MinHash signature
+    path consumes this directly: min() is insensitive to duplicate
+    shingles, so no distinct() shuffle is needed there."""
     return (
         df.filter(F.length("text") >= SHINGLE_LEN)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("text") - (SHINGLE_LEN - 1))).alias("i"),
-            "text",
-        )
-        .select("doc_id", F.expr(f"substr(text, i, {SHINGLE_LEN})").alias("sh"))
+        .repartition(SHINGLE_PARTITIONS)
+        .select("doc_id", F.explode(F.expr(_SHINGLE_ARRAY)).alias("sh"))
     )
 
 
-def _shingles(df: DataFrame) -> DataFrame:
-    """Distinct char-16 shingles per doc (JVM-side expressions only).
-    Needed only where exact Jaccard is computed; at scale, apply a
-    candidate semi-join BEFORE this distinct (see q_dedup_minhash_lsh)."""
-    return _shingles_all(df).distinct()
+def _shingle_sets(df: DataFrame) -> DataFrame:
+    """(doc_id, shs sorted array of DISTINCT shingles) — a pure
+    per-row expression (transform -> array_distinct -> array_sort):
+    ZERO shuffle. Set construction is doc-local work; nothing about it
+    needs data motion at any scale."""
+    return (
+        df.filter(F.length("text") >= SHINGLE_LEN)
+        .repartition(SHINGLE_PARTITIONS)
+        .select(
+            "doc_id",
+            F.expr(f"array_sort(array_distinct({_SHINGLE_ARRAY}))").alias("shs"),
+        )
+    )
 
 
 # ------------------------------------------------------------------ exact
@@ -119,25 +136,82 @@ FROM docs_aug GROUP BY 1 HAVING count(*) > 1
 
 # ------------------------------------------------------------------ shingle jaccard
 
-def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact character-shingle Jaccard >= tau."""
-    sh = _shingles(augmented_docs(spark, sf_dir)).cache()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+def _pair_jaccard(cands: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for an EXPLICIT candidate-pair set (doc_a, doc_b)
+    over per-doc distinct-shingle arrays ``sets`` (doc_id, shs).
+
+    ``sets`` is first semi-joined to the candidate docs (only docs that
+    appear in a pair matter), then BROADCAST into two pair-preserving
+    joins; the intersection is ``size(array_intersect(...))`` computed
+    IN-STAGE (O(|A|+|B|) hash probe per pair) — the big pair side never
+    shuffles its array payloads, there is no shingle self-join, and the
+    work is linear in candidates: immune to hot-shingle quadratic
+    blowup. At scales where the candidate-doc sets outgrow a broadcast,
+    drop the hint and AQE plans a shuffled hash join — the semantics
+    and the pair-linear bound are unchanged."""
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    bounded = sets.join(cand_docs, "doc_id", "semi")
+    sa = bounded.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
+    sb = bounded.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
     return (
-        inter.join(ca, "doc_a").join(cb, "doc_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
-        .filter(F.col("jaccard") >= JACCARD_TAU)
+        cands.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.size("sa") + F.size("sb") - inter), 6),
+        )
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact character-shingle Jaccard >= tau, via
+    PREFIX FILTERING (Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    Similarity Search", WWW 2007): under any consistent global shingle
+    order, a pair with |A∩B| >= ceil(tau*|A|) must share an element in
+    the first |A| - ceil(tau*|A|) + 1 shingles of BOTH docs (the
+    smallest common element lands in both prefixes). Ordering by
+    ascending corpus frequency puts rare shingles in the prefix, so
+    the pair-generating join never touches hot shingles — the exact
+    result of the naive all-pairs join (the oracle) at a fraction of
+    the join volume, and scale-safe where all-pairs is quadratic."""
+    sets = _shingle_sets(augmented_docs(spark, sf_dir)).cache()
+    pairs = sets.select(
+        "doc_id", F.explode("shs").alias("sh"), F.size("shs").alias("n_sh")
+    )
+    freq = pairs.groupBy("sh").agg(F.count("*").alias("df_sh"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df_sh"), F.asc("sh"))
+    # cached: the self-join below references prefix twice, and the
+    # freq-join + per-doc ranking window is the plan's priciest stretch.
+    # df_sh = 1 rows are dropped AFTER ranking: a corpus-unique shingle
+    # can never match another doc, but it still occupies prefix slots
+    # (the lemma holds under any total order regardless of what sorts
+    # before the smallest common element) — so it prunes join input
+    # without costing exactness.
+    prefix = (
+        pairs.join(freq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(JACCARD_TAU) * F.col("n_sh")) + 1)
+        .filter(F.col("df_sh") >= 2)
+        .select("doc_id", "sh", "n_sh")
+    ).cache()
+    # size filtering (Arasu et al., VLDB 2006): J(A,B) <= min/max size
+    # ratio, so pairs with |A| < tau*|B| can be rejected in the join
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+              & (F.col("a.n_sh") >= JACCARD_TAU * F.col("b.n_sh"))
+              & (F.col("b.n_sh") >= JACCARD_TAU * F.col("a.n_sh")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    ).cache()
+    return _pair_jaccard(cands, sets).filter(F.col("jaccard") >= JACCARD_TAU)
 
 
 SQL_DEDUP_JACCARD = f"""
@@ -191,30 +265,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-    )
-    # attach exact jaccard — verification restricted to CANDIDATE docs
-    # via a semi-join (the whole point of LSH at 100 TB: the exact
-    # shingle self-join runs over the candidate subset, never the
-    # corpus). distinct() runs only on this candidate-bounded set.
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh2 = raw.join(cand_docs, "doc_id", "semi").distinct().cache()
-    counts = sh2.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh2.alias("x").join(sh2.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        cands.join(inter, ["doc_a", "doc_b"], "left")
-        .join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .withColumn("jaccard", F.round(F.coalesce(F.col("inter"), F.lit(0)) / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0))), 6))
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    ).cache()  # referenced 3x by _pair_jaccard (pair join + cand-doc union)
+    # attach exact jaccard — _pair_jaccard restricts the zero-shuffle
+    # shingle-set arrays to CANDIDATE docs via a semi-join (the whole
+    # point of LSH at 100 TB) and scores in-stage with array_intersect
+    # — never a shingle self-join, which would be quadratic on hot
+    # shingles.
+    return _pair_jaccard(cands, _shingle_sets(docs))
 
 
 _PERM_VALUES = ", ".join(f"({p}, {a}, {b})" for p, a, b in MINHASH_PERMS)
