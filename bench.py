@@ -79,12 +79,20 @@ def main() -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(pages_dir, ignore_errors=True)
 
-    # (a) oracle-suite headline queries
+    # (a) oracle-suite headline queries — two runs each: run 0 pays
+    # plan compilation, Python-worker spin-up, and cache population;
+    # run 1 is the steady state a resident engine serves. `queries`
+    # reports the min (steady state), `queries_cold` the first run.
     qtimes: dict[str, float] = {}
+    qcold: dict[str, float] = {}
     for name, fn in entry_queries.QUERIES.items():
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).collect()
-        qtimes[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).collect()
+            runs.append(round(time.monotonic() - t0, 3))
+        qcold[name] = runs[0]
+        qtimes[name] = min(runs)
 
     total = round(time.monotonic() - t_all, 3)
     out = {
@@ -93,6 +101,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "queries": qtimes,
+        "queries_cold": qcold,
         "index_build": {
             "docs": BENCH_DOCS,
             "wall_sec": round(build_sec, 3),

@@ -282,7 +282,7 @@ QUERIES = {
     "simhash": _dd.q_simhash,
     # similarity search
     "ann_brute": _sim.q_ann_brute,
-    "ann_lsh": _sim.q_ann_lsh,  # rows-only (LSH recall asserted in pytest)
+    "ann_lsh": _sim.q_ann_lsh,
     "embedding_neardup": _sim.q_embedding_neardup,
     # text analysis
     "lang_id": _ts.q_lang_id,
@@ -317,6 +317,9 @@ ORACLES = {
     "dedup_minhash_lsh": _dd.SQL_DEDUP_MINHASH,
     "simhash": _dd.SQL_SIMHASH,
     "ann_brute": _sim.SQL_ANN_BRUTE,
+    # fully deterministic (fixed seeded hyperplane literals on both
+    # sides), so the LSH path is hash-gated like everything else
+    "ann_lsh": _sim.SQL_ANN_LSH,
     "embedding_neardup": _sim.SQL_EMBEDDING_NEARDUP,
     "lang_id": _ts.SQL_LANG_ID,
     "quality_score": _ts.SQL_QUALITY,
@@ -325,5 +328,4 @@ ORACLES = {
     "multimodal_meta": _mm.SQL_MULTIMODAL_META,
     "multimodal_resize": _mm.SQL_MULTIMODAL_RESIZE,
     "frame_sample": _mm.SQL_FRAME_SAMPLE,
-    # "ann_lsh" intentionally absent: rows-only check
 }

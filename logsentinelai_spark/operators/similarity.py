@@ -149,6 +149,67 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_bucket_expr(table: int, col: str) -> str:
+    """DuckDB twin of lsh_bucket_expr: sign-bit bucket id from the SAME
+    seeded hyperplane constants, embedded as literals. Dot products are
+    |values| >> float-epsilon with standard-normal planes, so summation
+    -order rounding can never flip a sign in practice."""
+    planes = hyperplanes(table)
+    bits = []
+    for p in range(N_PLANES):
+        arr = "[" + ", ".join(repr(v) for v in planes[p]) + "]"
+        dot = (
+            f"list_dot_product({arr}::DOUBLE[],"
+            f" list_transform({col}, x -> CAST(x AS DOUBLE)))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _sql_ann_lsh() -> str:
+    any_table = " OR ".join(
+        f"(e.b{t} = q.qb{t})" for t in range(N_TABLES))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {", ".join(f"{_sql_bucket_expr(t, 'embedding')} AS b{t}" for t in range(N_TABLES))}
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         {", ".join(f"b{t} AS qb{t}" for t in range(N_TABLES))}
+  FROM b WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))})
+),
+cand AS (
+  SELECT DISTINCT q.query_id, q.qe, e.vec_id, e.embedding
+  FROM q JOIN b e ON ({any_table}) AND e.vec_id <> q.query_id
+),
+exp AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         unnest(qe) AS x, unnest(embedding) AS y
+  FROM cand
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM exp GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(nx) * sqrt(ny)) AS cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: exact dup copies (+100000) and
     first-element-perturbed copies (+200000) are injected identically
