@@ -169,18 +169,19 @@ def _pair_jaccard(cands: DataFrame, sets: DataFrame) -> DataFrame:
     )
 
 
-def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact character-shingle Jaccard >= tau, via
-    PREFIX FILTERING (Bayardo, Ma & Srikant, "Scaling Up All Pairs
-    Similarity Search", WWW 2007): under any consistent global shingle
-    order, a pair with |A∩B| >= ceil(tau*|A|) must share an element in
-    the first |A| - ceil(tau*|A|) + 1 shingles of BOTH docs (the
-    smallest common element lands in both prefixes). Ordering by
-    ascending corpus frequency puts rare shingles in the prefix, so
-    the pair-generating join never touches hot shingles — the exact
-    result of the naive all-pairs join (the oracle) at a fraction of
-    the join volume, and scale-safe where all-pairs is quadratic."""
-    sets = _shingle_sets(augmented_docs(spark, sf_dir)).cache()
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup pairs by exact character-shingle Jaccard >= tau over a
+    (doc_id, text) DataFrame, via PREFIX FILTERING (Bayardo, Ma &
+    Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007): under
+    any consistent global shingle order, a pair with
+    |A∩B| >= ceil(tau*|A|) must share an element in the first
+    |A| - ceil(tau*|A|) + 1 shingles of BOTH docs (the smallest common
+    element lands in both prefixes). Ordering by ascending corpus
+    frequency puts rare shingles in the prefix, so the pair-generating
+    join never touches hot shingles — the exact result of the naive
+    all-pairs join (the oracle) at a fraction of the join volume, and
+    scale-safe where all-pairs is quadratic."""
+    sets = _shingle_sets(docs).cache()
     pairs = sets.select(
         "doc_id", F.explode("shs").alias("sh"), F.size("shs").alias("n_sh")
     )
@@ -212,6 +213,12 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     ).cache()
     return _pair_jaccard(cands, sets).filter(F.col("jaccard") >= JACCARD_TAU)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate entry: prefix-filtered exact Jaccard over the
+    augmented documents pool (see jaccard_pairs)."""
+    return jaccard_pairs(augmented_docs(spark, sf_dir))
 
 
 SQL_DEDUP_JACCARD = f"""

@@ -145,3 +145,50 @@ def test_alert_feed_truncation(spark):
         assert len(r.message) <= ALERT_MSG_CAP
         assert r.message.startswith("ALERT ")
     assert any(r.n_alerts > 3 for r in rows)  # slice actually truncated some
+
+
+def test_prefix_filtered_jaccard_equals_all_pairs(spark):
+    """Exactness of the prefix-filtered similarity join (Bayardo et al.
+    WWW'07): on an adversarial corpus — shared hot boilerplate, true
+    near-dups, docs of differing lengths — the pruned plan must emit
+    EXACTLY the pairs of a naive all-pairs shingle self-join computed
+    locally in Python."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i:02d}" for i in range(30)]
+    base = " ".join(rng.choice(words) for _ in range(40))
+    texts = {}
+    for d in range(60):
+        t = base
+        if d % 3 == 0:  # heavy boilerplate clones (hot shingles)
+            t = base + " " + rng.choice(words)
+        elif d % 3 == 1:  # near-dups of the previous doc
+            t = texts.get(d - 1, base)[10:]
+        else:  # unrelated tails of varying length
+            t = " ".join(rng.choice(words) for _ in range(rng.randint(20, 80)))
+        texts[d] = t
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string")
+
+    # naive local reference over the SAME distinct char-16 shingles
+    def shingles(t):
+        t = t.lower()
+        return {t[i:i + dedup.SHINGLE_LEN] for i in range(len(t) - dedup.SHINGLE_LEN + 1)}
+
+    sets_local = {d: shingles(t) for d, t in texts.items() if len(t) >= dedup.SHINGLE_LEN}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets_local), 2):
+        inter = len(sets_local[a] & sets_local[b])
+        if inter == 0:
+            continue
+        j = inter / (len(sets_local[a]) + len(sets_local[b]) - inter)
+        if j >= dedup.JACCARD_TAU:
+            expect[(a, b)] = round(j, 6)
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_pairs(df).collect()
+    }
+    assert got == expect and len(expect) > 5
