@@ -10,7 +10,10 @@ here and pinned by tests (FIXTURES.md §1, §4):
   extract_text(html) is deterministic, and the distributed pandas/Arrow
   implementation is byte-identical to the single-node pure function.
 
-Algorithm (fixed, documented, order matters):
+Algorithm (fixed, documented, order matters; "whitespace" means ASCII
+whitespace ``[ \\t\\n\\r\\f\\v]`` throughout — pinned so the Python-``re``
+oracle and the Arrow/RE2 hot path agree by construction on every input,
+not just on inputs without exotic Unicode spaces):
   1. decode utf-8 (errors="replace")
   2. drop HTML comments
   3. drop the entire <head>...</head> section (title/meta/script/style in
@@ -24,8 +27,14 @@ Algorithm (fixed, documented, order matters):
   8. per line: collapse whitespace runs to one space, strip; drop empties
   9. join surviving lines with "\n"
 
-Both implementations below share the same compiled regexes + entity
-table, so byte-identity is by construction; tests still assert it.
+The hot path (`extract_arrow`) runs the same pipeline as RE2 passes over
+Arrow string buffers (`pc.replace_substring_regex`): no per-row Python,
+no PyObject string churn — each pass is one C scan over a contiguous
+buffer, which is what keeps stage 1 memory-bandwidth-light at 32
+concurrent workers. The single-node oracle keeps Python ``re``
+(ASCII-classes) and tests assert byte-identity; the one Python-re /
+RE2 semantic difference that matters (no backreferences in RE2) is
+avoided by writing the script|style alternation explicitly.
 """
 
 from __future__ import annotations
@@ -34,14 +43,17 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 # Compiled once; DOTALL so blocks span lines, IGNORECASE for tag names.
+# re.ASCII pins \s / \S to ASCII, matching RE2's default classes.
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
-_HEAD_RE = re.compile(r"<head\b.*?</head\s*>", re.S | re.I)
-_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.S | re.I)
-_BLOCK_CLOSE_RE = re.compile(r"</(?:p|h[1-6]|div|li|tr|title)\s*>|<br\s*/?>", re.I)
+_HEAD_RE = re.compile(r"<head\b.*?</head\s*>", re.S | re.I | re.A)
+_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.S | re.I | re.A)
+_BLOCK_CLOSE_RE = re.compile(r"</(?:p|h[1-6]|div|li|tr|title)\s*>|<br\s*/?>", re.I | re.A)
 _TAG_RE = re.compile(r"<[^>]*>")
-_WS_RE = re.compile(r"\s+")
+_WS_RE = re.compile(r"\s+", re.A)
 
 # Fixed entity table. Ampersand MUST be decoded last (single pass
 # left-to-right over this list) so "&amp;lt;" -> "&lt;" not "<".
@@ -53,6 +65,26 @@ _ENTITIES: list[tuple[str, str]] = [
     ("&#39;", "'"),
     ("&nbsp;", " "),
     ("&amp;", "&"),
+]
+
+# RE2 pattern set for the Arrow hot path — same semantics as the
+# compiled Python patterns above ((?s)/(?i) inline flags; the \1
+# backreference unrolled into an explicit two-branch alternation,
+# which is what the original alternation means). Whitespace is spelled
+# as an explicit class: RE2's \s is [ \t\n\f\r] (no \v) while Python's
+# ASCII \s includes \v.
+_WS = r" \t\n\r\f\v"
+_RE2_PASSES: list[tuple[str, str]] = [
+    (r"(?s)<!--.*?-->", ""),
+    (rf"(?si)<head\b.*?</head[{_WS}]*>", ""),
+    (rf"(?si)<script\b.*?</script[{_WS}]*>|<style\b.*?</style[{_WS}]*>", ""),
+    (rf"(?i)</(?:p|h[1-6]|div|li|tr|title)[{_WS}]*>|<br[{_WS}]*/?>", "\n"),
+    (r"<[^>]*>", ""),
+]
+_RE2_WS_PASSES: list[tuple[str, str]] = [
+    (r"[ \t\r\f\v]+", " "),  # collapse non-newline whitespace runs
+    (r" ?\n ?", "\n"),       # trim spaces around newlines
+    (r"\n+", "\n"),          # squeeze empty lines
 ]
 
 
@@ -68,32 +100,54 @@ def extract_text(html: bytes | bytearray | str | None) -> str:
     s = _TAG_RE.sub("", s)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
-    lines = (_WS_RE.sub(" ", ln).strip() for ln in s.split("\n"))
+    lines = (_WS_RE.sub(" ", ln).strip(" ") for ln in s.split("\n"))
     return "\n".join(ln for ln in lines if ln)
 
 
-def extract_series(html: pd.Series) -> pd.Series:
-    """Vectorized pandas implementation — same regex pipeline via
-    pandas .str ops (C-looped over the Arrow batch, no Python per-row
-    closure). Byte-identical to :func:`extract_text`."""
-    s = html.map(
-        lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else (b or "")
-    )
-    s = s.str.replace(_COMMENT_RE, "", regex=True)
-    s = s.str.replace(_HEAD_RE, "", regex=True)
-    s = s.str.replace(_SCRIPT_STYLE_RE, "", regex=True)
-    s = s.str.replace(_BLOCK_CLOSE_RE, "\n", regex=True)
-    s = s.str.replace(_TAG_RE, "", regex=True)
+def _decode_utf8(arr: pa.Array) -> pa.Array:
+    """binary -> string with errors="replace" semantics. The cast is a
+    zero-copy validation for the (overwhelmingly) valid case; only a
+    batch that actually contains invalid UTF-8 pays a Python decode."""
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return arr
+    try:
+        return arr.cast(pa.string())
+    except pa.ArrowInvalid:
+        return pa.array(
+            [None if v is None else v.decode("utf-8", errors="replace")
+             for v in arr.to_pylist()],
+            type=pa.string(),
+        )
+
+
+def extract_arrow(html: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized extraction over an Arrow binary/string array — the
+    stage-1 hot path. RE2 passes over contiguous string buffers; byte-
+    identical to :func:`extract_text` (asserted by tests)."""
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    s = _decode_utf8(html)
+    s = pc.fill_null(s, "")
+    for pat, rep in _RE2_PASSES:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
     for ent, ch in _ENTITIES:
-        s = s.str.replace(ent, ch, regex=False)
-    # collapse whitespace per line, drop empty lines, join with \n:
-    # do it in one pass: collapse [^\S\n]+ runs to " ", trim around \n,
-    # squeeze \n runs, trim ends.
-    s = s.str.replace(r"[^\S\n]+", " ", regex=True)
-    s = s.str.replace(r" ?\n ?", "\n", regex=True)
-    s = s.str.replace(r"\n+", "\n", regex=True)
-    s = s.str.strip()
-    return s
+        s = pc.replace_substring(s, pattern=ent, replacement=ch)
+    for pat, rep in _RE2_WS_PASSES:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+    return pc.utf8_trim(s, characters=" \n")
+
+
+def extract_series(html: pd.Series) -> pd.Series:
+    """Vectorized pandas wrapper around :func:`extract_arrow` (kept for
+    mapInPandas call sites and tests). Byte-identical to
+    :func:`extract_text`."""
+    try:
+        arr = pa.array(html, type=pa.binary(), from_pandas=True)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        # mixed str/bytes input (tests, ad-hoc callers): normalize via
+        # the oracle path per element — not a hot path
+        return html.map(extract_text)
+    return extract_arrow(arr).to_pandas()
 
 
 def extract_pages(pages_df, html_col: str = "html", out_col: str = "extracted_text"):
@@ -101,7 +155,7 @@ def extract_pages(pages_df, html_col: str = "html", out_col: str = "extracted_te
     (Arrow-batched; one batch ≈ the reference's chunk,
     `core/commons.py:1073-1097`). Keeps all input columns, appends
     ``out_col``. No per-row Python UDFs — the batch is processed with
-    vectorized pandas .str ops."""
+    vectorized Arrow/RE2 passes."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(list(pages_df.schema.fields) + [T.StructField(out_col, T.StringType())])

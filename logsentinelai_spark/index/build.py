@@ -77,7 +77,7 @@ import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.extract import extract_series
+from ..functions.extract import extract_arrow
 from ..functions.tokenizer import tokens_arrow
 from .codec import encode_blocks_grouped, vb_decode
 from .docids import doc_map_df, read_doc_map_meta, wave_url_bounds, write_doc_map
@@ -208,8 +208,9 @@ def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFram
                 text_arr = pc.coalesce(
                     rb.column("text").cast(pa.string()), pa.scalar("", type=pa.string()))
             else:
-                text_arr = pa.array(
-                    extract_series(rb.column("html").to_pandas()), type=pa.string())
+                # Arrow/RE2 extraction straight off the record batch —
+                # the html bytes never become PyObjects
+                text_arr = extract_arrow(rb.column("html"))
             # Arrow tokenization (RE2, zero PyObjects per token) —
             # byte-identical to the Python oracle by construction
             # (functions/tokenizer.py); empties from split edges dropped

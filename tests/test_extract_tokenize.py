@@ -109,6 +109,41 @@ def test_tokens_arrow_identical_to_python_fuzz():
         assert got == tokens(s), repr(s)
 
 
+def test_extract_arrow_identical_to_python_fuzz():
+    """Arrow/RE2 extraction must be byte-identical to the Python-re
+    oracle — fuzzed over adversarial tag soup, entities, unicode
+    whitespace, and invalid UTF-8 byte strings."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from logsentinelai_spark.functions.extract import extract_arrow
+
+    frag = st.sampled_from([
+        "<p>", "</p>", "<div>", "</div>", "<br>", "<br/>", "<head>",
+        "</head>", "<script>", "</script>", "<style>", "</style>",
+        "<!--", "-->", "<title>", "</title>", "&amp;", "&lt;", "&nbsp;",
+        "&#x27;", " ", "  ", "\t", "\n", " ", "　", "x", "yy",
+        "한", "<h1>", "</h1>", "<", ">", "</ScRiPt >", "</STYLE\t>",
+    ])
+    html_text = st.lists(frag, max_size=30).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(html_text)
+    def _check(s):
+        got = extract_arrow(pa.array([s.encode("utf-8")], type=pa.binary()))[0].as_py()
+        assert got == extract_text(s.encode("utf-8")), repr(s)
+
+    _check()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=80))
+    def _check_bytes(b):
+        got = extract_arrow(pa.array([b], type=pa.binary()))[0].as_py()
+        assert got == extract_text(b), repr(b)
+
+    _check_bytes()
+
+
 def test_unescape_newlines(spark):
     """C11 (reference `utils/general.py:56-58`): literal \\n sequences
     become real newlines; already-real newlines pass through."""
