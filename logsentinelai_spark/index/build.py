@@ -45,10 +45,16 @@ Spark-first architecture (design notes for the 100 TB case inline):
              they ARE the doc_stats table, shard-partitioned, written
              as a by-product of stage 1 (no separate write job).
 
+The wave's url->id map never passes through the driver: a narrow
+parallel job writes it as a hashed parquet artifact and stage-1
+workers resolve doc_ids executor-side via searchsorted
+(write_wave_idmap / _resolve_doc_ids) — replacing a per-wave broadcast
+whose collect+build is serial driver time growing with wave size.
+
 Deliberately ABSENT (driver-latency design — a 1000-executor cluster
 amortizes task time, but per-ACTION driver latency is serial and
 identical at every cluster size, so each wave runs exactly 5 actions:
-bounds-agg, stage1 write, merge write, doc agg, metrics agg):
+idmap write, stage1 write, merge write, doc agg, metrics agg):
   * no term_stats table — global df(t) = Σ block n over t's block
     rows, computed from the SAME pruned block scan every query already
     performs for scoring;
@@ -92,7 +98,7 @@ class IndexConfig:
                                      # sizing note (bounds merge-task memory)
     block_size: int = 128            # postings per block
     wave_shards: int = 16            # shards per wave (checkpoint unit; also
-                                     # bounds the broadcast id-map at ~1 GB)
+                                     # bounds the per-worker id-map at ~20 B/doc)
     use_text_col: bool = False       # skip HTML extraction (pre-extracted corpus)
     executor_shared_fs: bool = False  # set True only when executors mount the
                                       # SAME POSIX fs as the driver (NFS/Lustre);
@@ -141,6 +147,93 @@ def _bucket_np(terms: np.ndarray, n_buckets: int) -> np.ndarray:
 
 # --------------------------------------------------------------------- stage 1
 
+# Worker-resident wave id-map (url-hash -> doc_id), loaded once per
+# Python worker per wave and reused across batches (workers process one
+# wave at a time, so the cache holds a single entry).
+_IDMAP_CACHE: dict = {}
+
+
+def _load_idmap(idmap_dir: str):
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    cached = _IDMAP_CACHE.get(idmap_dir)
+    if cached is not None:
+        return cached
+    dset = pads.dataset(idmap_dir, format="parquet")
+    tbl = dset.to_table(columns=["h", "h2", "doc_id"])
+    h = tbl["h"].to_numpy()
+    order = np.argsort(h, kind="stable")
+    h = h[order]
+    h2 = tbl["h2"].to_numpy()[order]
+    ids = tbl["doc_id"].to_numpy()[order]
+    # h64-collision runs (rare: ~n^2/2^65 per wave) resolve exactly via
+    # the url column, read only for the colliding hashes
+    dup_mask = np.zeros(len(h), dtype=bool)
+    if len(h) > 1:
+        eq = h[1:] == h[:-1]
+        dup_mask[1:] |= eq
+        dup_mask[:-1] |= eq
+    dup_url_to_id: dict[str, int] = {}
+    dup_h = h[dup_mask]
+    if dup_h.size:
+        sub = dset.to_table(columns=["h", "url", "doc_id"],
+                            filter=pads.field("h").isin(pa.array(np.unique(dup_h))))
+        dup_url_to_id = dict(zip(sub["url"].to_pylist(), sub["doc_id"].to_pylist()))
+    out = (h, h2, ids, dup_h, dup_url_to_id)
+    _IDMAP_CACHE.clear()
+    _IDMAP_CACHE[idmap_dir] = out
+    return out
+
+
+def _resolve_doc_ids(rb, idmap_dir: str):
+    """Map a batch's (url_h, url_h2, url) to doc_ids via the wave
+    id-map: one searchsorted over the worker-resident sorted hash array
+    + vectorized 96-bit verification. Rows with no match (urls outside
+    the wave's doc slice: boundary-file overflow, stale epoch urls) are
+    dropped — the same filtering the former broadcast inner join did.
+    Residual false-match probability is ~2^-96 per dropped-row lookup
+    (h64+h32 both colliding); in-map h64 duplicates are resolved
+    exactly via urls."""
+    h, h2, ids, dup_h, dup_url_to_id = _load_idmap(idmap_dir)
+    bh = rb.column("url_h").to_numpy()
+    bh2 = rb.column("url_h2").to_numpy()
+    pos = np.searchsorted(h, bh)
+    pos_c = np.minimum(pos, len(h) - 1) if len(h) else np.zeros_like(pos)
+    ok = (pos < len(h)) & (h[pos_c] == bh) & (h2[pos_c] == bh2)
+    doc_ids = ids[pos_c]
+    if dup_h.size:
+        in_dup = np.isin(bh, dup_h)
+        if in_dup.any():
+            urls = rb.column("url").to_pylist()
+            for i in np.flatnonzero(in_dup):
+                did = dup_url_to_id.get(urls[i], -1)
+                ok[i] = did >= 0
+                doc_ids[i] = did
+    return doc_ids, ok
+
+
+def write_wave_idmap(dslice: DataFrame, idmap_dir: str) -> None:
+    """One narrow parallel job per wave: (url, doc_id) -> parquet of
+    (h=xxhash64(url), h2=murmur3(url), doc_id, url). Replaces the
+    former driver-built broadcast of the wave id-map — at a 16M-doc
+    production wave the broadcast's collect+build is 10-30 s of
+    SERIAL driver time per wave, while this job and the per-worker
+    sorted-array loads are parallel at any cluster size (executors
+    read the map from shared storage; memory = ~20 B/doc per worker,
+    ~320 MB at wave_docs=16M)."""
+    (
+        dslice.select(
+            F.xxhash64("url").alias("h"),
+            F.hash("url").alias("h2"),
+            F.col("doc_id"),
+            F.col("url"),
+        )
+        .write.mode("overwrite")
+        .parquet(idmap_dir)
+    )
+
+
 def _stage1_arrow_schema():
     import pyarrow as pa
 
@@ -177,15 +270,24 @@ def _lineage_row(pa, schema, const, pid, bi, n_docs, lens, n_blocks, n_groups, e
     )
 
 
-def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFrame:
+def stage1_partial_runs(
+    pages_with_ids: DataFrame, cfg: IndexConfig, idmap_dir: str | None = None
+) -> DataFrame:
     """Fused extract + tokenize + tf + per-batch compressed run build.
 
     Emits doc marker rows (kind=0: doc_id, url, dl) and run block rows
     (kind=1) in one Arrow pass (``mapInArrow``) — no posting-row shuffle
-    ever exists, and no per-row Python: extraction/tokenization are
-    pandas .str ops, tf is a vectorized groupby, and ALL (shard, term)
-    groups of a batch are block-encoded in one numpy/pyarrow pass
-    (codec.encode_blocks_grouped) with zero-copy binary columns.
+    ever exists, and no per-row Python: extraction is Arrow/RE2,
+    tokenization Arrow, tf a vectorized run-length count, and ALL
+    (shard, term) groups of a batch are block-encoded in one
+    numpy/pyarrow pass (codec.encode_blocks_grouped) with zero-copy
+    binary columns.
+
+    With ``idmap_dir`` the input carries (url_h, url_h2) JVM-computed
+    hash columns instead of doc_id, and each batch resolves doc_ids
+    against the worker-resident wave id-map (see write_wave_idmap) —
+    rows outside the wave's doc slice are dropped here, exactly as the
+    former broadcast inner join dropped them.
     """
     use_text = cfg.use_text_col
     shard_size, n_buckets, block_size = cfg.shard_size, cfg.n_buckets, cfg.block_size
@@ -197,6 +299,14 @@ def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFram
         schema = _stage1_arrow_schema()
         pid = TaskContext.get().partitionId()
         for bi, rb in enumerate(batches):
+            if idmap_dir is not None and rb.num_rows:
+                resolved, ok = _resolve_doc_ids(rb, idmap_dir)
+                if not ok.all():
+                    resolved = resolved[ok]
+                    rb = rb.filter(pa.array(ok))
+                doc_id_arr = resolved
+            else:
+                doc_id_arr = None
             nrows = rb.num_rows
             if nrows == 0:
                 continue
@@ -220,7 +330,7 @@ def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFram
             nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
             doc_local = np.repeat(np.arange(nrows, dtype=np.int64), raw_lens)[nonempty]
             lens = np.bincount(doc_local, minlength=nrows).astype(np.int64)
-            doc_ids = rb.column("doc_id").to_numpy()
+            doc_ids = doc_id_arr if doc_id_arr is not None else rb.column("doc_id").to_numpy()
 
             def const(v, dtype, n=nrows):
                 return pa.array(np.full(n, v, dtype=dtype))
@@ -251,8 +361,13 @@ def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFram
             codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             uniq = np.asarray(de.dictionary.to_pandas(), dtype=object)
             nvocab = len(uniq)
-            # tf(doc, term) = run lengths of the sorted (doc_idx, code) key
+            # tf(doc, term) = run lengths of the sorted (doc_idx, code)
+            # key; int32 keys when the range allows (typical: 10k rows x
+            # ~5k vocab) — the token-stream sort is the batch's widest
+            # memory scan and half-width keys halve its DRAM traffic
             key = doc_local * nvocab + codes
+            if nrows * nvocab < 2**31:
+                key = key.astype(np.int32)
             ks = np.sort(key)
             starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
             tfs = np.diff(np.append(starts, ks.size)).astype(np.int64)
@@ -297,9 +412,18 @@ def stage1_partial_runs(pages_with_ids: DataFrame, cfg: IndexConfig) -> DataFram
             yield _lineage_row(pa, schema, const, pid, bi, nrows, lens, nb,
                                len(group_starts), int((time.monotonic() - t_batch) * 1000))
 
-    return pages_with_ids.select(
-        "doc_id", "url", "text" if use_text else "html"
-    ).mapInArrow(_gen, schema=STAGE1_SCHEMA)
+    content = "text" if use_text else "html"
+    if idmap_dir is not None:
+        # JVM-side hash columns (whole-stage codegen); doc_id resolves
+        # worker-side against the wave id-map
+        sel = pages_with_ids.select(
+            F.xxhash64("url").alias("url_h"),
+            F.hash("url").alias("url_h2"),
+            "url", content,
+        )
+    else:
+        sel = pages_with_ids.select("doc_id", "url", content)
+    return sel.mapInArrow(_gen, schema=STAGE1_SCHEMA)
 
 
 # --------------------------------------------------------------------- stage 2
@@ -456,12 +580,17 @@ def build_index(
         meta.setdefault("epochs", [{"doc_lo": 0, "doc_hi": meta["n_docs"], "dir": "doc_map"}])
         meta.setdefault("id_hw", meta["n_docs"])
     else:
+        t0 = time.monotonic()
         dm_meta = write_doc_map(pages_df, str(doc_map_dir))
+        stage0_sec = round(time.monotonic() - t0, 3)
         n_docs = dm_meta["n_docs"]
         meta = dict(
             asdict(cfg), n_docs=n_docs, id_hw=n_docs, created_at=time.time(),
             epochs=[{"doc_lo": 0, "doc_hi": n_docs, "dir": "doc_map"}])
         meta_path.write_text(json.dumps(meta, indent=1))
+        return dict(
+            _run_waves(spark, pages_df, index_dir, cfg, meta, fail_after_wave),
+            stage0_doc_map_sec=stage0_sec)
     return _run_waves(spark, pages_df, index_dir, cfg, meta, fail_after_wave)
 
 
@@ -551,20 +680,23 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
     # resume-safe: runs (kind=1) are deleted after commit, so an
     # uncommitted wave with a half-gone store is recomputed
     if not ((store_dir / "_SUCCESS").exists() and (store_dir / "kind=1").exists()):
-        with timer.time("stage1_partial_runs"):
+        idmap_dir = out / "idmap" / f"wave={wave}"
+        with timer.time("wave_idmap"):
             # file-pruned id slice + footer-derived url bounds (both
             # driver-side metadata, no Spark job) so each wave scans
             # only its slice of the (url-sorted, min-max-pruned) table
             dslice = doc_map_df(spark, doc_map_dir, dm_meta, lo, hi, id_base=id_base)
+            # The wave id-map ships to stage-1 workers as a parquet
+            # artifact resolved executor-side (write_wave_idmap): the
+            # alternatives both serialize — a sort-merge join shuffles
+            # every html byte of the wave, and a broadcast join spends
+            # 10-30 s of serial DRIVER time per 16M-doc wave collecting
+            # and building the broadcast. This path keeps the id-map
+            # distribution parallel at any cluster size.
+            write_wave_idmap(dslice, str(idmap_dir))
+        with timer.time("stage1_partial_runs"):
             url_lo, url_hi = wave_url_bounds(dm_meta, lo, hi, id_base=id_base)
-            # BROADCAST the wave's url->id map: the alternative plan
-            # (sort-merge join) shuffles every html byte of the wave,
-            # which is exactly what bounded waves exist to avoid. A
-            # wave is wave_docs rows of (url, doc_id) — e.g. 16M docs
-            # ~ 1 GB — sized to stay broadcastable; Catalyst can't
-            # infer that from a derived plan, so the hint is explicit.
-            wave_pages = pages_df.filter(F.col("url").between(url_lo, url_hi)).join(
-                F.broadcast(dslice), "url")
+            wave_pages = pages_df.filter(F.col("url").between(url_lo, url_hi))
             # partitionBy kind ONLY: the (shard, term_bucket) routing is
             # the merge shuffle's job, and hive-partitioning the store by
             # them costs a per-task sort + hundreds of tiny files per
@@ -572,7 +704,7 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
             # (kind=0) keep shard as a data column; parquet row-group
             # stats still prune doc_id lookups.
             (
-                stage1_partial_runs(wave_pages, cfg)
+                stage1_partial_runs(wave_pages, cfg, idmap_dir=str(idmap_dir))
                 .write.mode("overwrite")
                 .partitionBy("kind")
                 .parquet(str(store_dir))
@@ -619,5 +751,7 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
             "partitions": part_metrics,
         },
     )
-    # runs served their purpose; doc rows remain as the doc_stats table
+    # runs + id-map served their purpose; doc rows remain as the
+    # doc_stats table
     shutil.rmtree(store_dir / "kind=1", ignore_errors=True)
+    shutil.rmtree(out / "idmap" / f"wave={wave}", ignore_errors=True)

@@ -71,7 +71,8 @@ def main() -> None:
                 "build_elapsed": r["elapsed_sec"],
                 "proc_wall": round(wall, 1),
                 "stages": {k: round(v, 1) for k, v in stages.items()},
-                "stage0_plus_other": round(r["elapsed_sec"] - staged, 1),
+                "stage0_doc_map": r.get("stage0_doc_map_sec"),
+                "other": round(r["elapsed_sec"] - staged - r.get("stage0_doc_map_sec", 0), 1),
                 "startup": round(wall - r["elapsed_sec"], 1),
             }))
             shutil.rmtree(out_dir, ignore_errors=True)

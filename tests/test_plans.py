@@ -19,23 +19,43 @@ from logsentinelai_spark.plans import (
 CFG = IndexConfig(shard_size=256, wave_shards=2, n_buckets=4)
 
 
-def test_wave_join_is_broadcast_and_pruned(spark, tmp_path):
+def test_wave_stage1_plan_shuffle_free_and_pruned(spark, tmp_path):
+    """The stage-1 input plan must be a pure map over the pages scan:
+    no join, no Exchange (the id-map resolves executor-side against the
+    wave idmap artifact), with the wave's url-range predicate pushed to
+    the scan and columns pruned to what stage 1 reads."""
+    from logsentinelai_spark.index.build import stage1_partial_runs, write_wave_idmap
+    from logsentinelai_spark.plans import assert_no_shuffle
+
     pages_dir = str(tmp_path / "pages")
     gen_pages_df(spark, 600, partitions=4).write.parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
     dm = str(tmp_path / "dm")
     meta = write_doc_map(pages, dm)
     dslice = doc_map_df(spark, dm, meta, 0, 512)
+    idmap = str(tmp_path / "idmap")
+    write_wave_idmap(dslice, idmap)
     lo, hi = wave_url_bounds(meta, 0, 512)
-    wave_pages = pages.filter(F.col("url").between(lo, hi)).join(
-        F.broadcast(dslice), "url").select("doc_id", "url", "html")
-    # the id-map side broadcasts; the fact (html) side never shuffles
-    assert_broadcast_join(wave_pages)
+    wave_pages = pages.filter(F.col("url").between(lo, hi))
+    s1 = stage1_partial_runs(wave_pages, CFG, idmap_dir=idmap)
+    assert_no_shuffle(s1)
+    assert "Join" not in explain_str(s1)
     # url-range predicate reaches the parquet scan
-    assert_pushed_filter(wave_pages, "url")
-    # column pruning: scans read only what stage 1 needs
-    assert_read_schema_only(
-        wave_pages, {"url", "html", "pid", "local_idx", "doc_id"})
+    assert_pushed_filter(s1, "url")
+    # column pruning: the scan reads only what stage 1 needs
+    assert_read_schema_only(s1, {"url", "html"})
+
+
+def test_idmap_job_offsets_join_is_broadcast(spark, tmp_path):
+    """The wave idmap job joins doc_map files against the tiny
+    (pid, offset) table — that join must broadcast, never SMJ."""
+    pages_dir = str(tmp_path / "pages")
+    gen_pages_df(spark, 400, partitions=4).write.parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    dm = str(tmp_path / "dm")
+    meta = write_doc_map(pages, dm)
+    dslice = doc_map_df(spark, dm, meta, 0, 256)
+    assert_broadcast_join(dslice)
 
 
 def test_pages_lang_filter_pushdown(spark, tmp_path):
