@@ -283,6 +283,7 @@ QUERIES = {
     # similarity search
     "ann_brute": _sim.q_ann_brute,
     "ann_lsh": _sim.q_ann_lsh,
+    "ann_ivf": _sim.q_ann_ivf,
     "embedding_neardup": _sim.q_embedding_neardup,
     # text analysis
     "lang_id": _ts.q_lang_id,
@@ -320,6 +321,7 @@ ORACLES = {
     # fully deterministic (fixed seeded hyperplane literals on both
     # sides), so the LSH path is hash-gated like everything else
     "ann_lsh": _sim.SQL_ANN_LSH,
+    "ann_ivf": _sim.SQL_ANN_IVF,
     "embedding_neardup": _sim.SQL_EMBEDDING_NEARDUP,
     "lang_id": _ts.SQL_LANG_ID,
     "quality_score": _ts.SQL_QUALITY,

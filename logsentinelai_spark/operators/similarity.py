@@ -5,11 +5,17 @@ float[64], label).
   JVM-side (zip_with + aggregate higher-order functions; no Python in
   the scoring path). The correctness baseline, with a DuckDB oracle.
 * ``ann_lsh`` — random-hyperplane LSH buckets (sign bits of dot
-  products against fixed seeded hyperplanes) as the scale path:
+  products against fixed seeded hyperplanes) as one scale path:
   candidates share the query's bucket, exact cosine re-rank inside.
   At 10^12 rows the bucket equi-join replaces the all-pairs cross
-  join. Non-SQL-expressible economically -> rows-only driver check,
-  but pytest verifies recall against ann_brute.
+  join. Hash-gated vs a DuckDB twin (same seeded planes); pytest
+  verifies recall against ann_brute.
+* ``ann_ivf`` — inverted-file ANN as the second scale path: vectors
+  are assigned to their nearest centroid's list (constant-folded JVM
+  argmax; centroids = the collected model), queries probe N_PROBE
+  lists via a broadcast hash equi-join on list_id. Hash-gated vs a
+  DuckDB twin computing identical assignments; recall pytest beats
+  the probed-fraction baseline.
 
 Scale notes: brute force is O(N) per query but fully distributed and
 vectorized; LSH reduces candidates by ~2^n_planes. Both avoid
@@ -208,6 +214,166 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 SQL_ANN_LSH = _sql_ann_lsh()
+
+
+# ------------------------------------------------------------------ IVF
+
+K_CENTROID_IDS = list(range(100, 108))  # 8 lists; centroids = these rows'
+# embeddings (k-means step 0 — deterministic, SQL-expressible; a
+# production build would Lloyd-iterate, the assignment/search structure
+# is identical)
+N_PROBE = 2
+
+
+def _fold_dot(a, b) -> float:
+    """Strict left-fold double dot product — the SAME summation order
+    as Spark's aggregate() fold and DuckDB's list_dot_product loop, so
+    all three engines rank identical doubles."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _centroid_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float], float]]:
+    import math
+
+    rows = (
+        _load(spark, sf_dir)
+        .filter(F.col("vec_id").isin(K_CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    out = []
+    for r in rows:
+        vec = [float(x) for x in r.embedding]
+        out.append((int(r.vec_id), vec, math.sqrt(_fold_dot(vec, vec))))
+    return out
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: every vector is assigned to its nearest centroid's
+    inverted list (argmax of dot/|c|, ties to lower centroid id); each
+    query probes its N_PROBE nearest lists and exact-cosine re-ranks
+    only those lists' members. The scale path: assignment is a
+    constant-folded JVM expression (centroids are the collected model,
+    ~K*dim doubles), search is a broadcast HASH equi-join on list_id —
+    candidates ~ N*N_PROBE/K per query, never a cross join, and only
+    (query_id, vec_id, cos) rows reach the top-k shuffle."""
+    cents = _centroid_rows(spark, sf_dir)
+    emb = _load(spark, sf_dir)
+
+    score_exprs = ", ".join(
+        f"({_dot_lit(vec)}) / {norm!r}D" for _, vec, norm in cents)
+    cid_arr = ", ".join(str(cid) for cid, _, _ in cents)
+    assigned = (
+        emb.withColumn("scores", F.expr(f"array({score_exprs})"))
+        .withColumn(
+            "list_id",
+            F.expr(
+                f"element_at(array({cid_arr}), "
+                "CAST(array_position(scores, array_max(scores)) AS INT))"),
+        )
+        .select("vec_id", "embedding", "list_id")
+    )
+
+    # query probe lists, computed driver-side with the same left-fold
+    # (queries are a fixed tiny set — this is the "broadcast queries"
+    # pattern, not a distributed-data collect)
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_pairs = []
+    for r in q_rows:
+        qv = [float(x) for x in r.embedding]
+        ranked = sorted(
+            ((-(_fold_dot(qv, vec) / norm), cid) for cid, vec, norm in cents))
+        probe_pairs += [(int(r.vec_id), cid) for _, cid in ranked[:N_PROBE]]
+    probes = spark.createDataFrame(probe_pairs, "query_id long, list_id long")
+    q = (
+        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .join(probes, "query_id")
+    )
+    cands = (
+        assigned.join(F.broadcast(q), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.expr(_COS_EXPR).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos", 6).alias("cos"))
+    )
+
+
+def _dot_lit(vec: list[float]) -> str:
+    arr = "array(" + ", ".join(f"{v!r}D" for v in vec) + ")"
+    return (
+        f"aggregate(zip_with({arr}, embedding, (x, y) -> x * CAST(y AS DOUBLE)),"
+        " 0D, (a, x) -> a + x)"
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings WHERE vec_id IN ({", ".join(map(str, K_CENTROID_IDS))})
+),
+assign_scored AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.ce)
+           / sqrt(list_dot_product(c.ce, c.ce)) AS score
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS list_id
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        FROM assign_scored)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS list_id
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        FROM assign_scored WHERE vec_id IN ({", ".join(map(str, QUERY_VEC_IDS))}))
+  WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, q.embedding AS qe, a.vec_id, e.embedding
+  FROM probes p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+exp AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         unnest(qe) AS x, unnest(embedding) AS y
+  FROM cand
+),
+dots AS (
+  SELECT query_id, neighbor_id,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS ny
+  FROM exp GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot / (sqrt(nx) * sqrt(ny)) AS cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

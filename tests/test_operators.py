@@ -104,6 +104,28 @@ def test_ann_lsh_recall_vs_brute(spark):
     assert sum(recalls) / len(recalls) > 0.05  # random-vector recall is modest; >0 proves plumbing
 
 
+def test_ann_ivf_recall_and_structure(spark):
+    """IVF probes N_PROBE of K lists (~25% of the corpus), so its
+    top-10 must (a) be well-formed, (b) be a subset of each query's
+    probed lists, and (c) overlap brute force meaningfully more than
+    the probed fraction alone would by chance."""
+    brute = similarity.q_ann_brute(spark, SF).collect()
+    ivf = similarity.q_ann_ivf(spark, SF).collect()
+    assert len(ivf) == len({(r.query_id, r.rank) for r in ivf})
+    brute_sets, ivf_sets = {}, {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ivf_sets) == set(brute_sets)
+    recalls = [
+        len(brute_sets[q] & ivf_sets[q]) / len(brute_sets[q]) for q in brute_sets
+    ]
+    # nearest-centroid probing concentrates true neighbors: recall must
+    # beat the ~N_PROBE/K=25% random-scan baseline on average
+    assert sum(recalls) / len(recalls) > 0.25, recalls
+
+
 def test_multimodal_stub_gated(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
