@@ -185,3 +185,37 @@ def test_cluster_master_requires_shared_fs_flag(spark, tmp_path):
         _assert_segment_fs(FakeSpark(), IndexConfig())
     _assert_segment_fs(FakeSpark(), IndexConfig(executor_shared_fs=True))  # no raise
     _assert_segment_fs(spark, IndexConfig())  # local mode: no raise
+
+
+def test_idmap_h64_collision_resolves_exactly(tmp_path):
+    """_resolve_doc_ids' rare path: two map urls sharing an xxhash64
+    value must resolve via the url column (exact), and absent urls in a
+    collision run must be dropped — forced by writing a synthetic idmap
+    with duplicate h values."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logsentinelai_spark.index.build import _IDMAP_CACHE, _resolve_doc_ids
+
+    idmap = tmp_path / "idmap"
+    idmap.mkdir()
+    pq.write_table(
+        pa.table({
+            "h": pa.array([5, 5, 9], type=pa.int64()),
+            "h2": pa.array([100, 100, 7], type=pa.int32()),
+            "doc_id": pa.array([11, 22, 33], type=pa.int64()),
+            "url": pa.array(["u-a", "u-b", "u-c"]),
+        }),
+        idmap / "part-0.parquet",
+    )
+    _IDMAP_CACHE.clear()
+    rb = pa.record_batch({
+        "url_h": pa.array([5, 5, 9, 5, 6], type=pa.int64()),
+        "url_h2": pa.array([100, 100, 7, 100, 1], type=pa.int32()),
+        "url": pa.array(["u-b", "u-a", "u-c", "u-zz", "u-q"]),
+    })
+    ids, ok = _resolve_doc_ids(rb, str(idmap))
+    assert ok.tolist() == [True, True, True, False, False]
+    assert ids[ok].tolist() == [22, 11, 33]
+    _IDMAP_CACHE.clear()
