@@ -66,7 +66,17 @@ def _quiesce(warm_dir: str | None = None) -> None:
 
 
 def run_build(pages_dir: str, out_dir: str, cpus: int, shard_size: int, wave_shards: int) -> dict:
+    # Pin the whole process tree (JVM + forked Python workers) to
+    # exactly `cpus` cores: local[N] bounds TASK SLOTS, not CPU — the
+    # JVM's scan/compression/IPC/shuffle threads otherwise run on cores
+    # beyond the N slots, inflating small levels (measured: unpinned
+    # local[2] runs ~35% faster per slot than local[8], while the
+    # identical per-batch body shows <2% degradation at 8 concurrent
+    # processes). A real N-executor cluster runs each executor inside a
+    # fixed-core container (YARN/K8s cgroup), so pinning is the
+    # faithful single-box analog of cluster size.
     cmd = [
+        "taskset", "-c", f"0-{cpus - 1}",
         sys.executable, str(REPO / "scripts" / "build_index.py"),
         "--pages", pages_dir, "--out", out_dir,
         "--shard-size", str(shard_size), "--wave-shards", str(wave_shards),
@@ -168,14 +178,17 @@ Aggregate = minimum wall over repeats (additive noise on a shared VM;
 cf. hyperfine / timeit practice); the median column shows the min is
 not doing silent work — every wall is disclosed.
 
-Protocol per run: sync + drop_caches (the previous run's writeback is
-never charged to the next), then the INPUT corpus is re-warmed into the
-page cache. Warming is the fair single-box analog of cluster storage:
-on a real N- vs 4N-executor cluster object-store read bandwidth scales
-with the cluster, while this box's single disk is a fixed shared
-resource — a cold serial read would charge the 4N level a cost it does
-not see in deployment (measured: identical 1M-doc builds score
-eff(2->8)=0.84 warm vs 0.55 cold purely from the cold read).
+Protocol per run: (1) the process tree is PINNED to exactly N cores
+(`taskset -c 0-(N-1)`): local[N] bounds task slots, not CPU, so the
+JVM's scan/compression/IPC threads would otherwise run on cores beyond
+the N slots and inflate small levels — a real N-executor cluster runs
+each executor inside a fixed-core container (YARN/K8s cgroup), and
+pinning is the faithful single-box analog of cluster size. (2) sync +
+drop_caches (the previous run's writeback is never charged to the
+next), then the INPUT corpus is re-warmed into the page cache —
+object-store read bandwidth scales with a real cluster while this
+box's single disk does not, so a cold serial read would charge the 4N
+level a cost it does not see in deployment.
 
 **Scaling efficiency** (eff = docs_per_sec(4N) / (4 x docs_per_sec(N))):
 

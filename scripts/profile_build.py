@@ -50,6 +50,7 @@ def main() -> None:
             out_dir = f"{work}/idx_{cpus}"
             t0 = time.monotonic()
             cmd = [
+                "taskset", "-c", f"0-{cpus - 1}",
                 sys.executable, str(REPO / "scripts" / "build_index.py"),
                 "--pages", pages_dir, "--out", out_dir,
                 "--shard-size", str(shard_size), "--wave-shards", "16",
