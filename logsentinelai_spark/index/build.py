@@ -147,40 +147,33 @@ def _bucket_np(terms: np.ndarray, n_buckets: int) -> np.ndarray:
 
 # --------------------------------------------------------------------- stage 1
 
-# Worker-resident wave id-map (url-hash -> doc_id), loaded once per
-# Python worker per wave and reused across batches (workers process one
-# wave at a time, so the cache holds a single entry).
+# Worker-resident wave id-map (url-hash -> doc_id): the idmap job
+# writes per-task h-SORTED UNCOMPRESSED Arrow IPC files, and every
+# Python worker MEMORY-MAPS them — the arrays live in the OS page
+# cache once per host, shared by all workers, so per-worker load cost
+# and private memory are ~zero at any wave size (vs. ~20 B/doc/worker
+# if each worker copied and re-sorted the map). The cache below holds
+# the mmap'd views; workers process one wave at a time.
 _IDMAP_CACHE: dict = {}
 
 
 def _load_idmap(idmap_dir: str):
     import pyarrow as pa
-    import pyarrow.dataset as pads
 
     cached = _IDMAP_CACHE.get(idmap_dir)
     if cached is not None:
         return cached
-    dset = pads.dataset(idmap_dir, format="parquet")
-    tbl = dset.to_table(columns=["h", "h2", "doc_id"])
-    h = tbl["h"].to_numpy()
-    order = np.argsort(h, kind="stable")
-    h = h[order]
-    h2 = tbl["h2"].to_numpy()[order]
-    ids = tbl["doc_id"].to_numpy()[order]
-    # h64-collision runs (rare: ~n^2/2^65 per wave) resolve exactly via
-    # the url column, read only for the colliding hashes
-    dup_mask = np.zeros(len(h), dtype=bool)
-    if len(h) > 1:
-        eq = h[1:] == h[:-1]
-        dup_mask[1:] |= eq
-        dup_mask[:-1] |= eq
-    dup_url_to_id: dict[str, int] = {}
-    dup_h = h[dup_mask]
-    if dup_h.size:
-        sub = dset.to_table(columns=["h", "url", "doc_id"],
-                            filter=pads.field("h").isin(pa.array(np.unique(dup_h))))
-        dup_url_to_id = dict(zip(sub["url"].to_pylist(), sub["doc_id"].to_pylist()))
-    out = (h, h2, ids, dup_h, dup_url_to_id)
+    files = []
+    for name in sorted(Path(idmap_dir).glob("part-*.arrow")):
+        mm = pa.memory_map(str(name))
+        tbl = pa.ipc.open_file(mm).read_all()
+        if tbl.num_rows == 0:
+            continue
+        h = tbl["h"].to_numpy()          # zero-copy view onto the mmap
+        h2 = tbl["h2"].to_numpy()
+        ids = tbl["doc_id"].to_numpy()
+        files.append((h, h2, ids, tbl["url"]))
+    out = tuple(files)
     _IDMAP_CACHE.clear()
     _IDMAP_CACHE[idmap_dir] = out
     return out
@@ -188,40 +181,91 @@ def _load_idmap(idmap_dir: str):
 
 def _resolve_doc_ids(rb, idmap_dir: str):
     """Map a batch's (url_h, url_h2, url) to doc_ids via the wave
-    id-map: one searchsorted over the worker-resident sorted hash array
-    + vectorized 96-bit verification. Rows with no match (urls outside
-    the wave's doc slice: boundary-file overflow, stale epoch urls) are
-    dropped — the same filtering the former broadcast inner join did.
-    Residual false-match probability is ~2^-96 per dropped-row lookup
-    (h64+h32 both colliding); in-map h64 duplicates are resolved
-    exactly via urls."""
-    h, h2, ids, dup_h, dup_url_to_id = _load_idmap(idmap_dir)
+    id-map: one searchsorted per sorted map file over memory-mapped
+    hash arrays + vectorized 96-bit verification. Rows with no match
+    (urls outside the wave's doc slice: boundary-file overflow, stale
+    epoch urls) are dropped — the same filtering the former broadcast
+    inner join did. A row matching in more than one place (h64+h32
+    collision within or across files, ~2^-96 per pair) is resolved
+    exactly by url comparison."""
+    files = _load_idmap(idmap_dir)
     bh = rb.column("url_h").to_numpy()
     bh2 = rb.column("url_h2").to_numpy()
-    pos = np.searchsorted(h, bh)
-    pos_c = np.minimum(pos, len(h) - 1) if len(h) else np.zeros_like(pos)
-    ok = (pos < len(h)) & (h[pos_c] == bh) & (h2[pos_c] == bh2)
-    doc_ids = ids[pos_c]
-    if dup_h.size:
-        in_dup = np.isin(bh, dup_h)
-        if in_dup.any():
-            urls = rb.column("url").to_pylist()
-            for i in np.flatnonzero(in_dup):
-                did = dup_url_to_id.get(urls[i], -1)
-                ok[i] = did >= 0
-                doc_ids[i] = did
+    n = len(bh)
+    doc_ids = np.full(n, -1, dtype=np.int64)
+    n_match = np.zeros(n, dtype=np.int64)
+    ambiguous = np.zeros(n, dtype=bool)
+    for h, h2, ids, _urls in files:
+        lo = np.searchsorted(h, bh, side="left")
+        hi = np.searchsorted(h, bh, side="right")
+        lo_c = np.minimum(lo, len(h) - 1)
+        ok = (lo < len(h)) & (h[lo_c] == bh) & (h2[lo_c] == bh2)
+        doc_ids = np.where(ok & (n_match == 0), ids[lo_c], doc_ids)
+        n_match += ok
+        # an h64 run longer than 1 inside a file needs url resolution
+        ambiguous |= (hi - lo) > 1
+    ok = n_match == 1
+    ambiguous |= n_match > 1
+    if ambiguous.any():
+        urls = rb.column("url")
+        for i in np.flatnonzero(ambiguous):
+            u = urls[i].as_py()
+            found = -1
+            for h, h2, ids, furls in files:
+                lo = int(np.searchsorted(h, bh[i], side="left"))
+                hi = int(np.searchsorted(h, bh[i], side="right"))
+                for j in range(lo, hi):
+                    if furls[j].as_py() == u:
+                        found = int(ids[j])
+                        break
+                if found >= 0:
+                    break
+            ok[i] = found >= 0
+            doc_ids[i] = found
     return doc_ids, ok
 
 
+IDMAP_SCHEMA = "n long"
+
+
 def write_wave_idmap(dslice: DataFrame, idmap_dir: str) -> None:
-    """One narrow parallel job per wave: (url, doc_id) -> parquet of
-    (h=xxhash64(url), h2=murmur3(url), doc_id, url). Replaces the
-    former driver-built broadcast of the wave id-map — at a 16M-doc
-    production wave the broadcast's collect+build is 10-30 s of
-    SERIAL driver time per wave, while this job and the per-worker
-    sorted-array loads are parallel at any cluster size (executors
-    read the map from shared storage; memory = ~20 B/doc per worker,
-    ~320 MB at wave_docs=16M)."""
+    """One narrow parallel job per wave: each task sorts ITS partition
+    of (h=xxhash64(url), h2=murmur3(url), doc_id, url) by h and writes
+    one uncompressed Arrow IPC file (mmap-ready; see _load_idmap). No
+    shuffle, no sampling, no driver collect — this replaces a
+    driver-built broadcast whose collect+build is 10-30 s of SERIAL
+    driver time per 16M-doc production wave. Files need not be
+    h-disjoint: lookup probes each sorted file independently.
+
+    Requires the executor-shared POSIX filesystem the segment writer
+    already requires (_assert_segment_fs)."""
+    import os
+
+    if os.path.isdir(idmap_dir):
+        shutil.rmtree(idmap_dir)  # stale files from a crashed attempt
+    os.makedirs(idmap_dir)
+
+    def _write(batches):
+        import uuid
+
+        import pyarrow as pa
+
+        rbs = [rb for rb in batches if rb.num_rows]
+        n = 0
+        if rbs:
+            tbl = pa.Table.from_batches(rbs).combine_chunks()
+            order = np.argsort(tbl["h"].to_numpy(), kind="stable")
+            tbl = tbl.take(pa.array(order))
+            n = tbl.num_rows
+            pid = TaskContext.get().partitionId()
+            tmp = f"{idmap_dir}/.part-{pid}.{uuid.uuid4().hex}.tmp"
+            with pa.OSFile(tmp, "wb") as f:
+                with pa.ipc.new_file(f, tbl.schema) as w:
+                    w.write_table(tbl)
+            os.replace(tmp, f"{idmap_dir}/part-{pid}.arrow")
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n], type=pa.int64())], names=["n"])
+
     (
         dslice.select(
             F.xxhash64("url").alias("h"),
@@ -229,8 +273,9 @@ def write_wave_idmap(dslice: DataFrame, idmap_dir: str) -> None:
             F.col("doc_id"),
             F.col("url"),
         )
-        .write.mode("overwrite")
-        .parquet(idmap_dir)
+        .mapInArrow(_write, schema=IDMAP_SCHEMA)
+        .agg(F.sum("n"))
+        .collect()
     )
 
 

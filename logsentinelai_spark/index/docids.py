@@ -6,9 +6,10 @@ if wrong; `monotonically_increasing_id` is explicitly NOT acceptable).
 
 Scalable assignment in ONE Spark job (plus the range sampler Spark runs
 internally) — no count() job, no cache():
-  1. range-partition + sort pages' urls; a fused mapInArrow stamps each
-     row with (pid = sort partition, local_idx = row index within the
-     partition) — plain int columns, order-preserving; write parquet.
+  1. range-partition + sort pages' urls; pure JVM expressions stamp
+     each row with (pid = sort partition via spark_partition_id,
+     local_idx = row index within the partition via the low 33 bits of
+     monotonically_increasing_id) — order-preserving; write parquet.
   2. the driver reads the parquet FOOTERS (row counts + url min/max +
      pid stats per file; metadata only, no data scan) -> per-pid
      exclusive prefix offsets and per-file url bounds, persisted to
@@ -31,8 +32,6 @@ import json
 import os
 from pathlib import Path
 
-import numpy as np
-import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -49,25 +48,16 @@ def write_doc_map(pages_df: DataFrame, doc_map_dir: str, partitions: int | None 
         .repartitionByRange(nparts, F.col("url"))
         .sortWithinPartitions("url")
     )
-
-    def _stamp(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        for rb in batches:
-            n = rb.num_rows
-            yield pa.RecordBatch.from_arrays(
-                [
-                    rb.column("url").cast(pa.string()),
-                    pa.array(np.full(n, pid, dtype=np.int32)),
-                    pa.array(np.arange(seen, seen + n, dtype=np.int64)),
-                ],
-                names=["url", "pid", "local_idx"],
-            )
-            seen += n
-
-    stamped = ranged.mapInArrow(_stamp, schema="url string, pid int, local_idx long")
+    # (pid, local_idx) stamped as pure JVM expressions — no Python
+    # workers or Arrow IPC in stage 0. monotonically_increasing_id() is
+    # (partition_id << 33) + row-index-within-partition, so the low 33
+    # bits are exactly the post-sort local index (rows per partition
+    # must stay < 2^33 — 8.5e9, far above any shard sizing).
+    stamped = ranged.select(
+        F.col("url").cast("string").alias("url"),
+        F.spark_partition_id().alias("pid"),
+        (F.monotonically_increasing_id() % F.lit(1 << 33)).alias("local_idx"),
+    )
     stamped.write.mode("overwrite").parquet(doc_map_dir)
 
     files = []

@@ -194,21 +194,20 @@ def test_idmap_h64_collision_resolves_exactly(tmp_path):
     with duplicate h values."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from logsentinelai_spark.index.build import _IDMAP_CACHE, _resolve_doc_ids
 
     idmap = tmp_path / "idmap"
     idmap.mkdir()
-    pq.write_table(
-        pa.table({
-            "h": pa.array([5, 5, 9], type=pa.int64()),
-            "h2": pa.array([100, 100, 7], type=pa.int32()),
-            "doc_id": pa.array([11, 22, 33], type=pa.int64()),
-            "url": pa.array(["u-a", "u-b", "u-c"]),
-        }),
-        idmap / "part-0.parquet",
-    )
+    tbl = pa.table({
+        "h": pa.array([5, 5, 9], type=pa.int64()),
+        "h2": pa.array([100, 100, 7], type=pa.int32()),
+        "doc_id": pa.array([11, 22, 33], type=pa.int64()),
+        "url": pa.array(["u-a", "u-b", "u-c"]),
+    })
+    with pa.OSFile(str(idmap / "part-0.arrow"), "wb") as f:
+        with pa.ipc.new_file(f, tbl.schema) as w:
+            w.write_table(tbl)
     _IDMAP_CACHE.clear()
     rb = pa.record_batch({
         "url_h": pa.array([5, 5, 9, 5, 6], type=pa.int64()),
