@@ -39,11 +39,18 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cpus]`` — e.g.
+    ``local-cluster[4,4,8192]`` spawns 4 separate 4-core executor JVMs
+    on this box (Spark standalone's single-host cluster mode), the
+    faithful emulation of a 4-executor deployment: per-executor heaps,
+    GC, shuffle and Python workers, instead of one shared JVM. ``cpus``
+    then still sizes shuffle partitions."""
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -37,10 +37,11 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--cpus", type=int)
+    ap.add_argument("--master", help="Spark master override, e.g. local-cluster[4,4,8192]")
     ap.add_argument("--use-text-col", action="store_true")
     args = ap.parse_args()
 
-    spark = get_spark("build_index", cpus=args.cpus)
+    spark = get_spark("build_index", cpus=args.cpus, master=args.master)
     if args.synthetic:
         pages = gen_pages_df(spark, args.synthetic)
     elif args.from_documents:
