@@ -127,7 +127,8 @@ SEGMENT_SCHEMA = (
     "gaps_vb binary, tfs_vb binary, dls_vb binary"
 )
 MERGE_METRICS_SCHEMA = (
-    "shard long, term_bucket int, n_terms long, n_blocks long, postings long, bytes long"
+    "shard long, term_bucket int, n_terms long, n_blocks long, postings long, "
+    "bytes long, elapsed_ms long"
 )
 
 
@@ -498,9 +499,11 @@ def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str):
     oversized group fail loudly (>= 2 GiB encoded) rather than corrupt.
     """
 
-    metrics_cols = ["shard", "term_bucket", "n_terms", "n_blocks", "postings", "bytes"]
+    metrics_cols = ["shard", "term_bucket", "n_terms", "n_blocks", "postings",
+                    "bytes", "elapsed_ms"]
 
     def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t_group = time.monotonic()
         shard, bucket = (int(k) for k in key)
         base = shard * shard_size
         if len(pdf) == 0:
@@ -573,6 +576,11 @@ def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str):
                 "n_blocks": np.array([gid.size], dtype=np.int64),
                 "postings": np.array([int(enc["n"].sum())], dtype=np.int64),
                 "bytes": np.array([seg_bytes], dtype=np.int64),
+                # per-partition elapsed (north_rule: input split,
+                # postings, bytes, ELAPSED per lineage partition) —
+                # also the straggler/skew observability for the merge
+                "elapsed_ms": np.array(
+                    [int((time.monotonic() - t_group) * 1000)], dtype=np.int64),
             }
         )
 

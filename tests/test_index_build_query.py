@@ -48,6 +48,8 @@ def test_build_summary_and_manifests(spark, built):
     total = sum(p["postings"] for p in r.partition_metrics())
     want = sum(len(set(t)) for t in built["doc_tokens"].values())
     assert total == want
+    # per-partition elapsed is recorded (north_rule lineage fields)
+    assert all(p["elapsed_ms"] >= 0 for p in r.partition_metrics())
     for m in r.waves.values():
         assert set(m["stage_elapsed_sec"]) >= {"stage2_salted_merge", "commit_metrics"}
 
