@@ -183,26 +183,44 @@ def _load_idmap(idmap_dir: str):
 def _resolve_doc_ids(rb, idmap_dir: str):
     """Map a batch's (url_h, url_h2, url) to doc_ids via the wave
     id-map: one searchsorted per sorted map file over memory-mapped
-    hash arrays + vectorized 96-bit verification. Rows with no match
+    hash arrays + vectorized url confirmation. Rows with no match
     (urls outside the wave's doc slice: boundary-file overflow, stale
     epoch urls) are dropped — the same filtering the former broadcast
-    inner join did. A row matching in more than one place (h64+h32
-    collision within or across files, ~2^-96 per pair) is resolved
-    exactly by url comparison."""
+    inner join did.
+
+    EVERY hash match is confirmed by url equality (one Arrow take +
+    equals per file over the matched subset), so the mapping is
+    join-exact: a 96-bit (h64, h32) collision can never silently stamp
+    a wrong doc_id. Rows whose run head fails confirmation, or whose
+    h64 run is longer than 1, fall to an exact per-row url scan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     files = _load_idmap(idmap_dir)
     bh = rb.column("url_h").to_numpy()
     bh2 = rb.column("url_h2").to_numpy()
+    burls = rb.column("url")
     n = len(bh)
     doc_ids = np.full(n, -1, dtype=np.int64)
     n_match = np.zeros(n, dtype=np.int64)
     ambiguous = np.zeros(n, dtype=bool)
-    for h, h2, ids, _urls in files:
+    for h, h2, ids, furls in files:
         lo = np.searchsorted(h, bh, side="left")
         hi = np.searchsorted(h, bh, side="right")
         lo_c = np.minimum(lo, len(h) - 1)
-        ok = (lo < len(h)) & (h[lo_c] == bh) & (h2[lo_c] == bh2)
-        doc_ids = np.where(ok & (n_match == 0), ids[lo_c], doc_ids)
-        n_match += ok
+        cand = (lo < len(h)) & (h[lo_c] == bh) & (h2[lo_c] == bh2)
+        confirmed = np.zeros(n, dtype=bool)
+        if cand.any():
+            ci = np.flatnonzero(cand)
+            eq = pc.equal(
+                furls.take(pa.array(lo_c[ci])), burls.take(pa.array(ci))
+            ).to_numpy(zero_copy_only=False)
+            confirmed[ci[eq]] = True
+            # hash matched but url did not (a real h64+h32 collision
+            # against an out-of-wave url): resolve exactly by url scan
+            ambiguous |= cand & ~confirmed
+        doc_ids = np.where(confirmed & (n_match == 0), ids[lo_c], doc_ids)
+        n_match += confirmed
         # an h64 run longer than 1 inside a file needs url resolution
         ambiguous |= (hi - lo) > 1
     ok = n_match == 1

@@ -57,13 +57,18 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .crossJoin(emb)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", F.expr(_COS_EXPR))
+        .withColumn("cos", F.round(F.expr(_COS_EXPR), 6))
     )
+    # rank on the ROUNDED score (ties to lower vec_id) in BOTH engines:
+    # Spark's aggregate() fold and DuckDB's grouped sum need not produce
+    # bit-identical doubles, so ranking raw doubles would redden the
+    # gate on any near-tie at a rank boundary; 6-decimal ranking makes
+    # the order robust to summation-order drift.
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), F.round("cos", 6).alias("cos"))
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
     )
 
 
@@ -88,12 +93,15 @@ dots AS (
   FROM exp GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT query_id, neighbor_id, dot / (sqrt(nx) * sqrt(ny)) AS cos,
+  -- rank on the rounded score (see q_ann_brute): robust to
+  -- summation-order differences between engines
+  SELECT query_id, neighbor_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, neighbor_id) AS rank
+                            ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC,
+                                     neighbor_id) AS rank
   FROM dots
 )
-SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+SELECT query_id, rank, neighbor_id, cos
 FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -109,7 +117,10 @@ def lsh_bucket_expr(table: int, col: str = "embedding"):
     planes = hyperplanes(table)
     bits = []
     for p in range(N_PLANES):
-        arr = "array(" + ", ".join(f"{v!r}D" for v in planes[p]) + ")"
+        # float(v): numpy>=2 repr of a float64 scalar is
+        # 'np.float64(...)' — syntactically invalid SQL. Plain Python
+        # floats repr identically under numpy 1.x and 2.x.
+        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in planes[p]) + ")"
         dot = f"aggregate(zip_with({arr}, {col}, (x, y) -> x * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)"
         bits.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
     return F.expr(" + ".join(bits))
@@ -140,18 +151,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         j = (
             F.broadcast(qt).join(et, "b")
             .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id", F.expr(_COS_EXPR).alias("cos"))
+            .select("query_id", "vec_id", F.round(F.expr(_COS_EXPR), 6).alias("cos"))
         )
         scored = j if scored is None else scored.unionAll(j)
     # dedupe multi-table hits on the narrow (query_id, vec_id, cos)
-    # rows only — embeddings never cross this shuffle
+    # rows only — embeddings never cross this shuffle. cos is rounded
+    # BEFORE ranking (see q_ann_brute: robust to summation-order drift).
     cands = scored.groupBy("query_id", "vec_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
-                F.round("cos", 6).alias("cos"))
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
     )
 
 
@@ -163,7 +174,8 @@ def _sql_bucket_expr(table: int, col: str) -> str:
     planes = hyperplanes(table)
     bits = []
     for p in range(N_PLANES):
-        arr = "[" + ", ".join(repr(v) for v in planes[p]) + "]"
+        # repr(float(v)) — see lsh_bucket_expr on numpy>=2 scalar repr
+        arr = "[" + ", ".join(repr(float(v)) for v in planes[p]) + "]"
         dot = (
             f"list_dot_product({arr}::DOUBLE[],"
             f" list_transform({col}, x -> CAST(x AS DOUBLE)))"
@@ -203,16 +215,26 @@ dots AS (
   FROM exp GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT query_id, neighbor_id, dot / (sqrt(nx) * sqrt(ny)) AS cos,
+  -- rounded-score ranking: see q_ann_brute / SQL_ANN_BRUTE
+  SELECT query_id, neighbor_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, neighbor_id) AS rank
+                            ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC,
+                                     neighbor_id) AS rank
   FROM dots
 )
-SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+SELECT query_id, rank, neighbor_id, cos
 FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# Cross-engine determinism of the LSH/IVF gates: bucket sign bits and
+# centroid argmax still compare RAW doubles, relying on Spark's
+# aggregate() left-fold and DuckDB's list_dot_product sequential loop
+# producing the same sum. For the fixed standard-normal planes the dot
+# products sit far from zero (|dot| >> ulp), and centroid score ties
+# are broken by cid identically in both engines; the rank boundaries —
+# the one place near-ties actually occur — are decided on rounded
+# scores above, so summation-order drift cannot redden the gate there.
 SQL_ANN_LSH = _sql_ann_lsh()
 
 
@@ -301,19 +323,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         assigned.join(F.broadcast(q), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.expr(_COS_EXPR).alias("cos"))
+        .select("query_id", "vec_id", F.round(F.expr(_COS_EXPR), 6).alias("cos"))
     )
+    # rounded-score ranking — see q_ann_brute
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
-                F.round("cos", 6).alias("cos"))
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
     )
 
 
 def _dot_lit(vec: list[float]) -> str:
-    arr = "array(" + ", ".join(f"{v!r}D" for v in vec) + ")"
+    arr = "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
     return (
         f"aggregate(zip_with({arr}, embedding, (x, y) -> x * CAST(y AS DOUBLE)),"
         " 0D, (a, x) -> a + x)"
@@ -366,12 +388,14 @@ dots AS (
   FROM exp GROUP BY 1, 2
 ),
 ranked AS (
-  SELECT query_id, neighbor_id, dot / (sqrt(nx) * sqrt(ny)) AS cos,
+  -- rounded-score ranking: see q_ann_brute / SQL_ANN_BRUTE
+  SELECT query_id, neighbor_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, neighbor_id) AS rank
+                            ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC,
+                                     neighbor_id) AS rank
   FROM dots
 )
-SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+SELECT query_id, rank, neighbor_id, cos
 FROM ranked WHERE rank <= {TOP_K}
 """
 
