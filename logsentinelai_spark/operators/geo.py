@@ -6,24 +6,34 @@ every event IP is classified — invalid strings and out-of-range octets
 are dropped (`:101-106`, validity check), private / loopback /
 link-local ranges are dropped (`:72-79`, `_is_private_ip`), and the
 surviving public IPs are enriched with a
-``{country_code, location:{lat,lon}}`` struct via a point lookup
-against a local GeoLite2 database (`:91-136`). Kibana's map panel then
-aggregates the resulting ``geo_point`` field into grid cells
-(`INSTALL-and-USAGE.md:409-422`).
+``{country_code, location:{lat,lon}}`` struct via a lookup against a
+local GeoLite2 database (`:91-136`). That lookup is longest-prefix over
+CIDR *ranges*, not a point hash — which is what this module implements.
 
-Spark mapping:
-  * the GeoLite2 database is a SMALL DIMENSION — here a deterministic
-    256-row ip-prefix -> (country_code, lat, lon) table, broadcast to
-    every executor (at 100 TB the real MMDB is still a broadcast: a
-    few hundred MB, orders of magnitude under the fact table).
-  * the lookup is a BROADCAST HASH JOIN on the prefix key — no shuffle
-    of the fact side; the F4/F5 predicates run before the join so
-    dropped IPs never reach it.
+Spark mapping (the range-keyed broadcast-join pattern):
+  * the GeoLite2 database is a SMALL DIMENSION of disjoint IP ranges —
+    here a deterministic 1024-range table (CIDR-style /10-sized blocks,
+    deliberately offset by half a block so ~1/4 of ranges straddle a
+    /8 boundary). At 100 TB the real MMDB is still a broadcast: a few
+    hundred MB, orders of magnitude under the fact table.
+  * an interval join cannot hash directly, so each range is EXPANDED
+    into the coarse /8 prefix buckets it overlaps (`explode(sequence(
+    ip_lo>>24, ip_hi>>24))` — 1-2 buckets per range here; the pattern
+    generalizes to any range width). The fact side joins on the bucket
+    (broadcast HASH equi-join, no fact shuffle) with the
+    ``ip_num BETWEEN ip_lo AND ip_hi`` range predicate evaluated as the
+    join residual — O(ranges-per-bucket) candidate probes per row,
+    never a nested-loop over the whole dimension.
+  * the F4/F5 predicates run before the join so dropped IPs never
+    reach it.
   * the fixture ``events`` table has no IP column, so a deterministic
     dotted-quad is synthesized from event_id by the SAME SQL
     expression in Spark and DuckDB (exercising every predicate branch:
     non-numeric host strings, out-of-range octets, 10/8, 127/8,
-    192.168/16, plus public addresses).
+    192.168/16, plus public addresses). The synthesis (and its cache —
+    see enriched_events) lives ONLY in the fixture wrapper; the
+    production operator ``enrich_ips`` takes a real ip column and
+    never caches the fact table.
 
 All expressions are JVM-side (whole-stage codegen); the oracle runs
 the identical logic in DuckDB.
@@ -76,48 +86,93 @@ PRIVATE_SQL = (
     f"OR ({O1} = 192 AND {O2} = 168) OR ({O1} = 169 AND {O2} = 254))"
 )
 
-# Dimension formulas keyed on the first octet (the "prefix").
-DIM_CC_SPARK = f"element_at(array({', '.join(repr(c) for c in COUNTRIES)}), CAST(octet1 % 16 AS INT) + 1)"
-DIM_CC_DUCK = f"([{', '.join(repr(c) for c in COUNTRIES)}])[octet1 % 16 + 1]"
-DIM_LAT = "CAST((octet1 * 37) % 141 - 70 AS DOUBLE) + 0.5"
-DIM_LON = "CAST((octet1 * 73) % 341 - 170 AS DOUBLE) + 0.5"
+# numeric IPv4 (BIGINT — 223.x.y.z exceeds int32)
+IP_NUM_SQL = (
+    f"CAST({O1} AS BIGINT) * 16777216 + CAST({O2} AS BIGINT) * 65536 "
+    f"+ CAST({O3} AS BIGINT) * 256 + CAST({O4} AS BIGINT)"
+)
+
+# ---- range dimension: 1024 disjoint CIDR-style blocks of 2^22 ips,
+# offset by 2^21 so every 4th block straddles a /8 boundary (the
+# multi-bucket expansion path is exercised, not just the 1:1 case).
+# Coverage: [2^21, 1024*2^22 + 2^21) ⊇ all public IPv4 first-octets
+# 1..223, so every public ip matches EXACTLY one range (disjointness —
+# the same contract MaxMind CIDRs satisfy at lookup depth).
+N_RANGES = 1024
+RANGE_SPAN = 1 << 22
+RANGE_OFFSET = 1 << 21
+
+_DIM_CC = f"element_at(array({', '.join(repr(c) for c in COUNTRIES)}), CAST(id % 16 AS INT) + 1)"
+_DIM_CC_DUCK = f"([{', '.join(repr(c) for c in COUNTRIES)}])[CAST(j % 16 AS INT) + 1]"
+_DIM_LAT = "CAST(({j} * 37) % 141 - 70 AS DOUBLE) + 0.5"
+_DIM_LON = "CAST(({j} * 73) % 341 - 170 AS DOUBLE) + 0.5"
 
 
 def geo_dim(spark: SparkSession) -> DataFrame:
-    """256-row prefix -> (country_code, lat, lon) dimension (the
-    broadcast stand-in for a GeoLite2 point-lookup database)."""
-    return spark.range(0, 256).select(
-        F.col("id").cast("int").alias("octet1"),
-        F.expr(DIM_CC_SPARK).alias("country_code"),
-        F.expr(DIM_LAT).alias("lat"),
-        F.expr(DIM_LON).alias("lon"),
+    """1024-row range dimension (range_id, ip_lo, ip_hi, country_code,
+    lat, lon) — the broadcast stand-in for a GeoLite2 CIDR database."""
+    return spark.range(0, N_RANGES).select(
+        F.col("id").alias("range_id"),
+        (F.col("id") * RANGE_SPAN + RANGE_OFFSET).alias("ip_lo"),
+        (F.col("id") * RANGE_SPAN + RANGE_OFFSET + RANGE_SPAN - 1).alias("ip_hi"),
+        F.expr(_DIM_CC).alias("country_code"),
+        F.expr(_DIM_LAT.format(j="id")).alias("lat"),
+        F.expr(_DIM_LON.format(j="id")).alias("lon"),
     )
 
 
+def enrich_ips(events_ip: DataFrame, dim: DataFrame) -> DataFrame:
+    """PRODUCTION operator: rows with an ``ip`` string column ->
+    F5 valid -> F4 drop private -> range-keyed broadcast hash join
+    against the CIDR dimension. All input columns are preserved;
+    country_code / lat / lon are appended.
+
+    No cache, no repartition: at 100 TB the fact side streams through
+    one codegen stage (predicates + bucket key) straight into the
+    broadcast probe. The dimension is expanded to one row per /8
+    bucket it overlaps, so the join is a pure HASH equi-join on the
+    bucket with the range check as residual."""
+    public = (
+        events_ip.filter(F.expr(VALID_SQL_SPARK))
+        .filter(~F.expr(PRIVATE_SQL))
+        .withColumn("octet1", F.expr(O1))
+        .withColumn("ip_num", F.expr(IP_NUM_SQL))
+        .alias("p")
+    )
+    dim_b = dim.select(
+        F.expr(
+            "explode(sequence(CAST(ip_lo DIV 16777216 AS INT),"
+            " CAST(ip_hi DIV 16777216 AS INT)))"
+        ).alias("octet1"),
+        "ip_lo", "ip_hi", "country_code", "lat", "lon",
+    ).alias("d")
+    joined = public.join(
+        F.broadcast(dim_b),
+        (F.col("p.octet1") == F.col("d.octet1"))
+        & F.col("p.ip_num").between(F.col("d.ip_lo"), F.col("d.ip_hi")),
+    )
+    keep = [F.col(f"p.{c}") for c in events_ip.columns]
+    return joined.select(*keep, "d.country_code", "d.lat", "d.lon")
+
+
 def enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events -> synth ip -> F5 valid -> F4 drop private -> broadcast
-    hash join against the geo dimension on the prefix key.
+    """FIXTURE wrapper: events -> synth ip -> enrich_ips.
 
     The synthesized ip is MATERIALIZED (repartition + cache) before the
     predicates: Catalyst pushes the filters below the projection and
     inlines the synthesis CASE once per ip reference (~14 evaluations
     per row, measured 4x slower). A real corpus reads ip from storage,
-    so the predicates reference a materialized column there — the cache
-    only reproduces that for the fixture-synthesized column."""
+    so the predicates reference a stored column there — the cache
+    exists ONLY on this fixture-synthesis path; the production
+    operator (enrich_ips) never caches the fact table (plan-pinned by
+    test_enrich_ips_production_plan_has_no_cache)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     with_ip = (
         ev.repartition(spark.sparkContext.defaultParallelism)
         .select("event_id", "user_id", F.expr(IP_SYNTH_SQL).alias("ip"))
         .cache()
     )
-    public = (
-        with_ip.filter(F.expr(VALID_SQL_SPARK))
-        .filter(~F.expr(PRIVATE_SQL))
-        .withColumn("octet1", F.expr(O1))
-    )
-    return public.join(F.broadcast(geo_dim(spark)), "octet1").select(
-        "event_id", "user_id", "ip", "country_code", "lat", "lon"
-    )
+    return enrich_ips(with_ip, geo_dim(spark))
 
 
 def q_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,11 +198,23 @@ def q_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB 1.0 forbids lateral column refs in generate_series -> fixed
+# 0..255 bucket range + WHERE overlap filter (oracle-side only; the
+# Spark side uses the per-range sequence()).
 _DIM_CTE = f"""
 geo_dim AS (
-  SELECT i AS octet1, {DIM_CC_DUCK} AS country_code,
-         {DIM_LAT} AS lat, {DIM_LON} AS lon
-  FROM generate_series(0, 255) g(i)
+  SELECT j AS range_id,
+         j * {RANGE_SPAN} + {RANGE_OFFSET} AS ip_lo,
+         j * {RANGE_SPAN} + {RANGE_OFFSET} + {RANGE_SPAN - 1} AS ip_hi,
+         {_DIM_CC_DUCK} AS country_code,
+         {_DIM_LAT.format(j="j")} AS lat,
+         {_DIM_LON.format(j="j")} AS lon
+  FROM generate_series(0, {N_RANGES - 1}) g(j)
+),
+geo_dim_b AS (
+  SELECT d.*, t.b AS octet1
+  FROM geo_dim d, generate_series(0, 255) t(b)
+  WHERE t.b BETWEEN ip_lo // 16777216 AND ip_hi // 16777216
 )"""
 
 _ENRICH_CTE = f"""
@@ -155,13 +222,14 @@ with_ip AS (
   SELECT event_id, user_id, {IP_SYNTH_SQL} AS ip FROM events
 ),
 public AS (
-  SELECT event_id, user_id, ip, {O1} AS octet1
+  SELECT event_id, user_id, ip, {O1} AS octet1, {IP_NUM_SQL} AS ip_num
   FROM with_ip
   WHERE ({VALID_SQL_DUCK}) AND NOT {PRIVATE_SQL}
 ),
 enriched AS (
   SELECT p.event_id, p.user_id, p.ip, d.country_code, d.lat, d.lon
-  FROM public p JOIN geo_dim d USING (octet1)
+  FROM public p JOIN geo_dim_b d
+    ON p.octet1 = d.octet1 AND p.ip_num BETWEEN d.ip_lo AND d.ip_hi
 )"""
 
 SQL_GEO_ENRICH = f"""

@@ -58,6 +58,60 @@ def test_geo_enrich_drops_non_public(spark):
     assert len(out_ids) > 0
 
 
+def test_enrich_ips_production_plan_has_no_cache(spark):
+    """The PRODUCTION operator (real ip column) must not pin the fact
+    table: no InMemoryRelation anywhere in its plan (at 100 TB a cache
+    here would try to pin the corpus), and the dimension lookup stays a
+    broadcast hash join. The fixture wrapper's cache exists only for
+    the synthesized-ip column."""
+    events_ip = spark.createDataFrame(
+        [(1, "8.8.8.8"), (2, "10.0.0.1"), (3, "200.1.2.3")],
+        "event_id long, ip string",
+    )
+    df = geo.enrich_ips(events_ip, geo.geo_dim(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_dimension_is_range_keyed(spark):
+    """CIDR-range semantics: two public ips in the SAME /8 but on
+    opposite sides of a range boundary must enrich differently, and
+    every public ip matches exactly one range (disjoint coverage).
+    An octet-keyed point lookup could not produce this."""
+    # 1.0.0.0 = 16777216; ranges are [j*2^22 + 2^21, ...): ip 1.32.0.0
+    # (=18874368) sits in range j=4, ip 1.224.0.0 (=31457280) in j=7
+    events_ip = spark.createDataFrame(
+        [(1, "1.32.0.1"), (2, "1.224.0.1"), (3, "1.32.255.255")],
+        "event_id long, ip string",
+    )
+    rows = {r.event_id: r for r in geo.enrich_ips(events_ip, geo.geo_dim(spark)).collect()}
+    assert len(rows) == 3  # exactly-one-range coverage, nothing dropped
+    assert (rows[1].country_code, rows[1].lat) == (rows[3].country_code, rows[3].lat)
+    assert (rows[1].country_code, rows[1].lat, rows[1].lon) != (
+        rows[2].country_code, rows[2].lat, rows[2].lon)
+
+
+def test_range_dimension_straddles_octet_buckets(spark):
+    """~1/4 of ranges straddle a /8 boundary (the offset construction);
+    an ip just below and just above an octet boundary inside ONE range
+    must enrich identically — this exercises the multi-bucket
+    expansion of a single range."""
+    # range j=3 covers [3*2^22+2^21, 4*2^22+2^21) = [14680064, 18874368)
+    # which straddles 16777216 (=1.0.0.0): but 0.x ips are < octet 1 —
+    # use a higher straddler: j=7 covers [31457280, 35651584) and
+    # straddles 33554432 (=2.0.0.0).
+    events_ip = spark.createDataFrame(
+        [(1, "1.255.255.254"), (2, "2.0.0.1")],  # 33554430 and 33554433
+        "event_id long, ip string",
+    )
+    rows = {r.event_id: r for r in geo.enrich_ips(events_ip, geo.geo_dim(spark)).collect()}
+    assert len(rows) == 2
+    assert (rows[1].country_code, rows[1].lat, rows[1].lon) == (
+        rows[2].country_code, rows[2].lat, rows[2].lon)
+
+
 def test_geo_join_is_broadcast(spark):
     """The dimension lookup must be a broadcast hash join: no shuffle
     of the event-fact side (at 100 TB a sort-merge join here would
