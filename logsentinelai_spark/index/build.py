@@ -103,6 +103,19 @@ class IndexConfig:
     executor_shared_fs: bool = False  # set True only when executors mount the
                                       # SAME POSIX fs as the driver (NFS/Lustre);
                                       # see _assert_segment_fs
+    segment_transport: str = "auto"  # how executor-produced artifacts (posting
+                                     # segments, wave id-map) reach storage:
+                                     #  "direct"    direct POSIX writes from
+                                     #              tasks (fast path; requires
+                                     #              a driver-shared filesystem)
+                                     #  "committed" rows returned to Spark and
+                                     #              written via the DataFrame
+                                     #              writer -> Hadoop task-commit
+                                     #              protocol (atomic on object
+                                     #              stores, no shared-fs need)
+                                     #  "auto"      direct in local mode or
+                                     #              with executor_shared_fs,
+                                     #              else committed
 
     @property
     def wave_docs(self) -> int:
@@ -129,6 +142,20 @@ SEGMENT_SCHEMA = (
 MERGE_METRICS_SCHEMA = (
     "shard long, term_bucket int, n_terms long, n_blocks long, postings long, "
     "bytes long, elapsed_ms long"
+)
+# committed-transport merge output: the segment block rows themselves
+# (grouping keys included for the partitionBy write) plus ONE in-band
+# metrics row per (shard, term_bucket) group, marked block_id = -1 with
+# the metrics packed into existing columns:
+#   n -> n_terms, first_doc -> postings, last_doc -> bytes,
+#   max_tf -> elapsed_ms, min_dl -> n_blocks, sum_tf = -1, term = NULL.
+# Readers never see these rows: the Spark path's `term IN (...)`
+# predicate excludes NULL terms, and the local path filters
+# block_id >= 0 (query.py).
+SEGMENT_ROWS_SCHEMA = (
+    "shard long, term_bucket int, term string, block_id int, n int, "
+    "first_doc long, last_doc long, max_tf long, min_dl long, sum_tf long, "
+    "gaps_vb binary, tfs_vb binary, dls_vb binary"
 )
 
 
@@ -174,6 +201,24 @@ def _load_idmap(idmap_dir: str):
         h2 = tbl["h2"].to_numpy()
         ids = tbl["doc_id"].to_numpy()
         files.append((h, h2, ids, tbl["url"]))
+    if not files:
+        # committed-transport idmap: h-sorted-within-file parquet written
+        # through Spark's committer (see write_wave_idmap). Decoding
+        # copies the arrays per worker (~20 B/doc) instead of sharing
+        # the OS page cache — the price of object-store portability; the
+        # Arrow-IPC mmap layout above remains the shared-fs fast path.
+        import pyarrow.parquet as pq
+
+        for name in sorted(Path(idmap_dir).glob("part-*.parquet")):
+            tbl = pq.read_table(name, memory_map=True).combine_chunks()
+            if tbl.num_rows == 0:
+                continue
+            files.append((
+                tbl["h"].to_numpy(zero_copy_only=False),
+                tbl["h2"].to_numpy(zero_copy_only=False),
+                tbl["doc_id"].to_numpy(zero_copy_only=False),
+                tbl["url"],
+            ))
     out = tuple(files)
     _IDMAP_CACHE.clear()
     _IDMAP_CACHE[idmap_dir] = out
@@ -247,18 +292,37 @@ def _resolve_doc_ids(rb, idmap_dir: str):
 IDMAP_SCHEMA = "n long"
 
 
-def write_wave_idmap(dslice: DataFrame, idmap_dir: str) -> None:
+def write_wave_idmap(dslice: DataFrame, idmap_dir: str, transport: str = "direct") -> None:
     """One narrow parallel job per wave: each task sorts ITS partition
     of (h=xxhash64(url), h2=murmur3(url), doc_id, url) by h and writes
-    one uncompressed Arrow IPC file (mmap-ready; see _load_idmap). No
-    shuffle, no sampling, no driver collect — this replaces a
-    driver-built broadcast whose collect+build is 10-30 s of SERIAL
-    driver time per 16M-doc production wave. Files need not be
+    one file. No shuffle, no sampling, no driver collect — this
+    replaces a driver-built broadcast whose collect+build is 10-30 s of
+    SERIAL driver time per 16M-doc production wave. Files need not be
     h-disjoint: lookup probes each sorted file independently.
 
-    Requires the executor-shared POSIX filesystem the segment writer
-    already requires (_assert_segment_fs)."""
+    transport="direct" writes uncompressed Arrow IPC files straight
+    from tasks (mmap-ready, page-cache-shared across workers; see
+    _load_idmap) — requires the executor-shared POSIX filesystem
+    (_assert_segment_fs). transport="committed" routes the same
+    h-sorted rows through Spark's parquet writer (task-commit protocol;
+    works on object stores), uncompressed + per-file sorted so the
+    lookup structure is identical."""
     import os
+
+    sel = dslice.select(
+        F.xxhash64("url").alias("h"),
+        F.hash("url").alias("h2"),
+        F.col("doc_id"),
+        F.col("url"),
+    )
+    if transport == "committed":
+        (
+            sel.sortWithinPartitions("h")
+            .write.mode("overwrite")
+            .option("compression", "none")
+            .parquet(idmap_dir)
+        )
+        return
 
     if os.path.isdir(idmap_dir):
         shutil.rmtree(idmap_dir)  # stale files from a crashed attempt
@@ -285,17 +349,7 @@ def write_wave_idmap(dslice: DataFrame, idmap_dir: str) -> None:
         yield pa.RecordBatch.from_arrays(
             [pa.array([n], type=pa.int64())], names=["n"])
 
-    (
-        dslice.select(
-            F.xxhash64("url").alias("h"),
-            F.hash("url").alias("h2"),
-            F.col("doc_id"),
-            F.col("url"),
-        )
-        .mapInArrow(_write, schema=IDMAP_SCHEMA)
-        .agg(F.sum("n"))
-        .collect()
-    )
+    sel.mapInArrow(_write, schema=IDMAP_SCHEMA).agg(F.sum("n")).collect()
 
 
 def _stage1_arrow_schema():
@@ -522,70 +576,23 @@ def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str):
 
     def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t_group = time.monotonic()
-        shard, bucket = (int(k) for k in key)
-        base = shard * shard_size
-        if len(pdf) == 0:
+        merged = _merge_group(key, pdf, shard_size, block_size)
+        if merged is None:
             return pd.DataFrame(columns=metrics_cols)
-        pdf = pdf.sort_values(["term", "salt", "block_id"], kind="mergesort", ignore_index=True)
-        terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy()
-        n_vals = pdf["n"].to_numpy(dtype=np.int64)
-
-        gaps = vb_decode(b"".join(pdf["gaps_vb"])).astype(np.int64)
-        tfs = vb_decode(b"".join(pdf["tfs_vb"])).astype(np.int64)
-        dls = vb_decode(b"".join(pdf["dls_vb"])).astype(np.int64)
-
-        # run = maximal (term, salt) span of block rows; gap chains reset there
-        new_run = np.concatenate(([True], (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])))
-        row_val_starts = np.concatenate(([0], np.cumsum(n_vals)))
-        run_rows = np.flatnonzero(new_run)
-        run_val_starts = row_val_starts[run_rows]
-        run_val_sizes = np.diff(np.append(run_val_starts, gaps.size))
-        csum = np.cumsum(gaps)
-        csum_before = np.concatenate(([0], csum[:-1]))[run_val_starts]
-        docs = csum - np.repeat(csum_before, run_val_sizes) + base
-
-        run_terms = terms[run_rows]
-        new_term = np.concatenate(([True], run_terms[1:] != run_terms[:-1]))
-        tid = np.repeat(np.cumsum(new_term) - 1, run_val_sizes)
-        uniq_terms = run_terms[new_term]
-
-        order = np.lexsort((docs, tid))
-        docs, tfs, dls, tid = docs[order], tfs[order], dls[order], tid[order]
-        group_starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
-        enc = encode_blocks_grouped(
-            docs, tfs, dls, group_starts,
-            np.full(group_starts.size, base, dtype=np.int64), block_size)
-        gid = enc["gid"]
+        shard, bucket, uniq_terms, enc, gid, seg_bytes = merged
         import os
         import uuid
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pa.table(
-            {
-                "term": pa.array(uniq_terms[gid], type=pa.string()),
-                "block_id": pa.array(enc["block_id"].astype(np.int32)),
-                "n": pa.array(enc["n"].astype(np.int32)),
-                "first_doc": pa.array(enc["first_doc"]),
-                "last_doc": pa.array(enc["last_doc"]),
-                "max_tf": pa.array(enc["max_tf"]),
-                "min_dl": pa.array(enc["min_dl"]),
-                "sum_tf": pa.array(enc["group_sum_tf"][gid]),
-                "gaps_vb": enc["gaps_vb"],
-                "tfs_vb": enc["tfs_vb"],
-                "dls_vb": enc["dls_vb"],
-            }
-        )
+        tbl = pa.table(dict(_block_columns(pa, uniq_terms, enc, gid)))
         d = f"{seg_dir}/shard={shard}/term_bucket={bucket}"
         os.makedirs(d, exist_ok=True)
         tmp = f"{d}/.part-0.{uuid.uuid4().hex}.tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, f"{d}/part-0.parquet")
 
-        seg_bytes = sum(
-            len(enc[c].buffers()[2]) for c in ("gaps_vb", "tfs_vb", "dls_vb"))
         return pd.DataFrame(
             {
                 "shard": np.array([shard], dtype=np.int64),
@@ -605,24 +612,178 @@ def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str):
     return _merge
 
 
+def _merge_group(key, pdf: pd.DataFrame, shard_size: int, block_size: int):
+    """The transport-independent merge body (see _merge_runs_fn for the
+    algorithm). Returns (shard, bucket, uniq_terms, enc, gid, seg_bytes)
+    or None for an empty group."""
+    # applyInPandas passes numpy scalars, applyInArrow pyarrow scalars
+    shard, bucket = (int(k.as_py() if hasattr(k, "as_py") else k) for k in key)
+    base = shard * shard_size
+    if len(pdf) == 0:
+        return None
+    pdf = pdf.sort_values(["term", "salt", "block_id"], kind="mergesort", ignore_index=True)
+    terms = pdf["term"].to_numpy()
+    salts = pdf["salt"].to_numpy()
+    n_vals = pdf["n"].to_numpy(dtype=np.int64)
+
+    gaps = vb_decode(b"".join(pdf["gaps_vb"])).astype(np.int64)
+    tfs = vb_decode(b"".join(pdf["tfs_vb"])).astype(np.int64)
+    dls = vb_decode(b"".join(pdf["dls_vb"])).astype(np.int64)
+
+    # run = maximal (term, salt) span of block rows; gap chains reset there
+    new_run = np.concatenate(([True], (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])))
+    row_val_starts = np.concatenate(([0], np.cumsum(n_vals)))
+    run_rows = np.flatnonzero(new_run)
+    run_val_starts = row_val_starts[run_rows]
+    run_val_sizes = np.diff(np.append(run_val_starts, gaps.size))
+    csum = np.cumsum(gaps)
+    csum_before = np.concatenate(([0], csum[:-1]))[run_val_starts]
+    docs = csum - np.repeat(csum_before, run_val_sizes) + base
+
+    run_terms = terms[run_rows]
+    new_term = np.concatenate(([True], run_terms[1:] != run_terms[:-1]))
+    tid = np.repeat(np.cumsum(new_term) - 1, run_val_sizes)
+    uniq_terms = run_terms[new_term]
+
+    order = np.lexsort((docs, tid))
+    docs, tfs, dls, tid = docs[order], tfs[order], dls[order], tid[order]
+    group_starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
+    enc = encode_blocks_grouped(
+        docs, tfs, dls, group_starts,
+        np.full(group_starts.size, base, dtype=np.int64), block_size)
+    seg_bytes = sum(
+        len(enc[c].buffers()[2]) for c in ("gaps_vb", "tfs_vb", "dls_vb"))
+    return shard, bucket, uniq_terms, enc, enc["gid"], seg_bytes
+
+
+def _block_columns(pa, uniq_terms, enc, gid):
+    """Ordered (name, array) pairs of the per-block segment columns."""
+    return [
+        ("term", pa.array(uniq_terms[gid], type=pa.string())),
+        ("block_id", pa.array(enc["block_id"].astype(np.int32))),
+        ("n", pa.array(enc["n"].astype(np.int32))),
+        ("first_doc", pa.array(enc["first_doc"])),
+        ("last_doc", pa.array(enc["last_doc"])),
+        ("max_tf", pa.array(enc["max_tf"])),
+        ("min_dl", pa.array(enc["min_dl"])),
+        ("sum_tf", pa.array(enc["group_sum_tf"][gid])),
+        ("gaps_vb", enc["gaps_vb"]),
+        ("tfs_vb", enc["tfs_vb"]),
+        ("dls_vb", enc["dls_vb"]),
+    ]
+
+
+def _segment_rows_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("shard", pa.int64()), ("term_bucket", pa.int32()),
+        ("term", pa.string()), ("block_id", pa.int32()), ("n", pa.int32()),
+        ("first_doc", pa.int64()), ("last_doc", pa.int64()),
+        ("max_tf", pa.int64()), ("min_dl", pa.int64()), ("sum_tf", pa.int64()),
+        ("gaps_vb", pa.binary()), ("tfs_vb", pa.binary()), ("dls_vb", pa.binary()),
+    ])
+
+
+def _merge_rows_fn(shard_size: int, block_size: int):
+    """Committed-transport merge: identical merge body, but instead of
+    writing files from the task, the merged block rows are RETURNED to
+    Spark (applyInArrow — no pandas object round-trip on the output)
+    and land on storage through ``df.write.partitionBy(...)``, i.e. the
+    Hadoop task-commit protocol: task attempts write to attempt-unique
+    paths and only the committed attempt's files become visible, which
+    is correct on object stores and on clusters without a driver-shared
+    filesystem. Per-group metrics ride along as ONE in-band row
+    (block_id = -1; packing documented at SEGMENT_ROWS_SCHEMA), read
+    back by a tiny column-pruned scan after the write — so the merge
+    stays a single wide job either way. elapsed_ms covers the merge
+    compute; the file write itself is Spark's (its cost shows up in the
+    stage wall, not per group)."""
+
+    def _merge(key, tbl):
+        import pyarrow as pa
+
+        t_group = time.monotonic()
+        schema = _segment_rows_arrow_schema()
+        merged = _merge_group(key, tbl.to_pandas(), shard_size, block_size)
+        if merged is None:
+            return schema.empty_table()
+        shard, bucket, uniq_terms, enc, gid, seg_bytes = merged
+        nb = gid.size
+        blocks = pa.table(
+            {
+                "shard": pa.array(np.full(nb, shard, dtype=np.int64)),
+                "term_bucket": pa.array(np.full(nb, bucket, dtype=np.int32)),
+                **dict(_block_columns(pa, uniq_terms, enc, gid)),
+            },
+            schema=schema,
+        )
+        elapsed_ms = int((time.monotonic() - t_group) * 1000)
+        metrics = pa.table(
+            {
+                "shard": pa.array([shard], type=pa.int64()),
+                "term_bucket": pa.array([bucket], type=pa.int32()),
+                "term": pa.array([None], type=pa.string()),
+                "block_id": pa.array([-1], type=pa.int32()),
+                "n": pa.array([len(uniq_terms)], type=pa.int32()),
+                "first_doc": pa.array([int(enc["n"].sum())], type=pa.int64()),
+                "last_doc": pa.array([seg_bytes], type=pa.int64()),
+                "max_tf": pa.array([elapsed_ms], type=pa.int64()),
+                "min_dl": pa.array([int(nb)], type=pa.int64()),
+                "sum_tf": pa.array([-1], type=pa.int64()),
+                "gaps_vb": pa.array([None], type=pa.binary()),
+                "tfs_vb": pa.array([None], type=pa.binary()),
+                "dls_vb": pa.array([None], type=pa.binary()),
+            },
+            schema=schema,
+        )
+        return pa.concat_tables([blocks, metrics])
+
+    return _merge
+
+
 # --------------------------------------------------------------------- build driver
 
 def _assert_segment_fs(spark: SparkSession, cfg: IndexConfig) -> None:
-    """The merge stage's direct segment writes (os.makedirs +
-    pq.write_table + os.replace from executor tasks — _merge_runs_fn)
-    are only correct when every executor sees the driver's POSIX
-    filesystem: in local mode always, on a cluster only with a shared
-    mount (NFS/Lustre/FUSE). On executor-local disks the segments would
-    silently land on the wrong machines, and os.replace atomicity does
-    not hold on object stores. Fail loudly instead of corrupting."""
+    """The DIRECT transport's segment/id-map writes (os.makedirs +
+    pq.write_table + os.replace from executor tasks) are only correct
+    when every executor sees the driver's POSIX filesystem: in local
+    mode always, on a cluster only with a shared mount
+    (NFS/Lustre/FUSE). On executor-local disks the files would silently
+    land on the wrong machines, and os.replace atomicity does not hold
+    on object stores. Fail loudly instead of corrupting — or use
+    segment_transport="committed", which has no such requirement."""
     master = spark.sparkContext.master
     if not master.startswith("local") and not cfg.executor_shared_fs:
         raise RuntimeError(
-            f"index segment writes require a driver-shared POSIX filesystem; "
-            f"master={master!r}. On a multi-node cluster point index_dir at a "
-            "shared mount and set IndexConfig(executor_shared_fs=True), or use "
-            "a task-commit writer for object storage."
+            f"segment_transport='direct' requires a driver-shared POSIX "
+            f"filesystem; master={master!r}. On a multi-node cluster either "
+            "point index_dir at a shared mount and set "
+            "IndexConfig(executor_shared_fs=True), or use "
+            "segment_transport='committed' (the default resolution of "
+            "'auto' on a cluster) to route segments through Spark's "
+            "task-commit writer."
         )
+
+
+def _resolve_transport(spark: SparkSession, cfg: IndexConfig) -> str:
+    """'auto' -> 'direct' where direct writes are known-safe (local
+    mode, or attested shared fs), else 'committed'. An explicit
+    'direct' on an unshared cluster fails loudly (_assert_segment_fs).
+    """
+    mode = cfg.segment_transport
+    if mode == "auto":
+        master = spark.sparkContext.master
+        mode = (
+            "direct"
+            if master.startswith("local") or cfg.executor_shared_fs
+            else "committed"
+        )
+    if mode not in ("direct", "committed"):
+        raise ValueError(f"unknown segment_transport {cfg.segment_transport!r}")
+    if mode == "direct":
+        _assert_segment_fs(spark, cfg)
+    return mode
 
 
 def build_index(
@@ -635,7 +796,7 @@ def build_index(
     """Build (or resume) the full index at index_dir. Returns a summary
     dict. ``fail_after_wave`` injects a crash for resume tests."""
     cfg = cfg or IndexConfig()
-    _assert_segment_fs(spark, cfg)
+    _resolve_transport(spark, cfg)  # fail fast on a bad transport/fs combo
     out = Path(index_dir)
     out.mkdir(parents=True, exist_ok=True)
     meta_path = out / "_meta.json"
@@ -686,7 +847,8 @@ def extend_index(spark: SparkSession, pages_df: DataFrame, index_dir: str) -> di
     cfg = IndexConfig(**{k: meta[k] for k in (
         "shard_size", "n_buckets", "block_size", "wave_shards", "use_text_col")})
     cfg.executor_shared_fs = bool(meta.get("executor_shared_fs", False))
-    _assert_segment_fs(spark, cfg)
+    cfg.segment_transport = meta.get("segment_transport", "auto")
+    _resolve_transport(spark, cfg)
     known = None
     for ep in meta["epochs"]:
         u = spark.read.parquet(str(out / ep["dir"])).select("url")
@@ -747,6 +909,7 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
     out = Path(index_dir)
     timer = StageTimer()
     store_dir = out / "store" / f"wave={wave}"
+    transport = _resolve_transport(spark, cfg)
 
     # resume-safe: runs (kind=1) are deleted after commit, so an
     # uncommitted wave with a half-gone store is recomputed
@@ -764,7 +927,7 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
             # 10-30 s of serial DRIVER time per 16M-doc wave collecting
             # and building the broadcast. This path keeps the id-map
             # distribution parallel at any cluster size.
-            write_wave_idmap(dslice, str(idmap_dir))
+            write_wave_idmap(dslice, str(idmap_dir), transport=transport)
         with timer.time("stage1_partial_runs"):
             url_lo, url_hi = wave_url_bounds(dm_meta, lo, hi, id_base=id_base)
             wave_pages = pages_df.filter(F.col("url").between(url_lo, url_hi))
@@ -786,21 +949,53 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
 
     with timer.time("stage2_salted_merge"):
         seg_dir = out / "postings" / f"wave={wave}"
-        if seg_dir.exists():
-            shutil.rmtree(seg_dir)  # uncommitted leftovers from a crash
-        seg_dir.mkdir(parents=True, exist_ok=True)
-        # merge tasks write their own segment files (see _merge_runs_fn);
-        # the job's RESULT is the per-(shard, bucket) metrics — one
-        # action, no second scan, no dynamic-partition write sort
-        part_metrics = [
-            r.asDict()
-            for r in runs.groupBy("shard", "term_bucket")
-            .applyInPandas(
-                _merge_runs_fn(cfg.shard_size, cfg.block_size, str(seg_dir)),
-                schema=MERGE_METRICS_SCHEMA,
+        if transport == "direct":
+            if seg_dir.exists():
+                shutil.rmtree(seg_dir)  # uncommitted leftovers from a crash
+            seg_dir.mkdir(parents=True, exist_ok=True)
+            # merge tasks write their own segment files (_merge_runs_fn);
+            # the job's RESULT is the per-(shard, bucket) metrics — one
+            # action, no second scan, no dynamic-partition write sort
+            part_metrics = [
+                r.asDict()
+                for r in runs.groupBy("shard", "term_bucket")
+                .applyInPandas(
+                    _merge_runs_fn(cfg.shard_size, cfg.block_size, str(seg_dir)),
+                    schema=MERGE_METRICS_SCHEMA,
+                )
+                .collect()
+            ]
+        else:
+            # committed transport: the merge returns the block rows and
+            # Spark's partitioned write commits them (correct without a
+            # shared fs / on object stores); metrics ride in-band and
+            # are read back by a tiny column-pruned scan (_merge_rows_fn)
+            (
+                runs.groupBy("shard", "term_bucket")
+                .applyInArrow(
+                    _merge_rows_fn(cfg.shard_size, cfg.block_size),
+                    schema=SEGMENT_ROWS_SCHEMA,
+                )
+                .write.mode("overwrite")
+                .partitionBy("shard", "term_bucket")
+                .parquet(str(seg_dir))
             )
-            .collect()
-        ]
+            part_metrics = [
+                r.asDict()
+                for r in spark.read.option("basePath", str(seg_dir))
+                .parquet(str(seg_dir))
+                .filter(F.col("block_id") == -1)
+                .select(
+                    F.col("shard").cast("long").alias("shard"),
+                    F.col("term_bucket").cast("int").alias("term_bucket"),
+                    F.col("n").cast("long").alias("n_terms"),
+                    F.col("min_dl").alias("n_blocks"),
+                    F.col("first_doc").alias("postings"),
+                    F.col("last_doc").alias("bytes"),
+                    F.col("max_tf").alias("elapsed_ms"),
+                )
+                .collect()
+            ]
 
     with timer.time("commit_metrics"):
         # doc totals from the in-band kind=2 batch-lineage rows — a tiny

@@ -172,10 +172,12 @@ def test_build_with_null_text_rows(spark, tmp_path):
     assert ds.filter("dl = 0").count() >= n_null  # null docs indexed as empty
 
 
-def test_cluster_master_requires_shared_fs_flag(spark, tmp_path):
-    """_assert_segment_fs: direct executor segment writes are gated to
-    local mode unless the caller attests a shared POSIX filesystem."""
-    from logsentinelai_spark.index.build import _assert_segment_fs
+def test_transport_resolution(spark, tmp_path):
+    """segment_transport resolution: 'auto' picks the direct POSIX fast
+    path only where it is known-safe (local mode / attested shared fs)
+    and the task-commit writer everywhere else; forcing 'direct' on an
+    unshared cluster fails loudly."""
+    from logsentinelai_spark.index.build import _resolve_transport
 
     class FakeSC:
         master = "spark://cluster:7077"
@@ -183,10 +185,60 @@ def test_cluster_master_requires_shared_fs_flag(spark, tmp_path):
     class FakeSpark:
         sparkContext = FakeSC()
 
-    with pytest.raises(RuntimeError, match="shared POSIX filesystem"):
-        _assert_segment_fs(FakeSpark(), IndexConfig())
-    _assert_segment_fs(FakeSpark(), IndexConfig(executor_shared_fs=True))  # no raise
-    _assert_segment_fs(spark, IndexConfig())  # local mode: no raise
+    assert _resolve_transport(spark, IndexConfig()) == "direct"  # local auto
+    assert _resolve_transport(FakeSpark(), IndexConfig()) == "committed"
+    assert _resolve_transport(
+        FakeSpark(), IndexConfig(executor_shared_fs=True)) == "direct"
+    assert _resolve_transport(
+        FakeSpark(), IndexConfig(segment_transport="committed")) == "committed"
+    with pytest.raises(RuntimeError, match="driver-shared POSIX"):
+        _resolve_transport(FakeSpark(), IndexConfig(segment_transport="direct"))
+    with pytest.raises(ValueError, match="unknown segment_transport"):
+        _resolve_transport(spark, IndexConfig(segment_transport="nfs"))
+
+
+CFG_COMMITTED = IndexConfig(
+    shard_size=CFG.shard_size, wave_shards=CFG.wave_shards,
+    n_buckets=CFG.n_buckets, block_size=CFG.block_size,
+    segment_transport="committed",
+)
+
+
+def test_committed_transport_matches_direct(spark, built, tmp_path):
+    """An index built with the task-commit writer (segments routed
+    through Spark's partitioned write; id-map through committed
+    parquet) must be indistinguishable from a direct-write build:
+    same global stats, same lineage totals, rank-identical top-k on
+    BOTH serving paths."""
+    idxc = str(tmp_path / "db_committed")
+    pages = gen_pages_df(spark, N_DOCS, partitions=8)
+    build_index(spark, pages, idxc, CFG_COMMITTED)
+    rc = IndexReader(spark, idxc)
+    rd = IndexReader(spark, built["idx"])
+    assert rc.global_stats() == rd.global_stats()
+    for key in ("postings", "bytes", "n_terms", "n_blocks"):
+        assert (sum(p[key] for p in rc.partition_metrics())
+                == sum(p[key] for p in rd.partition_metrics())), key
+    for q in list(gen_queries().head(5).itertuples()):
+        assert topk(rc, q.query_text, k=q.k) == topk(rd, q.query_text, k=q.k)
+        assert (topk_local(rc, q.query_text, k=q.k)
+                == topk_local(rd, q.query_text, k=q.k))
+
+
+def test_committed_transport_resume(spark, built, tmp_path):
+    """Resume must work identically through the committed writer: kill
+    after wave 0, resume, compare to the uninterrupted direct build."""
+    idxc = str(tmp_path / "db_committed_resume")
+    pages = gen_pages_df(spark, N_DOCS, partitions=8)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, pages, idxc, CFG_COMMITTED, fail_after_wave=0)
+    summary = build_index(spark, pages, idxc, CFG_COMMITTED)
+    assert summary["skipped_waves"] == [0]
+    assert summary["built_waves"] == [1, 2]
+    rc = IndexReader(spark, idxc)
+    for q in list(gen_queries().head(4).itertuples()):
+        assert (topk(rc, q.query_text, k=q.k)
+                == topk(IndexReader(spark, built["idx"]), q.query_text, k=q.k))
 
 
 def test_idmap_h64_collision_resolves_exactly(tmp_path):
