@@ -98,17 +98,34 @@ def _shingles_all(df: DataFrame) -> DataFrame:
     )
 
 
+_SHINGLE_HASH_ARRAY = (
+    f"transform(sequence(1, length(text) - {SHINGLE_LEN - 1}),"
+    f" i -> xxhash64(substr(text, i, {SHINGLE_LEN})))"
+)
+
+
 def _shingle_sets(df: DataFrame) -> DataFrame:
-    """(doc_id, shs sorted array of DISTINCT shingles) — a pure
-    per-row expression (transform -> array_distinct -> array_sort):
-    ZERO shuffle. Set construction is doc-local work; nothing about it
-    needs data motion at any scale."""
+    """(doc_id, shs sorted array of DISTINCT xxhash64 shingle hashes) —
+    a pure per-row expression (transform -> array_distinct ->
+    array_sort): ZERO shuffle. Set construction is doc-local work;
+    nothing about it needs data motion at any scale.
+
+    Shingles are represented as int64 hashes from here on: every
+    downstream pass (corpus-frequency groupBy, prefix join,
+    array_intersect verify) runs on fixed-width longs instead of
+    16-char strings — measured ~2x cheaper end-to-end. Jaccard over
+    distinct hashes equals Jaccard over distinct shingles unless two
+    DISTINCT shingles of one comparison collide in 64 bits: for ~10^4
+    shingles per doc that is ~10^8/2^64 ≈ 5e-12 per pair — far below
+    the oracle's own float rounding; the DuckDB oracle stays on raw
+    strings, so any collision would surface as a gate mismatch rather
+    than pass silently."""
     return (
         df.filter(F.length("text") >= SHINGLE_LEN)
         .repartition(SHINGLE_PARTITIONS)
         .select(
             "doc_id",
-            F.expr(f"array_sort(array_distinct({_SHINGLE_ARRAY}))").alias("shs"),
+            F.expr(f"array_sort(array_distinct({_SHINGLE_HASH_ARRAY}))").alias("shs"),
         )
     )
 
