@@ -81,10 +81,17 @@ _RE2_PASSES: list[tuple[str, str]] = [
     (rf"(?i)</(?:p|h[1-6]|div|li|tr|title)[{_WS}]*>|<br[{_WS}]*/?>", "\n"),
     (r"<[^>]*>", ""),
 ]
+# Two passes, provably equivalent to the naive three (collapse
+# non-newline runs -> trim spaces around newlines -> squeeze \n+):
+# matches never span non-whitespace, so equivalence reduces to maximal
+# whitespace runs — a run containing >=1 newline becomes "\n" (pass 1
+# swallows the whole run: space-class prefix, first \n, then any
+# whitespace greedily), a run without newlines becomes " " (pass 2).
+# One fewer full-buffer scan per batch; the Python oracle is the
+# byte-identity contract and the fuzz test pins the equivalence.
 _RE2_WS_PASSES: list[tuple[str, str]] = [
-    (r"[ \t\r\f\v]+", " "),  # collapse non-newline whitespace runs
-    (r" ?\n ?", "\n"),       # trim spaces around newlines
-    (r"\n+", "\n"),          # squeeze empty lines
+    (r"[ \t\r\f\v]*\n[ \t\n\r\f\v]*", "\n"),  # ws runs containing \n
+    (r"[ \t\r\f\v]+", " "),                   # remaining ws runs
 ]
 
 

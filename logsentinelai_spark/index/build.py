@@ -471,14 +471,16 @@ def stage1_partial_runs(
                                    int((time.monotonic() - t_batch) * 1000))
                 continue
             # term strings exist as Python objects ONLY for the (small)
-            # batch vocabulary; the token stream itself stays in Arrow —
-            # dictionary_encode gives int codes at C speed. Object-dtype
+            # batch vocabulary's md5 bucket pass; the token stream stays
+            # in Arrow — dictionary_encode gives int codes at C speed,
+            # and the output term column is materialized by a dictionary
+            # take (C-level), never through an object array. Object-dtype
             # per-token work is memory-bandwidth-hostile and anti-scales
             # at 32 concurrent workers.
             de = flat.filter(pa.array(nonempty)).dictionary_encode()
             codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            uniq = np.asarray(de.dictionary.to_pandas(), dtype=object)
-            nvocab = len(uniq)
+            vocab = de.dictionary
+            nvocab = len(vocab)
             # tf(doc, term) = run lengths of the sorted (doc_idx, code)
             # key; int32 keys when the range allows (typical: 10k rows x
             # ~5k vocab) — the token-stream sort is the batch's widest
@@ -504,10 +506,11 @@ def stage1_partial_runs(
                 ([True], (ucode[1:] != ucode[:-1]) | (shards[1:] != shards[:-1])))
             group_starts = np.flatnonzero(newgrp)
             shards_g = shards[group_starts]
-            terms_g = uniq[ucode[group_starts]]
+            group_codes = ucode[group_starts]
             ub = np.fromiter(
-                (term_bucket_py(t, n_buckets) for t in uniq), dtype=np.int32, count=nvocab)
-            buckets_g = ub[ucode[group_starts]]
+                (term_bucket_py(t, n_buckets) for t in vocab.to_pylist()),
+                dtype=np.int32, count=nvocab)
+            buckets_g = ub[group_codes]
             enc = encode_blocks_grouped(
                 docs, tfs, dls, group_starts, shards_g * shard_size, block_size)
             gid = enc["gid"]
@@ -517,7 +520,8 @@ def stage1_partial_runs(
                     const(1, np.int32, nb), const(-1, np.int64, nb),
                     pa.nulls(nb, pa.string()), const(-1, np.int64, nb),
                     pa.array(shards_g[gid]), pa.array(buckets_g[gid]),
-                    const(run_id, np.int64, nb), pa.array(terms_g[gid], type=pa.string()),
+                    const(run_id, np.int64, nb),
+                    pc.take(vocab, pa.array(group_codes[gid])),
                     pa.array(enc["block_id"].astype(np.int32)),
                     pa.array(enc["n"].astype(np.int32)),
                     pa.array(enc["first_doc"]), pa.array(enc["last_doc"]),
