@@ -251,14 +251,38 @@ def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k
 
 # ----------------------------------------------------------------- distributed top-k
 
-# Below this many candidate postings, exhaustively decoding + summing
-# (acc) beats WAND's cursor machinery; above it, block skipping pays.
-AUTO_WAND_POSTINGS = 2_000_000
+# auto-mode routing, CALIBRATED by scripts/bench_wand_crossover.py
+# (synthetic posting lists, identical rankings asserted, min-of-3
+# timings). WAND's cost is ~per-window Python iteration (~150-250 us)
+# plus the blocks it actually decodes; acc's is ~0.4 us per posting
+# for the exhaustive vectorized decode. WAND therefore wins only when
+# the query mixes one long list with SELECTIVE companions — iteration
+# count ~ (total - max_df) — and loses at ANY size when all terms are
+# dense. Measured (3-term query, one long low-tf list + two
+# heavy-tail companions; total ≈ long_df):
+#   total=10.4M, total-max=400k  (ratio 26):  wand 0.55x acc  -> acc
+#   total=10.0M, total-max=40k   (ratio 251): wand 0.79x acc  -> acc
+#   total=3.0M,  total-max=3k    (ratio 1e3): wand 3.0x  acc  -> wand
+#   total=10.0M, total-max=4k    (ratio 2.5e3): wand 4.4x acc -> wand
+#   total=30.0M, total-max=6k    (ratio 5e3): wand 5.7x  acc  -> wand
+# Crossover sits near ratio ~400-500 once total > ~2M; below the
+# posting floor the fixed cursor setup never amortizes.
+AUTO_WAND_MIN_POSTINGS = 2_000_000
+AUTO_WAND_SELECTIVITY = 450
 
 
-def _pick_scorer(mode: str, total_postings: int):
+def _pick_scorer(mode: str, dfs_values):
     if mode == "auto":
-        mode = "wand" if total_postings > AUTO_WAND_POSTINGS else "acc"
+        dfs_values = list(dfs_values)
+        total = sum(dfs_values)
+        rest = total - max(dfs_values, default=0)
+        mode = (
+            "wand"
+            if total > AUTO_WAND_MIN_POSTINGS
+            and rest > 0
+            and total > AUTO_WAND_SELECTIVITY * rest
+            else "acc"
+        )
     return _score_shard_wand if mode == "wand" else _score_shard_acc
 
 
@@ -271,10 +295,12 @@ def topk(
 ) -> list[tuple]:
     """Distributed BM25 top-k. Returns [(doc_id, score[, url])].
 
-    ``mode="auto"`` (default) picks acc below AUTO_WAND_POSTINGS
-    candidate postings and block-max WAND above — measured crossover:
-    acc wins at every sandbox scale; WAND's skipping pays only on
-    posting lists long enough that block pruning beats linear decode."""
+    ``mode="auto"`` (default) routes on the MEASURED crossover (see
+    _pick_scorer): block-max WAND when the query pairs a long posting
+    list with selective companions (>2M candidate postings and
+    total > ~450x the non-longest lists — where skipping whole blocks
+    beats exhaustive decode by 3-6x), the vectorized accumulator
+    everywhere else (dense terms: acc wins at any size)."""
     qterms = sorted(set(tokenize(query_text)))
     if not qterms:
         return []
@@ -289,7 +315,7 @@ def topk(
             return []
         N, avgdl = reader.global_stats()
         idfs = {t: idf_fn(N, dfs[t]) for t in qterms}
-        score_fn = _pick_scorer(mode, sum(dfs[t] for t in qterms))
+        score_fn = _pick_scorer(mode, (dfs[t] for t in qterms))
         shard_size = reader.cfg.shard_size
 
         def _per_shard(key, pdf):
@@ -305,6 +331,131 @@ def topk(
         urls = reader.doc_urls([d for d, _ in top])
         return [(d, s, urls.get(d)) for d, s in top]
     return top
+
+
+def _score_shard_acc_many(
+    pdf: pd.DataFrame,
+    qterms_list: list[list[str]],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    base: int,
+):
+    """Batched accumulate scorer: decode every query term's postings
+    ONCE per shard, then score all queries against the shared decoded
+    arrays. The amortization is exactly why the batched path uses acc
+    and not WAND — block skipping is per-query, shared decode is not."""
+    pdf = pdf.sort_values(["term", "block_id"], kind="mergesort", ignore_index=True)
+    terms = pdf["term"].to_numpy()
+    gaps_a = pdf["gaps_vb"].to_numpy()
+    tfs_a = pdf["tfs_vb"].to_numpy()
+    dls_a = pdf["dls_vb"].to_numpy()
+    tb = np.append(
+        np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1]))), len(terms))
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for s, e in zip(tb[:-1], tb[1:]):
+        t = terms[s]
+        w = idfs.get(t)
+        if w is None:
+            continue
+        g = vb_decode(b"".join(gaps_a[s:e])).astype(np.int64)
+        d = np.cumsum(g) + base
+        tf = vb_decode(b"".join(tfs_a[s:e])).astype(np.float64)
+        dl = vb_decode(b"".join(dls_a[s:e])).astype(np.float64)
+        per_term[t] = (d, _contrib(tf, dl, w, avgdl))
+    out = []
+    for qi, qterms in enumerate(qterms_list):
+        parts = [per_term[t] for t in qterms if t in per_term]
+        if not parts:
+            continue
+        docs = np.concatenate([p[0] for p in parts])
+        con = np.concatenate([p[1] for p in parts])
+        uniq, inv = np.unique(docs, return_inverse=True)
+        sums = np.bincount(inv, weights=con)
+        order = np.lexsort((uniq, -sums))[:k]
+        out += [(qi, int(uniq[i]), float(sums[i])) for i in order]
+    return out
+
+
+def topk_many(
+    reader: IndexReader,
+    query_texts: list[str],
+    k: int = 10,
+    with_urls: bool = False,
+) -> list[list[tuple]]:
+    """Batched distributed BM25 top-k: ONE pruned block scan serves the
+    whole query set (dashboards' worth of queries in one job instead of
+    one Spark job per query). Returns one [(doc_id, score[, url])] list
+    per input query, each rank-identical to :func:`topk` with
+    mode="acc" (pytest-pinned).
+
+    Plan shape: the scan is pruned to the UNION of the queries' term
+    buckets with `term IN (union terms)` pushed down; each shard task
+    decodes every term once and accumulates all queries against the
+    shared arrays (_score_shard_acc_many); the driver merges
+    queries x shards x k rows. Scaling: work per shard is
+    |postings(union q) ∩ shard| — the same scan a single worst-case
+    query would do, amortized over the whole batch."""
+    qterms_list = [sorted(set(tokenize(q))) for q in query_texts]
+    all_terms = sorted({t for qt in qterms_list for t in qt})
+    if not all_terms:
+        return [[] for _ in query_texts]
+    blocks = reader.postings_blocks(all_terms)
+    blocks.persist()
+    try:
+        dfs = {r.term: r.df for r in blocks.groupBy("term").agg(F.sum("n").alias("df")).collect()}
+        N, avgdl = reader.global_stats()
+        idfs = {t: idf_fn(N, dfs[t]) for t in all_terms if dfs.get(t)}
+        shard_size = reader.cfg.shard_size
+
+        def _per_shard(key, pdf):
+            rows = _score_shard_acc_many(
+                pdf, qterms_list, idfs, avgdl, k, base=int(key[0]) * shard_size)
+            return pd.DataFrame(
+                {"query_id": [q for q, _, _ in rows],
+                 "doc_id": [d for _, d, _ in rows],
+                 "score": [s for _, _, s in rows]})
+
+        per_shard = blocks.groupBy("shard").applyInPandas(
+            _per_shard, schema="query_id int, doc_id long, score double")
+        by_q: dict[int, list[tuple[int, float]]] = {}
+        for r in per_shard.collect():
+            by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    finally:
+        blocks.unpersist()
+    tops = [_topk_merge(by_q.get(qi, []), k) for qi in range(len(query_texts))]
+    if with_urls:
+        urls = reader.doc_urls(sorted({d for top in tops for d, _ in top}))
+        return [[(d, s, urls.get(d)) for d, s in top] for top in tops]
+    return tops
+
+
+def topk_many_local(
+    reader: IndexReader,
+    query_texts: list[str],
+    k: int = 10,
+) -> list[list[tuple]]:
+    """Driver-local batched serving: one pruned pyarrow read for the
+    union of query terms, shared per-term decode, no Spark job — the
+    low-latency twin of :func:`topk_many` (see topk_local)."""
+    qterms_list = [sorted(set(tokenize(q))) for q in query_texts]
+    all_terms = sorted({t for qt in qterms_list for t in qt})
+    if not all_terms:
+        return [[] for _ in query_texts]
+    pdf = reader.postings_blocks_local(all_terms)
+    pdf = pdf[pdf["block_id"] >= 0]
+    if pdf.empty:
+        return [[] for _ in query_texts]
+    dfs = pdf.groupby("term", sort=False)["n"].sum().to_dict()
+    N, avgdl = reader.global_stats()
+    idfs = {t: idf_fn(N, int(df)) for t, df in dfs.items() if df}
+    by_q: dict[int, list[tuple[int, float]]] = {}
+    for shard, g in pdf.groupby("shard", sort=False):
+        for qi, d, s in _score_shard_acc_many(
+            g, qterms_list, idfs, avgdl, k, base=int(shard) * reader.cfg.shard_size
+        ):
+            by_q.setdefault(qi, []).append((d, s))
+    return [_topk_merge(by_q.get(qi, []), k) for qi in range(len(query_texts))]
 
 
 def topk_local(
@@ -330,7 +481,7 @@ def topk_local(
     dfs = pdf.groupby("term", sort=False)["n"].sum().to_dict()
     N, avgdl = reader.global_stats()
     idfs = {t: idf_fn(N, int(df)) for t, df in dfs.items() if df}
-    score_fn = _pick_scorer(mode, int(sum(dfs.values())))
+    score_fn = _pick_scorer(mode, (int(v) for v in dfs.values()))
     pairs: list[tuple[int, float]] = []
     for shard, g in pdf.groupby("shard", sort=False):
         pairs += score_fn(g, idfs, avgdl, k, base=int(shard) * reader.cfg.shard_size)

@@ -98,6 +98,29 @@ def test_topk_local_with_urls(spark, built):
         assert u == built["urls"][d]
 
 
+def test_topk_many_rank_identical_to_per_query(spark, built):
+    """Batched serving (one pruned scan for N queries) must be
+    rank-identical to the per-query path on BOTH the Spark and the
+    driver-local route."""
+    from logsentinelai_spark.index.query import topk_many, topk_many_local
+
+    r = IndexReader(spark, built["idx"])
+    queries = gen_queries()
+    sel = list(queries.head(6).itertuples()) + list(queries.iloc[20:24].itertuples())
+    texts = [q.query_text for q in sel]
+    many = topk_many(r, texts, k=10)
+    many_local = topk_many_local(r, texts, k=10)
+    assert len(many) == len(texts) == len(many_local)
+    for i, q in enumerate(sel):
+        single = topk(r, q.query_text, k=10, mode="acc")
+        assert many[i] == single, f"spark-batched q{q.query_id}"
+        assert many_local[i] == single, f"local-batched q{q.query_id}"
+    # url attachment matches the per-query path
+    with_urls = topk_many(r, texts[:2], k=3, with_urls=True)
+    for i in range(2):
+        assert with_urls[i] == topk(r, texts[i], k=3, mode="acc", with_urls=True)
+
+
 def test_extend_index_new_snapshot(spark, built, tmp_path):
     """Incremental epoch: build on the first 800 docs, extend with the
     full 1200-doc snapshot; results must be rank-identical to the
@@ -239,6 +262,60 @@ def test_committed_transport_resume(spark, built, tmp_path):
     for q in list(gen_queries().head(4).itertuples()):
         assert (topk(rc, q.query_text, k=q.k)
                 == topk(IndexReader(spark, built["idx"]), q.query_text, k=q.k))
+
+
+def test_s2_snapshot_pinned_under_concurrent_append(spark, tmp_path):
+    """S2 snapshot semantics of the parquet shim: a build pinned to a
+    snapshot must index EXACTLY that snapshot even when new files are
+    appended to the pages directory mid-build (between the crash and
+    the resume), at BOTH layers:
+      (a) read_snapshot pins the file list, so the resumed scan never
+          sees appended files;
+      (b) even a resume over the dirty directory stays exact, because
+          the doc_map epoch + wave id-map drop urls that have no id in
+          the pinned snapshot."""
+    from pyspark.sql import functions as F
+
+    from logsentinelai_spark.sources.io import read_snapshot
+
+    pages_dir = str(tmp_path / "pages")
+    gen_pages_df(spark, 600, partitions=4).write.parquet(pages_dir)
+    snap_df, snap_files = read_snapshot(spark, pages_dir)
+    snapshot_urls = sorted(r.url for r in snap_df.select("url").collect())
+    cfg = IndexConfig(shard_size=128, wave_shards=2, n_buckets=4, block_size=32)
+
+    idx = str(tmp_path / "idx_pinned")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, snap_df, idx, cfg, fail_after_wave=0)
+    # concurrent append: urls interleave INSIDE the snapshot's url range
+    # (suffix sorts right after each existing url), so wave url-bound
+    # pruning alone cannot exclude them
+    (
+        gen_pages_df(spark, 600, partitions=2)
+        .withColumn("url", F.concat("url", F.lit("-late")))
+        .write.mode("append").parquet(pages_dir)
+    )
+    snap_df2, _ = read_snapshot(spark, pages_dir, files=snap_files)
+    build_index(spark, snap_df2, idx, cfg)
+    r = IndexReader(spark, idx)
+    assert r.global_stats()[0] == 600
+    assert sorted(
+        row.url for row in r.doc_stats_df().select("url").collect()
+    ) == snapshot_urls
+
+    # (b) dirty-directory resume: naive re-read sees 1200 rows, yet the
+    # id-map gate keeps the index exactly the 600-doc snapshot
+    idx2 = str(tmp_path / "idx_dirty")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, snap_df2, idx2, cfg, fail_after_wave=0)
+    dirty = spark.read.parquet(pages_dir)
+    assert dirty.count() == 1200
+    build_index(spark, dirty, idx2, cfg)
+    r2 = IndexReader(spark, idx2)
+    assert r2.global_stats() == r.global_stats()
+    assert sorted(
+        row.url for row in r2.doc_stats_df().select("url").collect()
+    ) == snapshot_urls
 
 
 def test_idmap_h64_collision_resolves_exactly(tmp_path):
