@@ -52,3 +52,24 @@ def read_pages(spark: SparkSession, source: str, snapshot_id: int | None = None)
     if missing:
         raise ValueError(f"pages source {source!r} missing columns {missing}")
     return df.select(*PAGES_COLUMNS)
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, files: list[str] | None = None
+) -> tuple[DataFrame, list[str]]:
+    """Parquet-shim snapshot read (S2): pin the table to the FILE LIST
+    present at first read and return (df over exactly those files,
+    the list). Files appended to the directory afterwards are invisible
+    to the returned df — the shim analog of an Iceberg
+    ``snapshot-id`` read. Persist the returned list and re-pass it as
+    ``files`` to re-pin the same snapshot after a crash/restart.
+
+    Defense in depth: even a caller that resumes over a DIRTY directory
+    read is protected by the build's own snapshot gates — the doc_map
+    epoch fixes which urls have ids, and stage 1 drops rows whose url
+    resolves to no id in the wave id-map
+    (test_s2_snapshot_pinned_under_concurrent_append pins both layers).
+    """
+    if files is None:
+        files = sorted(spark.read.parquet(path).inputFiles())
+    return spark.read.parquet(*files), files

@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--master", help="Spark master override, e.g. local-cluster[4,4,8192]")
     ap.add_argument("--use-text-col", action="store_true")
+    ap.add_argument("--segment-transport", default="auto",
+                    choices=["auto", "direct", "committed"])
     args = ap.parse_args()
 
     spark = get_spark("build_index", cpus=args.cpus, master=args.master)
@@ -46,8 +48,20 @@ def main() -> None:
         pages = gen_pages_df(spark, args.synthetic)
     elif args.from_documents:
         pages = pages_from_documents(spark, args.from_documents)
+    elif "/" in (args.pages or ""):
+        # parquet path: pin the snapshot's FILE LIST at first build and
+        # persist it next to the index, so a resume after a crash reads
+        # the same snapshot even if files were appended meanwhile (S2;
+        # the Iceberg branch below gets this from snapshot-id natively)
+        from logsentinelai_spark.sources.io import read_snapshot
+
+        snap_path = Path(args.out) / "_snapshot_files.json"
+        prev = json.loads(snap_path.read_text()) if snap_path.exists() else None
+        pages, files = read_snapshot(spark, args.pages, files=prev)
+        snap_path.parent.mkdir(parents=True, exist_ok=True)
+        snap_path.write_text(json.dumps(files))
     else:
-        # Iceberg identifier or parquet path (sources/io.py)
+        # Iceberg table identifier (sources/io.py)
         pages = read_pages(spark, args.pages, snapshot_id=args.snapshot_id)
     cfg = IndexConfig(
         shard_size=args.shard_size,
@@ -55,6 +69,7 @@ def main() -> None:
         n_buckets=args.n_buckets,
         block_size=args.block_size,
         use_text_col=args.use_text_col,
+        segment_transport=args.segment_transport,
     )
     t0 = time.monotonic()
     summary = build_index(spark, pages, args.out, cfg)
