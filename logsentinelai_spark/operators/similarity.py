@@ -274,22 +274,14 @@ def _centroid_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[flo
     return out
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: every vector is assigned to its nearest centroid's
-    inverted list (argmax of dot/|c|, ties to lower centroid id); each
-    query probes its N_PROBE nearest lists and exact-cosine re-ranks
-    only those lists' members. The scale path: assignment is a
-    constant-folded JVM expression (centroids are the collected model,
-    ~K*dim doubles), search is a broadcast HASH equi-join on list_id —
-    candidates ~ N*N_PROBE/K per query, never a cross join, and only
-    (query_id, vec_id, cos) rows reach the top-k shuffle."""
-    cents = _centroid_rows(spark, sf_dir)
-    emb = _load(spark, sf_dir)
-
+def _ivf_assign(emb: DataFrame, cents: list[tuple[int, list[float], float]]) -> DataFrame:
+    """(vec_id, embedding, list_id) — nearest-centroid assignment as a
+    constant-folded JVM expression (argmax of dot/|c|, ties to lower
+    centroid id via array_position's first-match)."""
     score_exprs = ", ".join(
         f"({_dot_lit(vec)}) / {norm!r}D" for _, vec, norm in cents)
     cid_arr = ", ".join(str(cid) for cid, _, _ in cents)
-    assigned = (
+    return (
         emb.withColumn("scores", F.expr(f"array({score_exprs})"))
         .withColumn(
             "list_id",
@@ -299,6 +291,64 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "embedding", "list_id")
     )
+
+
+def ivf_train(
+    emb: DataFrame,
+    seed_cents: list[tuple[int, list[float], float]],
+    iters: int = 2,
+) -> list[tuple[int, list[float], float]]:
+    """Lloyd iterations over the IVF centroids, Spark-native: each
+    iteration assigns every vector via the constant-folded argmax
+    (_ivf_assign — no shuffle of embeddings) and recomputes centroids
+    as per-list component means via posexplode -> groupBy(list, dim)
+    with map-side partial aggregation — the shuffle carries at most
+    partitions x k x dim partial rows, never the data; only the k x dim
+    model crosses the driver per iteration. Empty lists keep their
+    previous centroid. Returns centroids in the (cid, vec, norm) shape
+    _ivf_search consumes."""
+    import math
+
+    cents = list(seed_cents)
+    for _ in range(iters):
+        assigned = _ivf_assign(emb, cents)
+        rows = (
+            assigned.select("list_id", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("list_id", "dim")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in rows:
+            by_list.setdefault(int(r.list_id), {})[int(r.dim)] = (float(r.s), int(r.n))
+        new_cents = []
+        for cid, old_vec, old_norm in cents:
+            dims = by_list.get(cid)
+            if not dims:
+                new_cents.append((cid, old_vec, old_norm))
+                continue
+            vec = [dims[d][0] / dims[d][1] for d in range(len(old_vec))]
+            new_cents.append((cid, vec, math.sqrt(_fold_dot(vec, vec))))
+        cents = new_cents
+    return cents
+
+
+def _ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: list[tuple[int, list[float], float]],
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF search against a given centroid model: every vector is
+    assigned to its nearest centroid's inverted list; each query probes
+    its n_probe nearest lists and exact-cosine re-ranks only those
+    lists' members. The scale path: assignment is a constant-folded JVM
+    expression (centroids are the collected model, ~K*dim doubles),
+    search is a broadcast HASH equi-join on list_id — candidates
+    ~ N*n_probe/K per query, never a cross join, and only
+    (query_id, vec_id, cos) rows reach the top-k shuffle."""
+    emb = _load(spark, sf_dir)
+    assigned = _ivf_assign(emb, cents)
 
     # query probe lists, computed driver-side with the same left-fold
     # (queries are a fixed tiny set — this is the "broadcast queries"
@@ -313,7 +363,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv = [float(x) for x in r.embedding]
         ranked = sorted(
             ((-(_fold_dot(qv, vec) / norm), cid) for cid, vec, norm in cents))
-        probe_pairs += [(int(r.vec_id), cid) for _, cid in ranked[:N_PROBE]]
+        probe_pairs += [(int(r.vec_id), cid) for _, cid in ranked[:n_probe]]
     probes = spark.createDataFrame(probe_pairs, "query_id long, list_id long")
     q = (
         emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
@@ -332,6 +382,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
     )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate entry: IVF search with the deterministic step-0
+    centroid model (seed rows — SQL-expressible, DuckDB-oracle-gated).
+    Lloyd-refined models go through ivf_train + _ivf_search and are
+    recall-tested in pytest (a trained model is not SQL-expressible,
+    so the hash gate stays on step-0 by design)."""
+    return _ivf_search(spark, sf_dir, _centroid_rows(spark, sf_dir), N_PROBE)
 
 
 def _dot_lit(vec: list[float]) -> str:

@@ -126,6 +126,44 @@ def test_ann_ivf_recall_and_structure(spark):
     assert sum(recalls) / len(recalls) > 0.25, recalls
 
 
+def test_ann_ivf_lloyd_training_improves_recall(spark):
+    """Lloyd iterations (ivf_train) must not degrade recall@10 vs the
+    step-0 seed centroids at equal N_PROBE, and should improve the
+    quantization objective (mean assignment score) — the property
+    k-means guarantees. The hash-gated query stays on step-0 (the
+    deterministic SQL-expressible oracle); this pins the trained path."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    seed = similarity._centroid_rows(spark, SF)
+    trained = similarity.ivf_train(emb, seed, iters=2)
+
+    def mean_assign_score(cents):
+        score_exprs = ", ".join(
+            f"({similarity._dot_lit(vec)}) / {norm!r}D" for _, vec, norm in cents)
+        return (
+            emb.select(F.expr(f"array_max(array({score_exprs}))").alias("s"))
+            .agg(F.avg("s")).collect()[0][0]
+        )
+
+    assert mean_assign_score(trained) >= mean_assign_score(seed) - 1e-9
+
+    brute_sets = {}
+    for r in similarity.q_ann_brute(spark, SF).collect():
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(cents):
+        sets = {}
+        for r in similarity._ivf_search(spark, SF, cents, similarity.N_PROBE).collect():
+            sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rs = [len(brute_sets[q] & sets.get(q, set())) / len(brute_sets[q])
+              for q in brute_sets]
+        return sum(rs) / len(rs)
+
+    r_seed, r_trained = recall(seed), recall(trained)
+    assert r_trained >= r_seed - 1e-9, (r_seed, r_trained)
+
+
 def test_multimodal_stub_gated(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
