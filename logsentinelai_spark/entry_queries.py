@@ -284,6 +284,7 @@ QUERIES = {
     "ann_brute": _sim.q_ann_brute,
     "ann_lsh": _sim.q_ann_lsh,
     "ann_ivf": _sim.q_ann_ivf,
+    "ann_pq_adc": _sim.q_ann_pq_adc,
     "embedding_neardup": _sim.q_embedding_neardup,
     # text analysis
     "lang_id": _ts.q_lang_id,
@@ -322,6 +323,7 @@ ORACLES = {
     # sides), so the LSH path is hash-gated like everything else
     "ann_lsh": _sim.SQL_ANN_LSH,
     "ann_ivf": _sim.SQL_ANN_IVF,
+    "ann_pq_adc": _sim.SQL_ANN_PQ_ADC,
     "embedding_neardup": _sim.SQL_EMBEDDING_NEARDUP,
     "lang_id": _ts.SQL_LANG_ID,
     "quality_score": _ts.SQL_QUALITY,

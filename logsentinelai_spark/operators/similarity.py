@@ -459,6 +459,171 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ------------------------------------------------------------------ PQ (ADC)
+
+# Product quantization (Jégou, Douze, Schmid, "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011): split the 64-dim vector
+# into M_SUB subspaces, quantize each subvector to one of K_PQ
+# codebook entries, and score queries against the M_SUB-byte CODES via
+# asymmetric distance computation (ADC) — a per-subspace lookup table
+# of query-to-centroid dot products. At 10^12 vectors this is the
+# memory path: 8 bytes/vector instead of 256, scanned JVM-side with
+# constant-folded LUTs; here the codebooks are deterministic step-0
+# (seed rows' subvectors, like the IVF centroids) so the whole
+# pipeline is SQL-expressible and DuckDB-hash-gated.
+M_SUB = 8          # subspaces
+SUB_DIM = 8        # dims per subspace (M_SUB * SUB_DIM = 64)
+K_PQ = 16          # codebook entries per subspace
+PQ_CODEBOOK_IDS = list(range(200, 200 + K_PQ))  # seed rows
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """codebooks[m][j] = SUB_DIM floats: subvector m of seed row
+    (200+j). Collected once (K_PQ rows) — the model, not the data."""
+    rows = (
+        _load(spark, sf_dir)
+        .filter(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows}
+    return [
+        [by_id[200 + j][m * SUB_DIM:(m + 1) * SUB_DIM] for j in range(K_PQ)]
+        for m in range(M_SUB)
+    ]
+
+
+def _sub_dot_lit(m: int, cent: list[float]) -> str:
+    """dot(subvector m of `embedding`, literal centroid) as a JVM expr."""
+    arr = "array(" + ", ".join(f"{float(v)!r}D" for v in cent) + ")"
+    sub = f"slice(embedding, {m * SUB_DIM + 1}, {SUB_DIM})"
+    return (
+        f"aggregate(zip_with({arr}, {sub}, (x, y) -> x * CAST(y AS DOUBLE)),"
+        " 0D, (a, x) -> a + x)"
+    )
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-10: every vector is encoded to M_SUB 4-bit codes by
+    per-subspace nearest centroid (argmin L2 == argmax dot - |c|^2/2,
+    ties to lower code); each query's approximate score is the sum of
+    per-subspace LUT entries at the vector's codes. Encoding and
+    scoring are constant-folded JVM expressions (the codebooks and the
+    5 query LUTs are literals); no join touches the embedding column —
+    only (vec_id, 8 small ints) flow into scoring, which is the entire
+    point of PQ at 10^12 rows."""
+    cbs = _pq_codebooks(spark, sf_dir)
+    emb = _load(spark, sf_dir)
+
+    code_cols = []
+    for m in range(M_SUB):
+        scores = ", ".join(
+            f"({_sub_dot_lit(m, cbs[m][j])}) - {float(_fold_dot(cbs[m][j], cbs[m][j]) / 2)!r}D"
+            for j in range(K_PQ)
+        )
+        code_cols.append(
+            F.expr(
+                f"CAST(array_position(array({scores}), array_max(array({scores}))) AS INT) - 1"
+            ).alias(f"code{m}")
+        )
+    codes = emb.select("vec_id", *code_cols)
+
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    scored = None
+    for r in sorted(q_rows, key=lambda r: r.vec_id):
+        qv = [float(x) for x in r.embedding]
+        terms = []
+        for m in range(M_SUB):
+            lut = ", ".join(
+                f"{float(_fold_dot(qv[m * SUB_DIM:(m + 1) * SUB_DIM], cbs[m][j]))!r}D"
+                for j in range(K_PQ)
+            )
+            terms.append(f"element_at(array({lut}), code{m} + 1)")
+        branch = (
+            codes.filter(F.col("vec_id") != int(r.vec_id))
+            .select(
+                F.lit(int(r.vec_id)).alias("query_id"),
+                "vec_id",
+                F.round(F.expr(" + ".join(terms)), 6).alias("adc"),
+            )
+        )
+        scored = branch if scored is None else scored.unionAll(branch)
+    # rounded-score ranking — see q_ann_brute
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "adc")
+    )
+
+
+def _sql_ann_pq_adc() -> str:
+    subs = ", ".join(
+        f"list_dot_product(list_transform(e.embedding[{m * SUB_DIM + 1}:{(m + 1) * SUB_DIM}],"
+        f" x -> CAST(x AS DOUBLE)), c.ce[{m * SUB_DIM + 1}:{(m + 1) * SUB_DIM}])"
+        f" - list_dot_product(c.ce[{m * SUB_DIM + 1}:{(m + 1) * SUB_DIM}],"
+        f" c.ce[{m * SUB_DIM + 1}:{(m + 1) * SUB_DIM}]) / 2 AS s{m}"
+        for m in range(M_SUB)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, s{m} AS s, j FROM sub_scores" for m in range(M_SUB)
+    )
+    qids = ", ".join(map(str, QUERY_VEC_IDS))
+    lut_unions = " UNION ALL ".join(
+        f"SELECT q.vec_id AS query_id, c.j, {m} AS m,"
+        f" list_dot_product(list_transform("
+        f"q.embedding[{m * SUB_DIM + 1}:{(m + 1) * SUB_DIM}],"
+        f" x -> CAST(x AS DOUBLE)),"
+        f" c.ce[{m * SUB_DIM + 1}:{(m + 1) * SUB_DIM}]) AS qdot"
+        f" FROM embeddings q CROSS JOIN cents c"
+        f" WHERE q.vec_id IN ({qids})"
+        for m in range(M_SUB)
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id - 200 AS j, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings
+  WHERE vec_id BETWEEN 200 AND {200 + K_PQ - 1}
+),
+sub_scores AS (
+  SELECT e.vec_id, c.j, {subs}
+  FROM embeddings e CROSS JOIN cents c
+),
+long_scores AS ({unions}),
+codes AS (
+  SELECT vec_id, m, j AS code
+  FROM (SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, j) AS rn
+        FROM long_scores)
+  WHERE rn = 1
+),
+lut AS ({lut_unions}),
+adc AS (
+  SELECT l.query_id, k.vec_id, round(sum(l.qdot), 6) AS adc
+  FROM codes k
+  JOIN lut l ON l.m = k.m AND l.j = k.code
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  -- rounded-score ranking: see q_ann_brute / SQL_ANN_BRUTE
+  SELECT query_id, vec_id AS neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, rank, neighbor_id, adc
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+SQL_ANN_PQ_ADC = _sql_ann_pq_adc()
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: exact dup copies (+100000) and
     first-element-perturbed copies (+200000) are injected identically

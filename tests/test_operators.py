@@ -164,6 +164,30 @@ def test_ann_ivf_lloyd_training_improves_recall(spark):
     assert r_trained >= r_seed - 1e-9, (r_seed, r_trained)
 
 
+def test_ann_pq_adc_structure_and_recall(spark):
+    """PQ-ADC (8 subspaces x 16 codes): well-formed per-query top-10,
+    and the approximate ranking must overlap exact brute force far
+    better than chance — ADC with 16 centroids per 8-dim subspace is
+    coarse, but true near neighbors share codes, so recall@10 over a
+    496-candidate pool must clear the random baseline (10/496 ≈ 2%)
+    by an order of magnitude."""
+    brute = similarity.q_ann_brute(spark, SF).collect()
+    pq = similarity.q_ann_pq_adc(spark, SF).collect()
+    assert len(pq) == len({(r.query_id, r.rank) for r in pq})
+    by_q: dict[int, set[int]] = {}
+    for r in pq:
+        assert 1 <= r.rank <= similarity.TOP_K
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    brute_sets: dict[int, set[int]] = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q) == set(brute_sets)
+    recalls = [
+        len(brute_sets[q] & by_q[q]) / len(brute_sets[q]) for q in brute_sets
+    ]
+    assert sum(recalls) / len(recalls) > 0.2, recalls
+
+
 def test_multimodal_stub_gated(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
