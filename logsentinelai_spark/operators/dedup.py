@@ -2,8 +2,11 @@
 exact (hash groupBy), character-shingle Jaccard, MinHash+LSH, SimHash.
 
 Each operator has a Spark implementation and a DuckDB oracle built on
-the SAME deterministic constructions (md5-derived 32-bit hashes, fixed
-permutation constants), so results hash-match at sf0.01.
+the SAME deterministic constructions (md5-derived 32-bit minhash
+inputs, fixed permutation constants), so results hash-match at sf0.01.
+The Jaccard set representation is int64 xxhash64 on the Spark side
+only (see _shingle_sets — value-identical to string sets absent 64-bit
+collisions; the oracle stays on raw strings).
 
 The driver `documents` table has no real duplicates, so operators run
 over an AUGMENTED pool with injected dups, constructed identically in

@@ -5,6 +5,8 @@
         [--k 10 --mode auto|wand|acc --local --urls]
 
 or a TSV batch: --queries q.tsv (query_id<TAB>query_text).
+--batched serves the whole TSV through ONE pruned scan (topk_many)
+instead of one job per query.
 """
 
 from __future__ import annotations
@@ -17,7 +19,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from logsentinelai_spark.index.query import topk, topk_local  # noqa: E402
+from logsentinelai_spark.index.query import (  # noqa: E402
+    topk, topk_local, topk_many, topk_many_local,
+)
 from logsentinelai_spark.index.reader import IndexReader  # noqa: E402
 from logsentinelai_spark.session import get_spark  # noqa: E402
 
@@ -32,6 +36,8 @@ def main() -> None:
     ap.add_argument("--local", action="store_true",
                     help="driver-local pyarrow read path (low-latency serving)")
     ap.add_argument("--urls", action="store_true")
+    ap.add_argument("--batched", action="store_true",
+                    help="serve the whole batch via topk_many (one pruned scan)")
     ap.add_argument("--cpus", type=int)
     args = ap.parse_args()
 
@@ -44,6 +50,19 @@ def main() -> None:
         for line in Path(args.queries).read_text().splitlines():
             qid, text = line.split("\t", 1)
             batch.append((qid, text))
+    if args.batched:
+        t0 = time.monotonic()
+        if args.local:
+            results = topk_many_local(reader, [t for _, t in batch], k=args.k)
+        else:
+            results = topk_many(
+                reader, [t for _, t in batch], k=args.k, with_urls=args.urls)
+        ms = (time.monotonic() - t0) * 1000
+        for (qid, text), res in zip(batch, results):
+            print(json.dumps({"query_id": qid, "query": text,
+                              "batch_ms": round(ms, 1),
+                              "hits": [list(r) for r in res]}))
+        return
     for qid, text in batch:
         t0 = time.monotonic()
         fn = topk_local if args.local else topk
