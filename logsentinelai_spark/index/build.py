@@ -778,9 +778,13 @@ def _resolve_transport(spark: SparkSession, cfg: IndexConfig) -> str:
     mode = cfg.segment_transport
     if mode == "auto":
         master = spark.sparkContext.master
+        # NB: "local-cluster[...]" is NOT local mode — its executors are
+        # separate JVMs (the single-box rehearsal of a real cluster), so
+        # it deliberately falls through to the committed transport
+        in_process_local = master == "local" or master.startswith("local[")
         mode = (
             "direct"
-            if master.startswith("local") or cfg.executor_shared_fs
+            if in_process_local or cfg.executor_shared_fs
             else "committed"
         )
     if mode not in ("direct", "committed"):
@@ -984,22 +988,29 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
                 .partitionBy("shard", "term_bucket")
                 .parquet(str(seg_dir))
             )
-            part_metrics = [
-                r.asDict()
-                for r in spark.read.option("basePath", str(seg_dir))
-                .parquet(str(seg_dir))
-                .filter(F.col("block_id") == -1)
-                .select(
-                    F.col("shard").cast("long").alias("shard"),
-                    F.col("term_bucket").cast("int").alias("term_bucket"),
-                    F.col("n").cast("long").alias("n_terms"),
-                    F.col("min_dl").alias("n_blocks"),
-                    F.col("first_doc").alias("postings"),
-                    F.col("last_doc").alias("bytes"),
-                    F.col("max_tf").alias("elapsed_ms"),
-                )
-                .collect()
-            ]
+            from pyspark.errors import AnalysisException
+
+            try:
+                part_metrics = [
+                    r.asDict()
+                    for r in spark.read.option("basePath", str(seg_dir))
+                    .parquet(str(seg_dir))
+                    .filter(F.col("block_id") == -1)
+                    .select(
+                        F.col("shard").cast("long").alias("shard"),
+                        F.col("term_bucket").cast("int").alias("term_bucket"),
+                        F.col("n").cast("long").alias("n_terms"),
+                        F.col("min_dl").alias("n_blocks"),
+                        F.col("first_doc").alias("postings"),
+                        F.col("last_doc").alias("bytes"),
+                        F.col("max_tf").alias("elapsed_ms"),
+                    )
+                    .collect()
+                ]
+            except AnalysisException:
+                # an all-empty wave writes zero part files (only
+                # _SUCCESS); schema inference fails — no partitions
+                part_metrics = []
 
     with timer.time("commit_metrics"):
         # doc totals from the in-band kind=2 batch-lineage rows — a tiny
