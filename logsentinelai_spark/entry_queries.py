@@ -277,6 +277,7 @@ QUERIES = {
     "alert_feed": _an.q_alert_feed,
     # dedup suite
     "dedup_exact": _dd.q_dedup_exact,
+    "dedup_clusters": _dd.q_dedup_clusters,
     "dedup_jaccard": _dd.q_dedup_jaccard,
     "dedup_minhash_lsh": _dd.q_dedup_minhash_lsh,
     "simhash": _dd.q_simhash,
@@ -315,6 +316,7 @@ ORACLES = {
     "user_sessions": _an.SQL_USER_SESSIONS,
     "alert_feed": _an.SQL_ALERT_FEED,
     "dedup_exact": _dd.SQL_DEDUP_EXACT,
+    "dedup_clusters": _dd.SQL_DEDUP_CLUSTERS,
     "dedup_jaccard": _dd.SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": _dd.SQL_DEDUP_MINHASH,
     "simhash": _dd.SQL_SIMHASH,

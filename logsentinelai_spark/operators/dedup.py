@@ -336,6 +336,104 @@ JOIN scount cb ON cb.doc_id = c.doc_b
 """
 
 
+# ------------------------------------------------------- duplicate clusters
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id) — connected components over an undirected
+    pair graph, canonical = min doc_id of the component. The cluster
+    step every near-dup pipeline ends with (keep one doc per cluster).
+
+    Spark-native min-label propagation: labels start as self; each
+    round every node takes the min of its own label and its neighbors'
+    labels (one equi-join + one groupBy per round), until a round
+    changes nothing. Rounds needed = graph diameter — for dedup graphs
+    (clusters of a few near-identical docs) that is 1-3; the driver
+    loop is inherent to iterative graph algorithms (cf. ivf_train).
+    Per round only (node, label) pairs shuffle, never documents;
+    labels are cached and lineage-truncated each round so plan depth
+    stays O(1). For adversarial long-chain graphs the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) converges in
+    O(log^2 n) rounds with the same per-round join shape."""
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.cache()
+    labels = (
+        sym.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    while True:
+        neigh = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage; also materializes
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the exact-dup graph: docs sharing a
+    byte-identical text are edges (keeper = min id); components give
+    each doc its canonical id. Deterministic in both engines (the
+    exact-dup pair set is identical by construction)."""
+    d = augmented_docs(spark, sf_dir)
+    keyed = d.select("doc_id", F.md5(F.encode("text", "utf-8")).alias("k"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {AUG_SQL},
+keyed AS (SELECT doc_id, md5(text) AS k FROM docs_aug),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, r) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.doc = s.dst
+),
+comp AS (SELECT doc AS doc_id, min(r) AS canonical_id FROM reach GROUP BY doc)
+SELECT c.doc_id, c.canonical_id, s.cluster_size
+FROM comp c
+JOIN (SELECT canonical_id, count(*) AS cluster_size
+      FROM comp GROUP BY 1) s USING (canonical_id)
+"""
+
+
 # ------------------------------------------------------------------ simhash
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

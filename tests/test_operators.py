@@ -164,6 +164,21 @@ def test_ann_ivf_lloyd_training_improves_recall(spark):
     assert r_trained >= r_seed - 1e-9, (r_seed, r_trained)
 
 
+def test_connected_components_multi_hop_chain(spark):
+    """connected_components must converge on graphs whose min label is
+    several hops away (the gated exact-dup graph is cliques, diameter
+    1 — this pins the iterative propagation itself): a 4-chain, a
+    2-clique, and a 3-chain resolve to their component minimum."""
+    from logsentinelai_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.canonical_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_ann_pq_adc_structure_and_recall(spark):
     """PQ-ADC (8 subspaces x 16 codes): well-formed per-query top-10,
     and the approximate ranking must overlap exact brute force far
