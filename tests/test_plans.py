@@ -72,6 +72,41 @@ def test_explain_str_smoke(spark):
     assert "Physical Plan" in s or "Range" in s
 
 
+def test_postings_query_scan_pruned_and_pushed(spark, tmp_path):
+    """The query path's block scan (shared by topk and topk_many) must
+    prune to the query terms' buckets via partition filters and push
+    the `term IN` predicate into the parquet scan — at web scale this
+    is the difference between reading dozens of row groups and the
+    whole index."""
+    from logsentinelai_spark.corpus import gen_pages_df
+    from logsentinelai_spark.index.build import build_index
+    from logsentinelai_spark.index.reader import IndexReader
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, gen_pages_df(spark, 400, partitions=4), idx, CFG)
+    blocks = IndexReader(spark, idx).postings_blocks(["the", "server"])
+    plan = explain_str(blocks)
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    assert_pushed_filter(blocks, "term")
+
+
+def test_pq_scoring_plan_is_broadcast_no_smj(spark):
+    """PQ-ADC: the 5-row query-LUT side must broadcast (never SMJ),
+    and the embedding column must not survive past the encode
+    projection into the ranking exchange (only codes + adc flow)."""
+    from logsentinelai_spark.operators.similarity import q_ann_pq_adc
+
+    df = q_ann_pq_adc(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the window exchange partitions (query_id, vec_id, adc) rows only
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1)
+
+
 def test_ann_lsh_joins_are_hash_not_nested_loop(spark):
     """Each LSH table must probe as a broadcast HASH equi-join; an
     OR-of-tables condition would fall back to BroadcastNestedLoopJoin
