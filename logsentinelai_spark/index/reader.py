@@ -75,23 +75,40 @@ class IndexReader:
         import pyarrow.dataset as pads
 
         buckets = sorted({term_bucket_py(t, self.cfg.n_buckets) for t in terms})
-        children = [
-            pads.dataset(str(self.dir / "postings" / f"wave={w}"), format="parquet", partitioning="hive")
-            for w in sorted(self.waves)
-        ]
-        dataset = pads.dataset(children)
+        dataset = self._postings_dataset()
         filt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(list(terms))
         return dataset.to_table(filter=filt).to_pandas()
+
+    def _postings_dataset(self):
+        """Cached pyarrow dataset over the committed waves — file
+        discovery and parquet footer reads happen once per reader, not
+        once per query (a serving head answers many queries against an
+        immutable committed-wave set; a new wave commit needs a new
+        reader, which is the manifest-gating contract anyway)."""
+        import pyarrow.dataset as pads
+
+        ds = getattr(self, "_postings_ds", None)
+        if ds is None:
+            ds = pads.dataset([
+                pads.dataset(str(self.dir / "postings" / f"wave={w}"),
+                             format="parquet", partitioning="hive")
+                for w in sorted(self.waves)
+            ])
+            self._postings_ds = ds
+        return ds
 
     def doc_urls_local(self, doc_ids: list[int]) -> dict[int, str]:
         import pyarrow.dataset as pads
 
         if not doc_ids:
             return {}
-        dataset = pads.dataset([
-            pads.dataset(str(self.dir / "store" / f"wave={w}" / "kind=0"), format="parquet")
-            for w in sorted(self.waves)
-        ])
+        dataset = getattr(self, "_docs_ds", None)
+        if dataset is None:
+            dataset = pads.dataset([
+                pads.dataset(str(self.dir / "store" / f"wave={w}" / "kind=0"), format="parquet")
+                for w in sorted(self.waves)
+            ])
+            self._docs_ds = dataset
         shards = sorted({d // self.cfg.shard_size for d in doc_ids})
         filt = pads.field("shard").isin(shards) & pads.field("doc_id").isin(list(doc_ids))
         t = dataset.to_table(filter=filt, columns=["doc_id", "url"])

@@ -264,6 +264,30 @@ def test_committed_transport_resume(spark, built, tmp_path):
                 == topk(IndexReader(spark, built["idx"]), q.query_text, k=q.k))
 
 
+def test_extend_index_under_committed_transport(spark, built, tmp_path):
+    """Incremental epochs must work through the task-commit writer too:
+    extend_index reconstructs segment_transport from _meta.json, and the
+    extended committed index stays rank-identical to the direct build
+    over the full corpus."""
+    from logsentinelai_spark.index.build import extend_index
+
+    idx = str(tmp_path / "db_inc_committed")
+    pages_all = gen_pages_df(spark, N_DOCS, partitions=8)
+    urls_sorted = sorted(r.url for r in pages_all.select("url").collect())
+    pages_v1 = pages_all.filter(pages_all.url.isin(list(urls_sorted[:800])))
+    build_index(spark, pages_v1, idx, CFG_COMMITTED)
+    s = extend_index(spark, pages_all, idx)
+    assert s["new_docs"] == N_DOCS - 800
+    rc = IndexReader(spark, idx)
+    assert rc.global_stats()[0] == N_DOCS
+    # epoch-2 ids differ from the one-shot build's, so compare by URL
+    for q in list(gen_queries().head(4).itertuples()):
+        a = topk(rc, q.query_text, k=q.k, with_urls=True)
+        b = topk(IndexReader(spark, built["idx"]), q.query_text, k=q.k, with_urls=True)
+        assert [(u, round(s_, 9)) for _, s_, u in a] == [
+            (u, round(s_, 9)) for _, s_, u in b], f"q{q.query_id}"
+
+
 def test_s2_snapshot_pinned_under_concurrent_append(spark, tmp_path):
     """S2 snapshot semantics of the parquet shim: a build pinned to a
     snapshot must index EXACTLY that snapshot even when new files are
