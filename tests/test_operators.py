@@ -164,6 +164,30 @@ def test_ann_ivf_lloyd_training_improves_recall(spark):
     assert r_trained >= r_seed - 1e-9, (r_seed, r_trained)
 
 
+def test_near_dup_pipeline_clusters_recover_injected(spark):
+    """End-to-end training-data dedup pipeline: prefix-filtered exact
+    Jaccard pairs (tau=0.5) -> connected components. Every injected
+    duplicate must land in its source's cluster: exact copies
+    (doc_id+200000, doc_id%7==0) always; near copies (+100000,
+    %5==0, first 10 chars dropped) whenever the pair survived tau."""
+    pairs = dedup.jaccard_pairs(dedup.augmented_docs(spark, SF))
+    edge_rows = pairs.select("doc_a", "doc_b").collect()
+    comp = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+    canon = {r.doc_id: r.canonical_id for r in comp.collect()}
+    pair_set = {(r.doc_a, r.doc_b) for r in edge_rows}
+    n_exact = n_near = 0
+    for (a, b) in pair_set:
+        assert canon[a] == canon[b], (a, b)
+        if b - a == 200000:
+            n_exact += 1
+        if b - a == 100000:
+            n_near += 1
+    assert n_exact > 10 and n_near > 10  # injections actually recovered
+    # a canonical id is always the minimum of its component
+    for d, c in canon.items():
+        assert c <= d
+
+
 def test_connected_components_multi_hop_chain(spark):
     """connected_components must converge on graphs whose min label is
     several hops away (the gated exact-dup graph is cliques, diameter
