@@ -290,6 +290,7 @@ QUERIES = {
     # text analysis
     "lang_id": _ts.q_lang_id,
     "quality_score": _ts.q_quality_score,
+    "corpus_filter": _ts.q_corpus_filter,
     "token_count": _ts.q_token_count,
     "doc_fingerprint": _ts.q_doc_fingerprint,
     # multimodal plumbing
@@ -329,6 +330,7 @@ ORACLES = {
     "embedding_neardup": _sim.SQL_EMBEDDING_NEARDUP,
     "lang_id": _ts.SQL_LANG_ID,
     "quality_score": _ts.SQL_QUALITY,
+    "corpus_filter": _ts.SQL_CORPUS_FILTER,
     "token_count": _ts.SQL_TOKEN_COUNT,
     "doc_fingerprint": _ts.SQL_FINGERPRINT,
     "multimodal_meta": _mm.SQL_MULTIMODAL_META,

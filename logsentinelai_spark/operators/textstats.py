@@ -139,6 +139,107 @@ FROM documents
 """
 
 
+KEEP_LANGS = ["en", "de", "fr", "es"]
+MIN_TOKENS = 25
+MIN_QUALITY = 0.4
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style keep/drop decision per document — the composed
+    filter a training-data pipeline actually ships: exact-dup keeper
+    (md5 groups, min-id wins), language allowlist (stored lang), token
+    floor, quality floor, with the FIRST failing rule recorded as
+    drop_reason (the drop-reason distribution is the pipeline's
+    observability surface). One token-explode pass computes all text
+    signals; the dup keeper is a narrow md5 groupBy + broadcast-size
+    join back. Exact copies (+200000, doc_id%7==0) are injected
+    identically in both engines so the duplicate rule is non-trivial."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    aug = d.unionAll(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang")
+    )
+    tok = aug.select("doc_id", F.explode(_tok_col()).alias("term"))
+    agg = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+        F.sum(_in_list("term", EN_STOP)).alias("n_stop"),
+    )
+    keyed = aug.select("doc_id", "lang", F.md5(F.encode("text", "utf-8")).alias("k"))
+    keepers = keyed.groupBy("k").agg(F.min("doc_id").alias("keeper_id"))
+    base = (
+        keyed.join(F.broadcast(keepers), "k")
+        .join(agg, "doc_id", "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+    )
+    quality = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * 0.4
+            + (F.col("n_distinct") / F.col("n_tokens")) * 0.3
+            + F.least(F.lit(1.0), (F.col("n_stop") / F.col("n_tokens")) * 5.0) * 0.3,
+            6,
+        ),
+    ).otherwise(0.0)
+    scored = base.withColumn("quality", quality)
+    reason = (
+        F.when(F.col("doc_id") != F.col("keeper_id"), "duplicate")
+        .when(~F.col("lang").isin(KEEP_LANGS), "lang")
+        .when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .when(F.col("quality") < MIN_QUALITY, "low_quality")
+        .otherwise("kept")
+    )
+    return scored.select(
+        "doc_id", "lang", "n_tokens", "quality",
+        (reason == "kept").alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+SQL_CORPUS_FILTER = f"""
+WITH aug AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text, lang FROM documents WHERE doc_id % 7 = 0
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+  FROM aug
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct,
+         sum(CASE WHEN term IN ({_sql_inlist(EN_STOP)}) THEN 1 ELSE 0 END) AS n_stop
+  FROM tok GROUP BY doc_id
+),
+keyed AS (SELECT doc_id, lang, md5(text) AS k FROM aug),
+keepers AS (SELECT k, min(doc_id) AS keeper_id FROM keyed GROUP BY k),
+scored AS (
+  SELECT y.doc_id, y.lang, coalesce(a.n_tokens, 0) AS n_tokens,
+         CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN
+           round(least(1.0, a.n_tokens / 100.0) * 0.4
+                 + (a.n_distinct * 1.0 / a.n_tokens) * 0.3
+                 + least(1.0, (a.n_stop * 1.0 / a.n_tokens) * 5.0) * 0.3, 6)
+         ELSE 0.0 END AS quality,
+         p.keeper_id
+  FROM keyed y
+  JOIN keepers p USING (k)
+  LEFT JOIN agg a USING (doc_id)
+),
+decided AS (
+  SELECT doc_id, lang, n_tokens, quality,
+         CASE WHEN doc_id <> keeper_id THEN 'duplicate'
+              WHEN lang NOT IN ({_sql_inlist(KEEP_LANGS)}) THEN 'lang'
+              WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+              WHEN quality < {MIN_QUALITY} THEN 'low_quality'
+              ELSE 'kept' END AS drop_reason
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, quality,
+       drop_reason = 'kept' AS keep, drop_reason
+FROM decided
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling fingerprint:
     sum over positions of (md5_32(term) % 10^6) * ((pos-1) % 64 + 1),

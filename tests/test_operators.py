@@ -164,6 +164,28 @@ def test_ann_ivf_lloyd_training_improves_recall(spark):
     assert r_trained >= r_seed - 1e-9, (r_seed, r_trained)
 
 
+def test_corpus_filter_rules_and_precedence(spark):
+    """The composed keep/drop filter: every rule branch fires on the
+    fixture, precedence is duplicate > lang > too_short > low_quality,
+    and kept docs satisfy every rule."""
+    rows = textstats.q_corpus_filter(spark, SF).collect()
+    by_reason: dict[str, list] = {}
+    for r in rows:
+        by_reason.setdefault(r.drop_reason, []).append(r)
+    assert set(by_reason) == {"kept", "duplicate", "lang", "too_short", "low_quality"}
+    for r in by_reason["duplicate"]:
+        assert r.doc_id >= 200000  # injected copies lose to their source
+    for r in by_reason["lang"]:
+        assert r.lang not in textstats.KEEP_LANGS
+    for r in by_reason["kept"]:
+        assert r.keep and r.lang in textstats.KEEP_LANGS
+        assert r.n_tokens >= textstats.MIN_TOKENS
+        assert r.quality >= textstats.MIN_QUALITY
+    # precedence: a short zh doc reports 'lang', not 'too_short'
+    for r in by_reason["too_short"]:
+        assert r.lang in textstats.KEEP_LANGS
+
+
 def test_near_dup_pipeline_clusters_recover_injected(spark):
     """End-to-end training-data dedup pipeline: prefix-filtered exact
     Jaccard pairs (tau=0.5) -> connected components. Every injected
