@@ -56,9 +56,11 @@ def _body(htmls, phases: str) -> dict:
     lens = np.bincount(doc_local, minlength=nrows).astype(np.int64)
     de = flat.filter(pa.array(nonempty)).dictionary_encode()
     codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq = np.asarray(de.dictionary.to_pandas(), dtype=object)
-    nvocab = len(uniq)
+    vocab = de.dictionary  # matches build.py: no object round-trip
+    nvocab = len(vocab)
     key = doc_local * nvocab + codes
+    if nrows * nvocab < 2**31:
+        key = key.astype(np.int32)
     ks = np.sort(key)
     starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
     tfs = np.diff(np.append(starts, ks.size)).astype(np.int64)
@@ -75,9 +77,13 @@ def _body(htmls, phases: str) -> dict:
     newgrp = np.concatenate(
         ([True], (ucode[1:] != ucode[:-1]) | (shards[1:] != shards[:-1])))
     group_starts = np.flatnonzero(newgrp)
-    np.fromiter((term_bucket_py(x, 16) for x in uniq), dtype=np.int32, count=nvocab)
-    encode_blocks_grouped(
+    np.fromiter(
+        (term_bucket_py(x, 16) for x in vocab.to_pylist()),
+        dtype=np.int32, count=nvocab)
+    enc = encode_blocks_grouped(
         docs, tfs, dls, group_starts, shards[group_starts] * 1_000_000, 128)
+    import pyarrow.compute as _pc
+    _pc.take(vocab, pa.array(ucode[group_starts][enc["gid"]]))  # term emission
     t["tf_encode"] = time.monotonic() - t0
     return t
 
