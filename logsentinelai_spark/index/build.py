@@ -111,8 +111,17 @@ class IndexConfig:
                                      #  "committed" rows returned to Spark and
                                      #              written via the DataFrame
                                      #              writer -> Hadoop task-commit
-                                     #              protocol (atomic on object
-                                     #              stores, no shared-fs need)
+                                     #              protocol. Scope: this makes
+                                     #              the WRITES atomic without a
+                                     #              driver-shared fs (correct on
+                                     #              object stores); executor
+                                     #              id-map READS (_load_idmap)
+                                     #              and driver metric read-back
+                                     #              still use POSIX paths, so
+                                     #              full object-store operation
+                                     #              additionally needs a
+                                     #              URI-aware read layer (or a
+                                     #              FUSE mount)
                                      #  "auto"      direct in local mode or
                                      #              with executor_shared_fs,
                                      #              else committed
@@ -219,6 +228,22 @@ def _load_idmap(idmap_dir: str):
                 tbl["doc_id"].to_numpy(zero_copy_only=False),
                 tbl["url"],
             ))
+    if not files:
+        # every wave covers >= 1 doc, so a correctly-delivered id-map has
+        # at least one non-empty file. Zero files means the executor
+        # cannot see the id-map directory (unmounted path, URI storage —
+        # this read path is POSIX-only); silently returning an empty map
+        # would drop EVERY row of the batch in _resolve_doc_ids and
+        # commit an incomplete index with no error. Fail loudly instead.
+        raise RuntimeError(
+            f"wave id-map at {idmap_dir!r} resolved to zero non-empty "
+            "files on this executor. The id-map READ path requires the "
+            "directory to be POSIX-visible from every executor (local "
+            "mode, or a shared NFS/Lustre/FUSE mount); the committed "
+            "transport makes only the WRITES object-store-safe. "
+            "Refusing to continue: an empty map would silently drop all "
+            "rows and commit an incomplete index."
+        )
     out = tuple(files)
     _IDMAP_CACHE.clear()
     _IDMAP_CACHE[idmap_dir] = out

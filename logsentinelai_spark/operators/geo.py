@@ -132,24 +132,27 @@ def enrich_ips(events_ip: DataFrame, dim: DataFrame) -> DataFrame:
     broadcast probe. The dimension is expanded to one row per /8
     bucket it overlaps, so the join is a pure HASH equi-join on the
     bucket with the range check as residual."""
+    # internal join-key columns use dunder names so a fact table that
+    # already carries e.g. an `octet1` or `ip_num` column is never
+    # silently overwritten (they are dropped before returning)
     public = (
         events_ip.filter(F.expr(VALID_SQL_SPARK))
         .filter(~F.expr(PRIVATE_SQL))
-        .withColumn("octet1", F.expr(O1))
-        .withColumn("ip_num", F.expr(IP_NUM_SQL))
+        .withColumn("__geo_octet1", F.expr(O1))
+        .withColumn("__geo_ip_num", F.expr(IP_NUM_SQL))
         .alias("p")
     )
     dim_b = dim.select(
         F.expr(
             "explode(sequence(CAST(ip_lo DIV 16777216 AS INT),"
             " CAST(ip_hi DIV 16777216 AS INT)))"
-        ).alias("octet1"),
+        ).alias("__geo_octet1"),
         "ip_lo", "ip_hi", "country_code", "lat", "lon",
     ).alias("d")
     joined = public.join(
         F.broadcast(dim_b),
-        (F.col("p.octet1") == F.col("d.octet1"))
-        & F.col("p.ip_num").between(F.col("d.ip_lo"), F.col("d.ip_hi")),
+        (F.col("p.__geo_octet1") == F.col("d.__geo_octet1"))
+        & F.col("p.__geo_ip_num").between(F.col("d.ip_lo"), F.col("d.ip_hi")),
     )
     keep = [F.col(f"p.{c}") for c in events_ip.columns]
     return joined.select(*keep, "d.country_code", "d.lat", "d.lon")

@@ -112,6 +112,23 @@ def test_range_dimension_straddles_octet_buckets(spark):
         rows[2].country_code, rows[2].lat, rows[2].lon)
 
 
+def test_enrich_ips_preserves_caller_octet1_ip_num_columns(spark):
+    """A fact table that already carries `octet1` / `ip_num` columns
+    must come back with THOSE values untouched (the operator's internal
+    join keys use collision-proof __geo_* names)."""
+    events_ip = spark.createDataFrame(
+        [(1, "8.8.8.8", 99, -5), (2, "200.1.2.3", 42, -7)],
+        "event_id long, ip string, octet1 int, ip_num long",
+    )
+    out = geo.enrich_ips(events_ip, geo.geo_dim(spark))
+    assert out.columns == [
+        "event_id", "ip", "octet1", "ip_num", "country_code", "lat", "lon"]
+    rows = {r.event_id: r for r in out.collect()}
+    assert (rows[1].octet1, rows[1].ip_num) == (99, -5)
+    assert (rows[2].octet1, rows[2].ip_num) == (42, -7)
+    assert rows[1].country_code is not None
+
+
 def test_geo_join_is_broadcast(spark):
     """The dimension lookup must be a broadcast hash join: no shuffle
     of the event-fact side (at 100 TB a sort-merge join here would
