@@ -351,7 +351,13 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     loop is inherent to iterative graph algorithms (cf. ivf_train).
     Per round only (node, label) pairs shuffle, never documents;
     labels are cached and lineage-truncated each round so plan depth
-    stays O(1). For adversarial long-chain graphs the alternating
+    stays O(1). Convergence detection rides IN the label job: each
+    round's select carries a ``__changed`` flag (did any neighbor beat
+    my label?), and the single count() action over the lazily
+    local-checkpointed result both materializes the round's labels and
+    returns the changed total — ONE action and ONE join per round
+    (round 3 ran a second labels-vs-labels join just to count changes).
+    For adversarial long-chain graphs the alternating
     large-star/small-star algorithm (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC 2014) converges in
     O(log^2 n) rounds with the same per-round join shape."""
@@ -374,15 +380,15 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .select(
                 "doc_id",
                 F.least("label", F.coalesce("nlabel", "label")).alias("label"),
+                # null nlabel (isolated this round) compares as null ->
+                # counts as unchanged under the filter below
+                (F.col("nlabel") < F.col("label")).alias("__changed"),
             )
-            .localCheckpoint()  # truncate lineage; also materializes
+            # lazy: materialized (and lineage-truncated) by the count
+            # action below — the round's ONLY action
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("__changed")).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
