@@ -11,11 +11,14 @@ local GeoLite2 database (`:91-136`). That lookup is longest-prefix over
 CIDR *ranges*, not a point hash — which is what this module implements.
 
 Spark mapping (the range-keyed broadcast-join pattern):
-  * the GeoLite2 database is a SMALL DIMENSION of disjoint IP ranges —
-    here a deterministic 1024-range table (CIDR-style /10-sized blocks,
-    deliberately offset by half a block so ~1/4 of ranges straddle a
-    /8 boundary). At 100 TB the real MMDB is still a broadcast: a few
-    hundred MB, orders of magnitude under the fact table.
+  * the GeoLite2 database is a SMALL DIMENSION of CIDR ranges — here a
+    deterministic 1088-range table: 1024 /10-sized base blocks
+    (deliberately offset by half a block so ~1/4 straddle a /8
+    boundary) plus 64 NESTED /14 sub-ranges resolved by longest prefix
+    (resolve_longest_prefix flattens them dimension-side into disjoint
+    ranges, so nesting costs the fact table nothing). At 100 TB the
+    real MMDB is still a broadcast: a few hundred MB, orders of
+    magnitude under the fact table.
   * an interval join cannot hash directly, so each range is EXPANDED
     into the coarse /8 prefix buckets it overlaps (`explode(sequence(
     ip_lo>>24, ip_hi>>24))` — 1-2 buckets per range here; the pattern
@@ -92,32 +95,110 @@ IP_NUM_SQL = (
     f"+ CAST({O3} AS BIGINT) * 256 + CAST({O4} AS BIGINT)"
 )
 
-# ---- range dimension: 1024 disjoint CIDR-style blocks of 2^22 ips,
-# offset by 2^21 so every 4th block straddles a /8 boundary (the
-# multi-bucket expansion path is exercised, not just the 1:1 case).
-# Coverage: [2^21, 1024*2^22 + 2^21) ⊇ all public IPv4 first-octets
-# 1..223, so every public ip matches EXACTLY one range (disjointness —
-# the same contract MaxMind CIDRs satisfy at lookup depth).
+# ---- range dimension: 1024 CIDR-style /10-sized base blocks of 2^22
+# ips, offset by 2^21 so every 4th block straddles a /8 boundary (the
+# multi-bucket expansion path is exercised, not just the 1:1 case),
+# PLUS 64 nested /14-sized sub-ranges (one inside every 16th base
+# block, carrying different attributes) — real MaxMind data has nested
+# CIDRs resolved by LONGEST PREFIX (reference core/geoip.py:91-136
+# delegates that to the mmdb tree); resolve_longest_prefix() implements
+# that rule here. Base coverage [2^21, 1024*2^22 + 2^21) ⊇ all public
+# IPv4 first-octets 1..223, so after flattening every public ip matches
+# EXACTLY one disjoint range.
 N_RANGES = 1024
 RANGE_SPAN = 1 << 22
 RANGE_OFFSET = 1 << 21
+N_NESTED = 64            # nested /14s, one per 16th base block
+NESTED_SPAN = 1 << 18
+NESTED_OFF = 1 << 20     # offset of the nested range inside its block
+BASE_PREFIX_LEN = 10     # 32 - log2(RANGE_SPAN)
+NESTED_PREFIX_LEN = 14   # 32 - log2(NESTED_SPAN)
 
-_DIM_CC = f"element_at(array({', '.join(repr(c) for c in COUNTRIES)}), CAST(id % 16 AS INT) + 1)"
-_DIM_CC_DUCK = f"([{', '.join(repr(c) for c in COUNTRIES)}])[CAST(j % 16 AS INT) + 1]"
-_DIM_LAT = "CAST(({j} * 37) % 141 - 70 AS DOUBLE) + 0.5"
-_DIM_LON = "CAST(({j} * 73) % 341 - 170 AS DOUBLE) + 0.5"
+_DIM_CC = f"element_at(array({', '.join(repr(c) for c in COUNTRIES)}), CAST(({{j}}) % 16 AS INT) + 1)"
+_DIM_CC_DUCK = f"([{', '.join(repr(c) for c in COUNTRIES)}])[CAST(({{j}}) % 16 AS INT) + 1]"
+_DIM_LAT = "CAST((({j}) * 37) % 141 - 70 AS DOUBLE) + 0.5"
+_DIM_LON = "CAST((({j}) * 73) % 341 - 170 AS DOUBLE) + 0.5"
 
 
 def geo_dim(spark: SparkSession) -> DataFrame:
-    """1024-row range dimension (range_id, ip_lo, ip_hi, country_code,
-    lat, lon) — the broadcast stand-in for a GeoLite2 CIDR database."""
-    return spark.range(0, N_RANGES).select(
+    """1088-row nested range dimension (range_id, ip_lo, ip_hi,
+    prefix_len, country_code, lat, lon) — the broadcast stand-in for a
+    GeoLite2 CIDR database, nested pairs included."""
+    base = spark.range(0, N_RANGES).select(
         F.col("id").alias("range_id"),
         (F.col("id") * RANGE_SPAN + RANGE_OFFSET).alias("ip_lo"),
         (F.col("id") * RANGE_SPAN + RANGE_OFFSET + RANGE_SPAN - 1).alias("ip_hi"),
-        F.expr(_DIM_CC).alias("country_code"),
+        F.lit(BASE_PREFIX_LEN).alias("prefix_len"),
+        F.expr(_DIM_CC.format(j="id")).alias("country_code"),
         F.expr(_DIM_LAT.format(j="id")).alias("lat"),
         F.expr(_DIM_LON.format(j="id")).alias("lon"),
+    )
+    nested = spark.range(0, N_NESTED).select(
+        (F.col("id") + N_RANGES).alias("range_id"),
+        (F.col("id") * 16 * RANGE_SPAN + RANGE_OFFSET + NESTED_OFF).alias("ip_lo"),
+        (F.col("id") * 16 * RANGE_SPAN + RANGE_OFFSET + NESTED_OFF
+         + NESTED_SPAN - 1).alias("ip_hi"),
+        F.lit(NESTED_PREFIX_LEN).alias("prefix_len"),
+        F.expr(_DIM_CC.format(j=f"id + {N_RANGES}")).alias("country_code"),
+        F.expr(_DIM_LAT.format(j=f"id + {N_RANGES}")).alias("lat"),
+        F.expr(_DIM_LON.format(j=f"id + {N_RANGES}")).alias("lon"),
+    )
+    return base.unionByName(nested)
+
+
+def resolve_longest_prefix(dim: DataFrame) -> DataFrame:
+    """Flatten a NESTED CIDR-style dimension into DISJOINT ranges under
+    longest-prefix-match semantics: each ip maps to the most specific
+    (max prefix_len) covering range; ties (impossible for true CIDRs —
+    equal-length CIDRs never partially overlap) break to the lower
+    range_id.
+
+    Done on the DIMENSION side, driver-resident — a boundary sweep over
+    the collected ranges (the dimension is the broadcast-small model,
+    same cost class as loading the MMDB tree into memory; 2R elementary
+    intervals for R ranges). This is the 100 TB-right shape: nested
+    resolution becomes a precomputation on the small side, and the fact
+    table keeps the plain disjoint-range bucket equi-join with ZERO
+    extra shuffle — the alternative (join all overlapping ranges, then
+    max_by(prefix_len) per fact row) re-shuffles or re-windows the
+    entire fact table."""
+    import numpy as np
+
+    rows = dim.select(
+        "range_id", "ip_lo", "ip_hi", "prefix_len",
+        "country_code", "lat", "lon",
+    ).collect()
+    lo = np.array([r.ip_lo for r in rows], dtype=np.int64)
+    hi = np.array([r.ip_hi for r in rows], dtype=np.int64)
+    plen = np.array([r.prefix_len for r in rows], dtype=np.int64)
+    rid = np.array([r.range_id for r in rows], dtype=np.int64)
+    bounds = np.unique(np.concatenate([lo, hi + 1]))
+    starts, ends = bounds[:-1], bounds[1:]          # elementary [start, end)
+    winner = np.full(starts.size, -1, dtype=np.int64)
+    # most specific first; within a specificity level, lower range_id
+    # first — "w[w == -1] = i" then gives every elementary interval its
+    # longest-prefix (tie: lowest-id) covering range
+    for i in sorted(range(len(rows)), key=lambda i: (-plen[i], rid[i])):
+        a = int(np.searchsorted(bounds, lo[i]))
+        b = int(np.searchsorted(bounds, hi[i] + 1))
+        w = winner[a:b]
+        w[w == -1] = i
+    # merge adjacent elementary intervals won by the same range
+    keep = np.concatenate(([True], winner[1:] != winner[:-1]))
+    run_starts = np.flatnonzero(keep)
+    run_ends = np.append(run_starts[1:], winner.size)
+    out = []
+    for a, b in zip(run_starts, run_ends):
+        i = int(winner[a])
+        if i < 0:
+            continue  # gap covered by no range
+        r = rows[i]
+        out.append((int(r.range_id), int(starts[a]), int(ends[b - 1] - 1),
+                    r.country_code, float(r.lat), float(r.lon)))
+    return dim.sparkSession.createDataFrame(
+        out,
+        "range_id long, ip_lo long, ip_hi long, "
+        "country_code string, lat double, lon double",
     )
 
 
@@ -127,11 +208,18 @@ def enrich_ips(events_ip: DataFrame, dim: DataFrame) -> DataFrame:
     against the CIDR dimension. All input columns are preserved;
     country_code / lat / lon are appended.
 
+    A dimension carrying a ``prefix_len`` column may contain NESTED
+    CIDRs; it is first flattened to disjoint ranges under
+    longest-prefix-match (resolve_longest_prefix) so the fact-side
+    join shape is identical either way.
+
     No cache, no repartition: at 100 TB the fact side streams through
     one codegen stage (predicates + bucket key) straight into the
     broadcast probe. The dimension is expanded to one row per /8
     bucket it overlaps, so the join is a pure HASH equi-join on the
     bucket with the range check as residual."""
+    if "prefix_len" in dim.columns:
+        dim = resolve_longest_prefix(dim)
     # internal join-key columns use dunder names so a fact table that
     # already carries e.g. an `octet1` or `ip_num` column is never
     # silently overwritten (they are dropped before returning)
@@ -209,10 +297,20 @@ geo_dim AS (
   SELECT j AS range_id,
          j * {RANGE_SPAN} + {RANGE_OFFSET} AS ip_lo,
          j * {RANGE_SPAN} + {RANGE_OFFSET} + {RANGE_SPAN - 1} AS ip_hi,
-         {_DIM_CC_DUCK} AS country_code,
+         {BASE_PREFIX_LEN} AS prefix_len,
+         {_DIM_CC_DUCK.format(j="j")} AS country_code,
          {_DIM_LAT.format(j="j")} AS lat,
          {_DIM_LON.format(j="j")} AS lon
   FROM generate_series(0, {N_RANGES - 1}) g(j)
+  UNION ALL
+  SELECT {N_RANGES} + j,
+         j * {16 * RANGE_SPAN} + {RANGE_OFFSET + NESTED_OFF},
+         j * {16 * RANGE_SPAN} + {RANGE_OFFSET + NESTED_OFF + NESTED_SPAN - 1},
+         {NESTED_PREFIX_LEN},
+         {_DIM_CC_DUCK.format(j=f"j + {N_RANGES}")},
+         {_DIM_LAT.format(j=f"j + {N_RANGES}")},
+         {_DIM_LON.format(j=f"j + {N_RANGES}")}
+  FROM generate_series(0, {N_NESTED - 1}) g(j)
 ),
 geo_dim_b AS (
   SELECT d.*, t.b AS octet1
@@ -220,6 +318,9 @@ geo_dim_b AS (
   WHERE t.b BETWEEN ip_lo // 16777216 AND ip_hi // 16777216
 )"""
 
+# longest-prefix resolution in the oracle: join ALL overlapping ranges,
+# keep the most specific per event (prefix_len DESC, range_id tie-break)
+# — semantically identical to the Spark side's dimension-side flatten.
 _ENRICH_CTE = f"""
 with_ip AS (
   SELECT event_id, user_id, {IP_SYNTH_SQL} AS ip FROM events
@@ -230,9 +331,13 @@ public AS (
   WHERE ({VALID_SQL_DUCK}) AND NOT {PRIVATE_SQL}
 ),
 enriched AS (
-  SELECT p.event_id, p.user_id, p.ip, d.country_code, d.lat, d.lon
-  FROM public p JOIN geo_dim_b d
-    ON p.octet1 = d.octet1 AND p.ip_num BETWEEN d.ip_lo AND d.ip_hi
+  SELECT event_id, user_id, ip, country_code, lat, lon FROM (
+    SELECT p.event_id, p.user_id, p.ip, d.country_code, d.lat, d.lon,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY d.prefix_len DESC, d.range_id) AS rn
+    FROM public p JOIN geo_dim_b d
+      ON p.octet1 = d.octet1 AND p.ip_num BETWEEN d.ip_lo AND d.ip_hi
+  ) WHERE rn = 1
 )"""
 
 SQL_GEO_ENRICH = f"""

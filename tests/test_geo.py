@@ -112,6 +112,48 @@ def test_range_dimension_straddles_octet_buckets(spark):
         rows[2].country_code, rows[2].lat, rows[2].lon)
 
 
+def test_resolve_longest_prefix_flattens_nested_pair(spark):
+    """A /14 nested inside a /10 must win exactly its own span; the
+    parent keeps the flanks. The flatten output is disjoint."""
+    dim = spark.createDataFrame(
+        [
+            (0, 1000, 1999, 10, "US", 1.0, 2.0),
+            (1, 1200, 1299, 14, "KR", 3.0, 4.0),
+        ],
+        "range_id long, ip_lo long, ip_hi long, prefix_len int, "
+        "country_code string, lat double, lon double",
+    )
+    flat = sorted(
+        geo.resolve_longest_prefix(dim).collect(), key=lambda r: r.ip_lo)
+    spans = [(r.ip_lo, r.ip_hi, r.country_code) for r in flat]
+    assert spans == [
+        (1000, 1199, "US"), (1200, 1299, "KR"), (1300, 1999, "US")]
+    for a, b in zip(flat, flat[1:]):
+        assert a.ip_hi < b.ip_lo  # disjoint
+
+
+def test_enrich_ips_longest_prefix_nested_range(spark):
+    """An ip inside a nested /14 enriches with the NESTED range's
+    attributes; ips just outside (either flank, same base block) get
+    the parent /10's. Exercises the reference's longest-prefix CIDR
+    semantics (core/geoip.py:91-136) end-to-end."""
+    # nested range_id 1025 sits in base block 16: [4.48.0.0, 4.51.255.255]
+    events_ip = spark.createDataFrame(
+        [(1, "4.48.0.1"), (2, "4.47.255.254"), (3, "4.52.0.1")],
+        "event_id long, ip string",
+    )
+    rows = {r.event_id: r for r in geo.enrich_ips(events_ip, geo.geo_dim(spark)).collect()}
+    assert len(rows) == 3
+    # nested attrs: range_id 1025 -> country idx 1025%16=1 ("KR"),
+    # lat (1025*37)%141-70+.5 = 67.5, lon (1025*73)%341-170+.5 = -23.5
+    assert (rows[1].country_code, rows[1].lat, rows[1].lon) == ("KR", 67.5, -23.5)
+    # flanks: parent block 16 -> country idx 0 ("US"), and identical to
+    # each other (one parent range re-emerges on both sides)
+    assert rows[2].country_code == rows[3].country_code == "US"
+    assert (rows[2].lat, rows[2].lon) == (rows[3].lat, rows[3].lon)
+    assert (rows[2].country_code, rows[2].lat) != (rows[1].country_code, rows[1].lat)
+
+
 def test_enrich_ips_preserves_caller_octet1_ip_num_columns(spark):
     """A fact table that already carries `octet1` / `ip_num` columns
     must come back with THOSE values untouched (the operator's internal
