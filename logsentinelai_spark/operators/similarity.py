@@ -20,13 +20,19 @@ float[64], label).
 Scale notes: brute force is O(N) per query but fully distributed and
 vectorized; LSH reduces candidates by ~2^n_planes. Both avoid
 driver-side loops: queries are broadcast, candidates scored in one
-pass, TakeOrderedAndProject does the distributed top-k.
+pass, TakeOrderedAndProject does the distributed top-k. The IVF and
+PQ query paths serve from MATERIALIZED build-time artifacts
+(index/ann.py — codes table + partitioned inverted lists), built once
+per session here and at ingest time in production; the per-run
+encode/assign twins remain as correctness anchors.
 """
 
 from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..index import ann
 
 QUERY_VEC_IDS = [0, 1, 2, 3, 4]
 TOP_K = 10
@@ -247,14 +253,9 @@ K_CENTROID_IDS = list(range(100, 108))  # 8 lists; centroids = these rows'
 N_PROBE = 2
 
 
-def _fold_dot(a, b) -> float:
-    """Strict left-fold double dot product — the SAME summation order
-    as Spark's aggregate() fold and DuckDB's list_dot_product loop, so
-    all three engines rank identical doubles."""
-    s = 0.0
-    for x, y in zip(a, b):
-        s += float(x) * float(y)
-    return s
+# strict left-fold double dot product (see index/ann.py — the shared
+# encode/assignment builders live with the materialized-index build)
+_fold_dot = ann.fold_dot
 
 
 def _centroid_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float], float]]:
@@ -274,23 +275,7 @@ def _centroid_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[flo
     return out
 
 
-def _ivf_assign(emb: DataFrame, cents: list[tuple[int, list[float], float]]) -> DataFrame:
-    """(vec_id, embedding, list_id) — nearest-centroid assignment as a
-    constant-folded JVM expression (argmax of dot/|c|, ties to lower
-    centroid id via array_position's first-match)."""
-    score_exprs = ", ".join(
-        f"({_dot_lit(vec)}) / {norm!r}D" for _, vec, norm in cents)
-    cid_arr = ", ".join(str(cid) for cid, _, _ in cents)
-    return (
-        emb.withColumn("scores", F.expr(f"array({score_exprs})"))
-        .withColumn(
-            "list_id",
-            F.expr(
-                f"element_at(array({cid_arr}), "
-                "CAST(array_position(scores, array_max(scores)) AS INT))"),
-        )
-        .select("vec_id", "embedding", "list_id")
-    )
+_ivf_assign = ann.ivf_assign
 
 
 def ivf_train(
@@ -384,21 +369,70 @@ def _ivf_search(
     )
 
 
+def _ivf_search_materialized(
+    spark: SparkSession,
+    sf_dir: str,
+    ann_dir: str,
+    cents: list[tuple[int, list[float], float]],
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF search against the MATERIALIZED inverted lists
+    (index/ann.py): probe list ids are ranked driver-side from the
+    model (k x dim JSON), and the candidate source is a PARTITION-
+    PRUNED scan of only the probed lists' files — storage read
+    ~ N * n_probe / K vectors instead of the whole corpus, and the
+    per-run centroid-argmax assignment pass is gone entirely (it
+    happened once at build time). Same ranking as _ivf_search."""
+    emb = _load(spark, sf_dir)
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_pairs = []
+    for r in q_rows:
+        qv = [float(x) for x in r.embedding]
+        ranked = sorted(
+            ((-(_fold_dot(qv, vec) / norm), cid) for cid, vec, norm in cents))
+        probe_pairs += [(int(r.vec_id), cid) for _, cid in ranked[:n_probe]]
+    probes = spark.createDataFrame(probe_pairs, "query_id long, list_id long")
+    q = (
+        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .join(probes, "query_id")
+    )
+    lists = ann.read_ivf_lists(
+        spark, ann_dir, sorted({cid for _, cid in probe_pairs}))
+    cands = (
+        lists.join(F.broadcast(q), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(F.expr(_COS_EXPR), 6).alias("cos"))
+    )
+    # rounded-score ranking — see q_ann_brute
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate entry: IVF search with the deterministic step-0
-    centroid model (seed rows — SQL-expressible, DuckDB-oracle-gated).
-    Lloyd-refined models go through ivf_train + _ivf_search and are
-    recall-tested in pytest (a trained model is not SQL-expressible,
-    so the hash gate stays on step-0 by design)."""
-    return _ivf_search(spark, sf_dir, _centroid_rows(spark, sf_dir), N_PROBE)
+    centroid model (seed rows — SQL-expressible, DuckDB-oracle-gated),
+    served from the MATERIALIZED index (_ann_dir_for builds it once
+    per session; production calls build_ann at ingest). Lloyd-refined
+    models go through ivf_train + _ivf_search and are recall-tested in
+    pytest (a trained model is not SQL-expressible, so the hash gate
+    stays on step-0 by design)."""
+    d = _ann_dir_for(spark, sf_dir)
+    meta = ann.read_ann_meta(d)
+    cents = [(int(c), v, float(nrm)) for c, v, nrm in meta["centroids"]]
+    return _ivf_search_materialized(spark, sf_dir, d, cents, N_PROBE)
 
 
 def _dot_lit(vec: list[float]) -> str:
-    arr = "array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")"
-    return (
-        f"aggregate(zip_with({arr}, embedding, (x, y) -> x * CAST(y AS DOUBLE)),"
-        " 0D, (a, x) -> a + x)"
-    )
+    return ann.dot_lit(vec)
 
 
 SQL_ANN_IVF = f"""
@@ -494,51 +528,49 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
 
 
 def _sub_dot_lit(m: int, cent: list[float]) -> str:
-    """dot(subvector m of `embedding`, literal centroid) as a JVM expr."""
-    arr = "array(" + ", ".join(f"{float(v)!r}D" for v in cent) + ")"
-    sub = f"slice(embedding, {m * SUB_DIM + 1}, {SUB_DIM})"
-    return (
-        f"aggregate(zip_with({arr}, {sub}, (x, y) -> x * CAST(y AS DOUBLE)),"
-        " 0D, (a, x) -> a + x)"
-    )
+    return ann.sub_dot_lit(m, cent, SUB_DIM)
 
 
-def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC top-10: every vector is encoded to M_SUB 4-bit codes by
-    per-subspace nearest centroid (argmin L2 == argmax dot - |c|^2/2,
-    ties to lower code); each query's approximate score is the sum of
-    per-subspace LUT entries at the vector's codes. Encoding and
-    scoring are constant-folded JVM expressions (the codebooks and the
-    5 query LUTs are literals); no join touches the embedding column —
-    only (vec_id, 8 small ints) flow into scoring, which is the entire
-    point of PQ at 10^12 rows. This fixture query re-encodes codes per
-    run (dominating its wall); a production deployment materializes the
-    code columns once at ingest and queries scan 8 bytes/vector."""
-    cbs = _pq_codebooks(spark, sf_dir)
+# ---- session-scoped materialized ANN index (the fixture analog of a
+# production build_ann at ingest time): built once per (process,
+# sf_dir), then every ANN query serves from the committed artifacts —
+# PQ scoring scans 8 small ints/vector, IVF probes partition-pruned
+# lists, and neither re-runs the encode/assignment pass. Warm bench
+# runs therefore measure pure scoring cost (round-3 Missing #1).
+_ANN_CACHE: dict[str, str] = {}
+
+
+def _ann_dir_for(spark: SparkSession, sf_dir: str) -> str:
+    d = _ANN_CACHE.get(sf_dir)
+    if d is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="ann_idx_")
+        ann.build_ann(
+            spark, _load(spark, sf_dir), d,
+            _centroid_rows(spark, sf_dir), _pq_codebooks(spark, sf_dir))
+        _ANN_CACHE[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _pq_adc_score(
+    spark: SparkSession, sf_dir: str, codes: DataFrame,
+    cbs: list[list[list[float]]],
+) -> DataFrame:
+    """ADC scoring over a (vec_id, code0..code{M-1}) source: one row
+    per query carrying its 8x16 LUT (query-to-centroid dot products,
+    driver-computed with the shared left-fold) — broadcast against the
+    ONE codes scan, so any batch size costs one pass; no join ever
+    touches the embedding column."""
     emb = _load(spark, sf_dir)
-
-    code_cols = []
-    for m in range(M_SUB):
-        scores = ", ".join(
-            f"({_sub_dot_lit(m, cbs[m][j])}) - {float(_fold_dot(cbs[m][j], cbs[m][j]) / 2)!r}D"
-            for j in range(K_PQ)
-        )
-        code_cols.append(
-            F.expr(
-                f"CAST(array_position(array({scores}), array_max(array({scores}))) AS INT) - 1"
-            ).alias(f"code{m}")
-        )
-    codes = emb.select("vec_id", *code_cols)
-
     q_rows = (
         emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
         .select("vec_id", "embedding")
         .collect()
     )
-    # one row per query carrying its 8x16 LUT (query-to-centroid dot
-    # products, driver-computed with the shared left-fold) — broadcast
-    # against the ONE codes scan, so the corpus is encoded exactly once
-    # however many queries ride the batch
     lut_rows = []
     for r in sorted(q_rows, key=lambda r: r.vec_id):
         qv = [float(x) for x in r.embedding]
@@ -547,7 +579,7 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             [[float(_fold_dot(qv[m * SUB_DIM:(m + 1) * SUB_DIM], cbs[m][j]))
               for j in range(K_PQ)] for m in range(M_SUB)],
         ))
-    qlut = emb.sparkSession.createDataFrame(
+    qlut = spark.createDataFrame(
         lut_rows, "query_id long, lut array<array<double>>")
     adc_expr = " + ".join(
         f"element_at(element_at(lut, {m + 1}), code{m} + 1)" for m in range(M_SUB))
@@ -563,6 +595,32 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "adc")
     )
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-10 (Jégou et al., TPAMI 2011) served from the
+    MATERIALIZED code table (index/ann.py): every vector was encoded
+    ONCE at build time to M_SUB 4-bit codes by per-subspace nearest
+    centroid; the query scans (vec_id, 8 small ints) — 8 bytes/vector
+    at 10^12 rows, the entire point of PQ — and sums per-subspace
+    broadcast-LUT entries at the vector's codes. The per-run-encode
+    twin (q_ann_pq_adc_inline) is rank-identity-pinned in pytest; the
+    DuckDB oracle recomputes codes from scratch, so the hash gate
+    proves materialized == recomputed."""
+    d = _ann_dir_for(spark, sf_dir)
+    return _pq_adc_score(
+        spark, sf_dir, ann.read_pq_codes(spark, d),
+        ann.read_ann_meta(d)["codebooks"])
+
+
+def q_ann_pq_adc_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-run-encode twin: encodes the corpus inside the query
+    (constant-folded JVM expressions) and scores identically — the
+    shape the driver oracle's SQL mirrors, and the correctness anchor
+    for the materialized path."""
+    cbs = _pq_codebooks(spark, sf_dir)
+    codes = _load(spark, sf_dir).select("vec_id", *ann.pq_code_cols(cbs))
+    return _pq_adc_score(spark, sf_dir, codes, cbs)
 
 
 def _sql_ann_pq_adc() -> str:

@@ -1,0 +1,113 @@
+"""Materialized ANN index (index/ann.py): build artifacts, plan pins
+(codes-only PQ scan, partition-pruned IVF lists), rank-identity vs the
+per-run-encode twins, and incremental extend."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logsentinelai_spark.index import ann
+from logsentinelai_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def _build(spark, tmp_path):
+    d = str(tmp_path / "ann")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    summary = ann.build_ann(
+        spark, emb, d,
+        sim._centroid_rows(spark, SF), sim._pq_codebooks(spark, SF))
+    return d, emb, summary
+
+
+def test_build_ann_artifacts_and_codes_match_inline(spark, tmp_path):
+    d, emb, summary = _build(spark, tmp_path)
+    assert summary["n_vectors"] == emb.count()
+    meta = ann.read_ann_meta(d)
+    assert (meta["m_sub"], meta["k_pq"], meta["sub_dim"]) == (
+        sim.M_SUB, sim.K_PQ, sim.SUB_DIM)
+    # materialized codes == per-run encode, row for row
+    cbs = sim._pq_codebooks(spark, SF)
+    inline = {r.vec_id: tuple(r[f"code{m}"] for m in range(sim.M_SUB))
+              for r in emb.select("vec_id", *ann.pq_code_cols(cbs)).collect()}
+    stored = {r.vec_id: tuple(r[f"code{m}"] for m in range(sim.M_SUB))
+              for r in ann.read_pq_codes(spark, d).collect()}
+    assert stored == inline
+    # every vector landed in exactly one inverted list, lists complete
+    lists = ann.read_ivf_lists(spark, d)
+    assert lists.count() == summary["n_vectors"]
+    assert lists.select("vec_id").distinct().count() == summary["n_vectors"]
+
+
+def test_ivf_lists_read_is_partition_pruned(spark, tmp_path):
+    """Probing n lists must scan ONLY those lists' files: the
+    predicate lands in PartitionFilters (not a post-scan Filter) and
+    the scan's partition count equals the probe count."""
+    d, _, _ = _build(spark, tmp_path)
+    probe = sorted(sim.K_CENTROID_IDS)[:2]
+    df = ann.read_ivf_lists(spark, d, probe)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # all rows read belong to the probed lists (pruning, not filtering,
+    # is asserted by the plan line above; this checks correctness)
+    got = {r.list_id for r in df.select("list_id").distinct().collect()}
+    assert got <= set(probe) and got
+
+
+def test_q_ann_pq_adc_serves_from_materialized_codes(spark):
+    """The gated query's scoring plan must scan the pq_codes artifact
+    and must NOT rescan the embeddings table (the 8-bytes-per-vector
+    contract); results are rank-identical to the per-run-encode twin."""
+    df = sim.q_ann_pq_adc(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "pq_codes" in plan
+    assert "embeddings.parquet" not in plan
+    mat = [(r.query_id, r.rank, r.neighbor_id, r.adc) for r in df.collect()]
+    inline = [(r.query_id, r.rank, r.neighbor_id, r.adc)
+              for r in sim.q_ann_pq_adc_inline(spark, SF).collect()]
+    assert sorted(mat) == sorted(inline)
+
+
+def test_q_ann_ivf_serves_from_materialized_lists(spark):
+    """The gated IVF query must read the materialized inverted lists
+    (partition-pruned) instead of re-assigning the corpus, and return
+    exactly what the per-run-assignment path returns."""
+    df = sim.q_ann_ivf(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_lists" in plan and "PartitionFilters" in plan
+    mat = [(r.query_id, r.rank, r.neighbor_id, r.cos) for r in df.collect()]
+    inline = [(r.query_id, r.rank, r.neighbor_id, r.cos)
+              for r in sim._ivf_search(
+                  spark, SF, sim._centroid_rows(spark, SF), sim.N_PROBE).collect()]
+    assert sorted(mat) == sorted(inline)
+
+
+def test_extend_ann_incremental_equals_full_build(spark, tmp_path):
+    """Build on half the corpus, extend with the full snapshot: the
+    incremental index must equal a from-scratch full build (codes AND
+    list assignments), and only the new vectors get encoded."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    d_inc = str(tmp_path / "inc")
+    cents = sim._centroid_rows(spark, SF)
+    cbs = sim._pq_codebooks(spark, SF)
+    s0 = ann.build_ann(spark, half, d_inc, cents, cbs)
+    s1 = ann.extend_ann(spark, emb, d_inc)
+    assert s1["new_vectors"] == emb.count() - s0["n_vectors"]
+    assert s1["n_vectors"] == emb.count()
+    # idempotent: re-extending with the same snapshot adds nothing
+    s2 = ann.extend_ann(spark, emb, d_inc)
+    assert s2["new_vectors"] == 0
+
+    d_full = str(tmp_path / "full")
+    ann.build_ann(spark, emb, d_full, cents, cbs)
+    cols = ["vec_id"] + [f"code{m}" for m in range(sim.M_SUB)]
+    inc_codes = sorted(map(tuple, ann.read_pq_codes(spark, d_inc).select(*cols).collect()))
+    full_codes = sorted(map(tuple, ann.read_pq_codes(spark, d_full).select(*cols).collect()))
+    assert inc_codes == full_codes
+    inc_assign = sorted(map(tuple, ann.read_ivf_lists(spark, d_inc)
+                            .select("vec_id", "list_id").collect()))
+    full_assign = sorted(map(tuple, ann.read_ivf_lists(spark, d_full)
+                             .select("vec_id", "list_id").collect()))
+    assert inc_assign == full_assign
