@@ -113,8 +113,12 @@ def main() -> None:
     # plan compilation, Python-worker spin-up, and cache population;
     # run 1 is the steady state a resident engine serves. `queries`
     # reports the min (steady state), `queries_cold` the first run.
+    # The 5 slowest (by warm time) get a THIRD repeat so round-over-
+    # round drift on the expensive queries is classifiable as noise vs
+    # regression from the artifact alone (round-3 review item).
     qtimes: dict[str, float] = {}
     qcold: dict[str, float] = {}
+    qruns: dict[str, list[float]] = {}
     for name, fn in entry_queries.QUERIES.items():
         runs = []
         for _ in range(2):
@@ -122,9 +126,76 @@ def main() -> None:
             fn(spark, SF_DIR).collect()
             runs.append(round(time.monotonic() - t0, 3))
         qcold[name] = runs[0]
+        qruns[name] = runs
+    slow5 = sorted(qruns, key=lambda n: min(qruns[n]), reverse=True)[:5]
+    for name in slow5:
+        t0 = time.monotonic()
+        entry_queries.QUERIES[name](spark, SF_DIR).collect()
+        qruns[name].append(round(time.monotonic() - t0, 3))
+    for name, runs in qruns.items():
         qtimes[name] = min(runs)
 
     total = round(time.monotonic() - t_all, 3)
+    lat_stats = {
+        m: {
+            "median": round(statistics.median(v), 1),
+            "p95": round(sorted(v)[int(0.95 * (len(v) - 1))], 1),
+            "min": round(min(v), 1),
+            "max": round(max(v), 1),
+            "n": len(v),
+        }
+        for m, v in lat.items()
+    }
+    index_build = {
+        "docs": BENCH_DOCS,
+        "wall_sec": round(build_sec, 3),
+        "docs_per_sec": round(docs_per_sec, 1),
+        "corpus_prep_sec": round(corpus_prep_sec, 3),
+        "cpus": CPUS,
+    }
+
+    # full detail -> bench_summary.json (survives any tail-capture
+    # truncation of stdout; round-3's BENCH artifact lost its headline
+    # to exactly that). Includes the warm-run spread for the slowest
+    # queries and a delta vs the previous committed summary.
+    repo = Path(__file__).resolve().parent
+    prev_path = repo / "BENCH" / "last_bench_summary.json"
+    delta = {}
+    if prev_path.exists():
+        try:
+            prev_q = json.loads(prev_path.read_text()).get("queries", {})
+            for name, t in qtimes.items():
+                p = prev_q.get(name)
+                # both gates: sub-second queries drift 20%+ on this VM
+                # (documented burstiness) — only absolute+relative
+                # movement is worth a reader's attention
+                if p and abs(t - p) >= 0.15 and abs(t - p) / p >= 0.15:
+                    delta[name] = {"prev": p, "now": t,
+                                   "pct": round(100.0 * (t - p) / p, 1)}
+        except (ValueError, KeyError):
+            delta = {"error": "unreadable previous summary"}
+    summary = {
+        "metric": "bench_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": CPUS,
+        "queries": qtimes,
+        "queries_cold": qcold,
+        "slowest5_runs": {n: qruns[n] for n in slow5},
+        "delta_vs_prev_warm": delta,
+        "index_build": index_build,
+        "bm25_latency_ms": lat_stats,
+        "batched_serving": batched,
+        "wand_crossover": _wand_crossover_point(),
+    }
+    (repo / "bench_summary.json").write_text(json.dumps(summary, indent=1))
+    (repo / "BENCH").mkdir(exist_ok=True)
+    prev_path.write_text(json.dumps(summary, indent=1))
+
+    # the ONE stdout JSON line, compact separators and essentials only
+    # (~2 KB) so the driver's bounded tail capture can always parse it;
+    # everything else lives in bench_summary.json.
     out = {
         "metric": "bench_suite_wall",
         "value": total,
@@ -132,27 +203,11 @@ def main() -> None:
         "sf": sf,
         "queries": qtimes,
         "queries_cold": qcold,
-        "index_build": {
-            "docs": BENCH_DOCS,
-            "wall_sec": round(build_sec, 3),
-            "docs_per_sec": round(docs_per_sec, 1),
-            "corpus_prep_sec": round(corpus_prep_sec, 3),
-            "cpus": CPUS,
-        },
-        "bm25_latency_ms": {
-            m: {
-                "median": round(statistics.median(v), 1),
-                "p95": round(sorted(v)[int(0.95 * (len(v) - 1))], 1),
-                "min": round(min(v), 1),
-                "max": round(max(v), 1),
-                "n": len(v),
-            }
-            for m, v in lat.items()
-        },
-        "batched_serving": batched,
-        "wand_crossover": _wand_crossover_point(),
+        "index_build": index_build,
+        "bm25_latency_ms_median": {m: s["median"] for m, s in lat_stats.items()},
+        "summary_file": "bench_summary.json",
     }
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 def _wand_crossover_point() -> dict:
