@@ -100,6 +100,15 @@ class IndexConfig:
     wave_shards: int = 16            # shards per wave (checkpoint unit; also
                                      # bounds the per-worker id-map at ~20 B/doc)
     use_text_col: bool = False       # skip HTML extraction (pre-extracted corpus)
+    codec: str = "varbyte"           # SEGMENT block codec ("varbyte" |
+                                     # "packed" frame-of-reference bit
+                                     # packing — see codec.py). Recorded in
+                                     # _meta.json; readers dispatch on it.
+                                     # Stage-1 partial runs are ALWAYS
+                                     # varbyte: they are transient (deleted
+                                     # at commit) and the merge's one-pass
+                                     # concatenated decode needs the
+                                     # self-delimiting property.
     executor_shared_fs: bool = False  # set True only when executors mount the
                                       # SAME POSIX fs as the driver (NFS/Lustre);
                                       # see _assert_segment_fs
@@ -575,7 +584,7 @@ def stage1_partial_runs(
 
 # --------------------------------------------------------------------- stage 2
 
-def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str):
+def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str, codec: str = "varbyte"):
     """Fully vectorized run merge — zero per-term Python.
 
     Within a run the per-block gap streams chain (block b's first gap is
@@ -605,7 +614,7 @@ def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str):
 
     def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t_group = time.monotonic()
-        merged = _merge_group(key, pdf, shard_size, block_size)
+        merged = _merge_group(key, pdf, shard_size, block_size, codec)
         if merged is None:
             return pd.DataFrame(columns=metrics_cols)
         shard, bucket, uniq_terms, enc, gid, seg_bytes = merged
@@ -641,10 +650,12 @@ def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str):
     return _merge
 
 
-def _merge_group(key, pdf: pd.DataFrame, shard_size: int, block_size: int):
+def _merge_group(key, pdf: pd.DataFrame, shard_size: int, block_size: int,
+                 codec: str = "varbyte"):
     """The transport-independent merge body (see _merge_runs_fn for the
     algorithm). Returns (shard, bucket, uniq_terms, enc, gid, seg_bytes)
-    or None for an empty group."""
+    or None for an empty group. Input runs are always varbyte
+    (stage-1's format); ``codec`` selects the SEGMENT encoding."""
     # applyInPandas passes numpy scalars, applyInArrow pyarrow scalars
     shard, bucket = (int(k.as_py() if hasattr(k, "as_py") else k) for k in key)
     base = shard * shard_size
@@ -679,7 +690,8 @@ def _merge_group(key, pdf: pd.DataFrame, shard_size: int, block_size: int):
     group_starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
     enc = encode_blocks_grouped(
         docs, tfs, dls, group_starts,
-        np.full(group_starts.size, base, dtype=np.int64), block_size)
+        np.full(group_starts.size, base, dtype=np.int64), block_size,
+        codec=codec)
     seg_bytes = sum(
         len(enc[c].buffers()[2]) for c in ("gaps_vb", "tfs_vb", "dls_vb"))
     return shard, bucket, uniq_terms, enc, enc["gid"], seg_bytes
@@ -714,7 +726,7 @@ def _segment_rows_arrow_schema():
     ])
 
 
-def _merge_rows_fn(shard_size: int, block_size: int):
+def _merge_rows_fn(shard_size: int, block_size: int, codec: str = "varbyte"):
     """Committed-transport merge: identical merge body, but instead of
     writing files from the task, the merged block rows are RETURNED to
     Spark (applyInArrow — no pandas object round-trip on the output)
@@ -734,7 +746,7 @@ def _merge_rows_fn(shard_size: int, block_size: int):
 
         t_group = time.monotonic()
         schema = _segment_rows_arrow_schema()
-        merged = _merge_group(key, tbl.to_pandas(), shard_size, block_size)
+        merged = _merge_group(key, tbl.to_pandas(), shard_size, block_size, codec)
         if merged is None:
             return schema.empty_table()
         shard, bucket, uniq_terms, enc, gid, seg_bytes = merged
@@ -829,6 +841,10 @@ def build_index(
     """Build (or resume) the full index at index_dir. Returns a summary
     dict. ``fail_after_wave`` injects a crash for resume tests."""
     cfg = cfg or IndexConfig()
+    from .codec import CODECS
+
+    if cfg.codec not in CODECS:
+        raise ValueError(f"unknown codec {cfg.codec!r}; expected one of {CODECS}")
     _resolve_transport(spark, cfg)  # fail fast on a bad transport/fs combo
     out = Path(index_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -842,6 +858,8 @@ def build_index(
     if meta_path.exists() and (doc_map_dir / "_SUCCESS").exists():
         meta = json.loads(meta_path.read_text())
         assert meta["shard_size"] == cfg.shard_size, "config mismatch vs existing index"
+        # committed waves pin the segment codec; a resume must not mix
+        cfg.codec = meta.get("codec", "varbyte")
         meta.setdefault("epochs", [{"doc_lo": 0, "doc_hi": meta["n_docs"], "dir": "doc_map"}])
         meta.setdefault("id_hw", meta["n_docs"])
     else:
@@ -881,6 +899,7 @@ def extend_index(spark: SparkSession, pages_df: DataFrame, index_dir: str) -> di
         "shard_size", "n_buckets", "block_size", "wave_shards", "use_text_col")})
     cfg.executor_shared_fs = bool(meta.get("executor_shared_fs", False))
     cfg.segment_transport = meta.get("segment_transport", "auto")
+    cfg.codec = meta.get("codec", "varbyte")
     _resolve_transport(spark, cfg)
     known = None
     for ep in meta["epochs"]:
@@ -993,7 +1012,8 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
                 r.asDict()
                 for r in runs.groupBy("shard", "term_bucket")
                 .applyInPandas(
-                    _merge_runs_fn(cfg.shard_size, cfg.block_size, str(seg_dir)),
+                    _merge_runs_fn(cfg.shard_size, cfg.block_size, str(seg_dir),
+                                   cfg.codec),
                     schema=MERGE_METRICS_SCHEMA,
                 )
                 .collect()
@@ -1006,7 +1026,7 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
             (
                 runs.groupBy("shard", "term_bucket")
                 .applyInArrow(
-                    _merge_rows_fn(cfg.shard_size, cfg.block_size),
+                    _merge_rows_fn(cfg.shard_size, cfg.block_size, cfg.codec),
                     schema=SEGMENT_ROWS_SCHEMA,
                 )
                 .write.mode("overwrite")

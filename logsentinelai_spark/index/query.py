@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenizer import tokens as tokenize
 from .bm25 import B, K1, idf as idf_fn
-from .codec import block_upper_bound, decode_single_block, vb_decode
+from .codec import block_upper_bound, decode_single_block, decode_stream
 from .reader import IndexReader
 
 _UB_MARGIN = 1.0 + 1e-12  # float-safety margin on upper bounds
@@ -44,9 +44,11 @@ def _topk_merge(pairs: list[tuple[int, float]], k: int) -> list[tuple[int, float
 
 # ----------------------------------------------------------------- shard scorers
 
-def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int):
-    """Whole-run decode per term (single vb_decode over concatenated
-    blobs — block gap streams chain within a term's segment)."""
+def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int, codec: str = "varbyte"):
+    """Whole-run decode per term (one decode_stream over the term's
+    blobs — block gap streams chain within a term's segment; varbyte
+    decodes the concatenation in one pass, packed batches same-width
+    blocks)."""
     pdf = pdf.sort_values(["term", "block_id"], kind="mergesort", ignore_index=True)
     terms = pdf["term"].to_numpy()
     gaps_a = pdf["gaps_vb"].to_numpy()
@@ -57,10 +59,10 @@ def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k:
     docs_all, contribs = [], []
     for s, e in zip(tb[:-1], tb[1:]):
         w = idfs[terms[s]]
-        g = vb_decode(b"".join(gaps_a[s:e])).astype(np.int64)
+        g = decode_stream(gaps_a[s:e], codec).astype(np.int64)
         d = np.cumsum(g) + base
-        t = vb_decode(b"".join(tfs_a[s:e])).astype(np.float64)
-        l = vb_decode(b"".join(dls_a[s:e])).astype(np.float64)
+        t = decode_stream(tfs_a[s:e], codec).astype(np.float64)
+        l = decode_stream(dls_a[s:e], codec).astype(np.float64)
         docs_all.append(d)
         contribs.append(_contrib(t, l, w, avgdl))
     if not docs_all:
@@ -76,12 +78,13 @@ def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k:
 class _Cursor:
     """Per-term posting cursor with lazy block decode + block skipping."""
 
-    __slots__ = ("rows", "idf", "avgdl", "bi", "docs", "tfs", "dls", "pos", "cur", "term_ub", "block_ubs")
+    __slots__ = ("rows", "idf", "avgdl", "bi", "docs", "tfs", "dls", "pos", "cur", "term_ub", "block_ubs", "codec")
 
-    def __init__(self, rows: list, idf_t: float, avgdl: float):
+    def __init__(self, rows: list, idf_t: float, avgdl: float, codec: str = "varbyte"):
         self.rows = rows  # block rows sorted by block_id
         self.idf = idf_t
         self.avgdl = avgdl
+        self.codec = codec
         self.block_ubs = np.array(
             [block_upper_bound(r.max_tf, r.min_dl, idf_t, avgdl) for r in rows]
         ) * _UB_MARGIN
@@ -94,7 +97,7 @@ class _Cursor:
             self.cur = None
             return
         self.bi = bi
-        self.docs, self.tfs, self.dls = decode_single_block(self.rows[bi])
+        self.docs, self.tfs, self.dls = decode_single_block(self.rows[bi], self.codec)
         self.pos = 0
         self.cur = int(self.docs[0])
 
@@ -178,7 +181,7 @@ class _TopK:
         return sorted(self.items, key=lambda p: (-p[1], p[0]))[: self.k]
 
 
-def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int = 0):
+def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int = 0, codec: str = "varbyte"):
     """Windowed block-max WAND: classic WAND pivoting (term-UB prefix
     sums over cur-sorted cursors) + block-max pruning, but instead of
     scoring one pivot doc per iteration, every surviving iteration
@@ -192,7 +195,7 @@ def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k
     cursors: list[_Cursor] = []
     for term, g in pdf.groupby("term", sort=False):
         rows = list(g.sort_values("block_id").itertuples())
-        cursors.append(_Cursor(rows, idfs[term], avgdl))
+        cursors.append(_Cursor(rows, idfs[term], avgdl, codec))
     heap = _TopK(k)
     # θ warm-start: the k-th best SINGLE-term contribution of the most
     # selective term is a sound floor for the k-th best final score
@@ -201,8 +204,8 @@ def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k
     theta_floor = -1.0
     seed = max(cursors, key=lambda c: c.term_ub, default=None)
     if seed is not None and sum(r.n for r in seed.rows) >= k:
-        tfs = vb_decode(b"".join(r.tfs_vb for r in seed.rows)).astype(np.float64)
-        dls = vb_decode(b"".join(r.dls_vb for r in seed.rows)).astype(np.float64)
+        tfs = decode_stream([r.tfs_vb for r in seed.rows], codec).astype(np.float64)
+        dls = decode_stream([r.dls_vb for r in seed.rows], codec).astype(np.float64)
         con = _contrib(tfs, dls, seed.idf, avgdl)
         theta_floor = float(np.partition(con, con.size - k)[con.size - k]) if con.size >= k else -1.0
     live = [c for c in cursors if c.cur is not None]
@@ -317,9 +320,10 @@ def topk(
         idfs = {t: idf_fn(N, dfs[t]) for t in qterms}
         score_fn = _pick_scorer(mode, (dfs[t] for t in qterms))
         shard_size = reader.cfg.shard_size
+        codec = reader.codec
 
         def _per_shard(key, pdf):
-            res = score_fn(pdf, idfs, avgdl, k, base=int(key[0]) * shard_size)
+            res = score_fn(pdf, idfs, avgdl, k, base=int(key[0]) * shard_size, codec=codec)
             return pd.DataFrame({"doc_id": [d for d, _ in res], "score": [s for _, s in res]})
 
         per_shard = blocks.groupBy("shard").applyInPandas(_per_shard, schema="doc_id long, score double")
@@ -340,6 +344,7 @@ def _score_shard_acc_many(
     avgdl: float,
     k: int,
     base: int,
+    codec: str = "varbyte",
 ):
     """Batched accumulate scorer: decode every query term's postings
     ONCE per shard, then score all queries against the shared decoded
@@ -358,10 +363,10 @@ def _score_shard_acc_many(
         w = idfs.get(t)
         if w is None:
             continue
-        g = vb_decode(b"".join(gaps_a[s:e])).astype(np.int64)
+        g = decode_stream(gaps_a[s:e], codec).astype(np.int64)
         d = np.cumsum(g) + base
-        tf = vb_decode(b"".join(tfs_a[s:e])).astype(np.float64)
-        dl = vb_decode(b"".join(dls_a[s:e])).astype(np.float64)
+        tf = decode_stream(tfs_a[s:e], codec).astype(np.float64)
+        dl = decode_stream(dls_a[s:e], codec).astype(np.float64)
         per_term[t] = (d, _contrib(tf, dl, w, avgdl))
     out = []
     for qi, qterms in enumerate(qterms_list):
@@ -407,10 +412,12 @@ def topk_many(
         N, avgdl = reader.global_stats()
         idfs = {t: idf_fn(N, dfs[t]) for t in all_terms if dfs.get(t)}
         shard_size = reader.cfg.shard_size
+        codec = reader.codec
 
         def _per_shard(key, pdf):
             rows = _score_shard_acc_many(
-                pdf, qterms_list, idfs, avgdl, k, base=int(key[0]) * shard_size)
+                pdf, qterms_list, idfs, avgdl, k,
+                base=int(key[0]) * shard_size, codec=codec)
             return pd.DataFrame(
                 {"query_id": [q for q, _, _ in rows],
                  "doc_id": [d for _, d, _ in rows],
@@ -452,7 +459,8 @@ def topk_many_local(
     by_q: dict[int, list[tuple[int, float]]] = {}
     for shard, g in pdf.groupby("shard", sort=False):
         for qi, d, s in _score_shard_acc_many(
-            g, qterms_list, idfs, avgdl, k, base=int(shard) * reader.cfg.shard_size
+            g, qterms_list, idfs, avgdl, k,
+            base=int(shard) * reader.cfg.shard_size, codec=reader.codec
         ):
             by_q.setdefault(qi, []).append((d, s))
     return [_topk_merge(by_q.get(qi, []), k) for qi in range(len(query_texts))]
@@ -484,7 +492,9 @@ def topk_local(
     score_fn = _pick_scorer(mode, (int(v) for v in dfs.values()))
     pairs: list[tuple[int, float]] = []
     for shard, g in pdf.groupby("shard", sort=False):
-        pairs += score_fn(g, idfs, avgdl, k, base=int(shard) * reader.cfg.shard_size)
+        pairs += score_fn(g, idfs, avgdl, k,
+                          base=int(shard) * reader.cfg.shard_size,
+                          codec=reader.codec)
     top = _topk_merge(pairs, k)
     if with_urls:
         urls = reader.doc_urls_local([d for d, _ in top])

@@ -30,6 +30,8 @@ class IndexReader:
         self.cfg = IndexConfig(**{k: self.meta[k] for k in (
             "shard_size", "n_buckets", "block_size",
             "wave_shards", "use_text_col") if k in self.meta})
+        # segment block codec (format versioning): scorers dispatch on it
+        self.codec = self.meta.get("codec", "varbyte")
         self.waves = committed_waves(index_dir)
         if not self.waves:
             raise FileNotFoundError(f"no committed waves in {index_dir}")

@@ -373,3 +373,36 @@ def test_idmap_h64_collision_resolves_exactly(tmp_path):
     assert ok.tolist() == [True, True, True, False, False]
     assert ids[ok].tolist() == [22, 11, 33]
     _IDMAP_CACHE.clear()
+
+
+def test_packed_codec_index_rank_and_score_identical(spark, built, tmp_path):
+    """An index built with codec='packed' (frame-of-reference bit-packed
+    segments) must answer every reference query rank- AND
+    score-identically to the varbyte index, through both scorers and
+    both execution paths; _meta.json records the codec and the reader
+    dispatches on it."""
+    import json
+
+    idx_p = str(tmp_path / "db_packed")
+    pages = gen_pages_df(spark, N_DOCS, partitions=8)
+    cfg_p = IndexConfig(
+        shard_size=CFG.shard_size, wave_shards=CFG.wave_shards,
+        n_buckets=CFG.n_buckets, block_size=CFG.block_size, codec="packed")
+    build_index(spark, pages, idx_p, cfg_p)
+    assert json.loads(
+        (__import__("pathlib").Path(idx_p) / "_meta.json").read_text()
+    )["codec"] == "packed"
+
+    rv = IndexReader(spark, built["idx"])
+    rp = IndexReader(spark, idx_p)
+    assert rp.codec == "packed" and rv.codec == "varbyte"
+    for q in list(gen_queries().head(4).itertuples()):
+        for mode in ("acc", "wand"):
+            want = topk_local(rv, q.query_text, k=q.k, mode=mode)
+            got = topk_local(rp, q.query_text, k=q.k, mode=mode)
+            assert [d for d, _ in got] == [d for d, _ in want], (q.query_id, mode)
+            for (_, ws), (_, gs) in zip(want, got):
+                assert abs(ws - gs) <= 1e-9
+    q0 = list(gen_queries().head(1).itertuples())[0]
+    assert topk(rp, q0.query_text, k=q0.k, mode="acc") == topk_local(
+        rp, q0.query_text, k=q0.k, mode="acc")
