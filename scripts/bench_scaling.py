@@ -299,7 +299,17 @@ spark-submit --master local[8] --py-files engine.zip \
 `bench_scaling.py` invokes the same script as a fresh process per level
 (`get_spark`'s ship_package mirrors --py-files in-process).
 """
-    (bench_dir / "BASELINE.md").write_text(md)
+    # preserve the hand-written appendix (cluster rehearsal, transport
+    # overhead, codec bench, per-round delta notes) across re-renders
+    marker = ("<!-- ROUND-APPENDIX: everything below this line is "
+              "preserved across bench_scaling re-renders -->\n")
+    target = bench_dir / "BASELINE.md"
+    appendix = ""
+    if target.exists():
+        prev = target.read_text()
+        if marker in prev:
+            appendix = "\n" + marker + prev.split(marker, 1)[1]
+    target.write_text(md + appendix)
     return out
 
 
