@@ -406,3 +406,20 @@ def test_packed_codec_index_rank_and_score_identical(spark, built, tmp_path):
     q0 = list(gen_queries().head(1).itertuples())[0]
     assert topk(rp, q0.query_text, k=q0.k, mode="acc") == topk_local(
         rp, q0.query_text, k=q0.k, mode="acc")
+
+
+def test_load_idmap_raises_on_invisible_directory(tmp_path):
+    """An executor that cannot see the wave id-map directory (unmounted
+    path, URI storage) must fail LOUDLY: an empty map would silently
+    drop every row of the batch and commit an incomplete index
+    (round-3 ADVICE item)."""
+    from logsentinelai_spark.index.build import _IDMAP_CACHE, _load_idmap
+
+    _IDMAP_CACHE.clear()
+    missing = str(tmp_path / "no_such_wave_idmap")
+    with pytest.raises(RuntimeError, match="zero non-empty"):
+        _load_idmap(missing)
+    (tmp_path / "empty_idmap").mkdir()
+    with pytest.raises(RuntimeError, match="POSIX-visible"):
+        _load_idmap(str(tmp_path / "empty_idmap"))
+    _IDMAP_CACHE.clear()
