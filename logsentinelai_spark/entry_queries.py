@@ -286,6 +286,7 @@ QUERIES = {
     "ann_lsh": _sim.q_ann_lsh,
     "ann_ivf": _sim.q_ann_ivf,
     "ann_pq_adc": _sim.q_ann_pq_adc,
+    "ann_ivfpq": _sim.q_ann_ivfpq,
     "embedding_neardup": _sim.q_embedding_neardup,
     # text analysis
     "lang_id": _ts.q_lang_id,
@@ -327,6 +328,7 @@ ORACLES = {
     "ann_lsh": _sim.SQL_ANN_LSH,
     "ann_ivf": _sim.SQL_ANN_IVF,
     "ann_pq_adc": _sim.SQL_ANN_PQ_ADC,
+    "ann_ivfpq": _sim.SQL_ANN_IVFPQ,
     "embedding_neardup": _sim.SQL_EMBEDDING_NEARDUP,
     "lang_id": _ts.SQL_LANG_ID,
     "quality_score": _ts.SQL_QUALITY,

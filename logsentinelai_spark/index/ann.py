@@ -105,6 +105,52 @@ def pq_code_cols(codebooks: list[list[list[float]]]) -> list:
     return cols
 
 
+def ivfpq_code_cols(
+    codebooks: list[list[list[float]]],
+    centroids: list[tuple[int, list[float], float]],
+) -> list:
+    """RESIDUAL PQ codes for IVFADC (Jégou et al., TPAMI 2011, §IV): a
+    vector assigned to inverted list L is coded subspace-wise against
+    its residual x - c_L (residuals concentrate near zero, so the same
+    codebook budget quantizes them better than raw vectors). By
+    linearity, dot(x_m - c_{L,m}, cb_mj) = dot(x_m, cb_mj) -
+    dot(c_{L,m}, cb_mj): the data-dependent part is the SAME raw
+    subspace dot the plain PQ encode uses, and the list-dependent part
+    is a constant folded into a K-element array looked up by the row's
+    list position — so the whole residual encode remains ONE
+    constant-folded JVM projection over (embedding, list_id): no join,
+    no Python, nothing new shuffles. Requires a `list_id` column
+    (ivf_assign's output)."""
+    m_sub = len(codebooks)
+    k_pq = len(codebooks[0])
+    sub_dim = len(codebooks[0][0])
+    cid_arr = ", ".join(f"{cid}L" for cid, _, _ in centroids)
+    lpos = f"CAST(array_position(array({cid_arr}), list_id) AS INT)"
+    cols = []
+    for m in range(m_sub):
+        scores = []
+        for j in range(k_pq):
+            cb = codebooks[m][j]
+            corr = [
+                fold_dot(vec[m * sub_dim:(m + 1) * sub_dim], cb)
+                for _, vec, _ in centroids
+            ]
+            corr_arr = "array(" + ", ".join(f"{float(v)!r}D" for v in corr) + ")"
+            half = float(fold_dot(cb, cb) / 2)
+            scores.append(
+                f"({sub_dot_lit(m, cb, sub_dim)})"
+                f" - element_at({corr_arr}, {lpos})"
+                f" - {half!r}D"
+            )
+        s = ", ".join(scores)
+        cols.append(
+            F.expr(
+                f"CAST(array_position(array({s}), array_max(array({s}))) AS INT) - 1"
+            ).alias(f"code{m}")
+        )
+    return cols
+
+
 def ivf_assign(emb: DataFrame, cents: list[tuple[int, list[float], float]]) -> DataFrame:
     """(vec_id, embedding, list_id) — nearest-centroid assignment as a
     constant-folded JVM expression (argmax of dot/|c|, ties to lower
@@ -139,12 +185,24 @@ def build_ann(
     codes = emb_df.select("vec_id", *pq_code_cols(codebooks))
     codes.write.mode("overwrite").parquet(str(out / "pq_codes"))
 
+    assigned = ivf_assign(emb_df, centroids)
     (
-        ivf_assign(emb_df, centroids)
+        assigned
         .select("list_id", "vec_id", "embedding")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(str(out / "ivf_lists"))
+    )
+    # IVFADC layout: residual PQ codes INSIDE the partitioned lists —
+    # the compact 10^12-scale artifact (a probe scans n_probe/K of the
+    # corpus at M small ints per vector; ivf_lists above is the IVFFlat
+    # twin for exact re-rank where embeddings are affordable)
+    (
+        assigned
+        .select("list_id", "vec_id", *ivfpq_code_cols(codebooks, centroids))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(str(out / "ivfpq_lists"))
     )
 
     n = spark.read.parquet(str(out / "pq_codes")).count()
@@ -175,12 +233,20 @@ def extend_ann(spark: SparkSession, emb_df: DataFrame, ann_dir: str) -> dict:
 
     new_codes = new.select("vec_id", *pq_code_cols(meta["codebooks"]))
     new_codes.write.mode("append").parquet(str(out / "pq_codes"))
+    new_assigned = ivf_assign(new, cents)
     (
-        ivf_assign(new, cents)
+        new_assigned
         .select("list_id", "vec_id", "embedding")
         .write.mode("append")
         .partitionBy("list_id")
         .parquet(str(out / "ivf_lists"))
+    )
+    (
+        new_assigned
+        .select("list_id", "vec_id", *ivfpq_code_cols(meta["codebooks"], cents))
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(str(out / "ivfpq_lists"))
     )
     n = spark.read.parquet(str(out / "pq_codes")).count()
     added = n - meta["n_vectors"]
@@ -198,16 +264,32 @@ def read_pq_codes(spark: SparkSession, ann_dir: str) -> DataFrame:
     return spark.read.parquet(str(Path(ann_dir) / "pq_codes"))
 
 
-def read_ivf_lists(
-    spark: SparkSession, ann_dir: str, list_ids: list[int] | None = None
+def _read_partitioned_lists(
+    spark: SparkSession, d: str, list_ids: list[int] | None
 ) -> DataFrame:
-    """The inverted lists; with ``list_ids`` the read is partition-
-    pruned — only the probed lists' files are scanned (the plan shows
-    PartitionFilters on list_id, pinned by test)."""
-    d = str(Path(ann_dir) / "ivf_lists")
     df = spark.read.option("basePath", d).parquet(d)
     if list_ids is not None:
         # filter on the RAW partition column (before any cast) so the
         # predicate lands in PartitionFilters, not a post-scan Filter
         df = df.filter(F.col("list_id").isin([int(x) for x in list_ids]))
     return df.withColumn("list_id", F.col("list_id").cast("long"))
+
+
+def read_ivf_lists(
+    spark: SparkSession, ann_dir: str, list_ids: list[int] | None = None
+) -> DataFrame:
+    """The IVFFlat inverted lists (vec_id, embedding); with
+    ``list_ids`` the read is partition-pruned — only the probed lists'
+    files are scanned (the plan shows PartitionFilters on list_id,
+    pinned by test)."""
+    return _read_partitioned_lists(
+        spark, str(Path(ann_dir) / "ivf_lists"), list_ids)
+
+
+def read_ivfpq_lists(
+    spark: SparkSession, ann_dir: str, list_ids: list[int] | None = None
+) -> DataFrame:
+    """The IVFADC inverted lists (vec_id, residual PQ codes) — the
+    compact artifact; same partition pruning as read_ivf_lists."""
+    return _read_partitioned_lists(
+        spark, str(Path(ann_dir) / "ivfpq_lists"), list_ids)

@@ -258,12 +258,11 @@ N_PROBE = 2
 _fold_dot = ann.fold_dot
 
 
-def _centroid_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float], float]]:
+def _centroid_rows_from(emb: DataFrame) -> list[tuple[int, list[float], float]]:
     import math
 
     rows = (
-        _load(spark, sf_dir)
-        .filter(F.col("vec_id").isin(K_CENTROID_IDS))
+        emb.filter(F.col("vec_id").isin(K_CENTROID_IDS))
         .select("vec_id", "embedding")
         .collect()
     )
@@ -273,6 +272,10 @@ def _centroid_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[flo
         vec = [float(x) for x in r.embedding]
         out.append((int(r.vec_id), vec, math.sqrt(_fold_dot(vec, vec))))
     return out
+
+
+def _centroid_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float], float]]:
+    return _centroid_rows_from(_load(spark, sf_dir))
 
 
 _ivf_assign = ann.ivf_assign
@@ -511,12 +514,11 @@ K_PQ = 16          # codebook entries per subspace
 PQ_CODEBOOK_IDS = list(range(200, 200 + K_PQ))  # seed rows
 
 
-def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+def _pq_codebooks_from(emb: DataFrame) -> list[list[list[float]]]:
     """codebooks[m][j] = SUB_DIM floats: subvector m of seed row
     (200+j). Collected once (K_PQ rows) — the model, not the data."""
     rows = (
-        _load(spark, sf_dir)
-        .filter(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
+        emb.filter(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
         .select("vec_id", "embedding")
         .collect()
     )
@@ -525,6 +527,10 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
         [by_id[200 + j][m * SUB_DIM:(m + 1) * SUB_DIM] for j in range(K_PQ)]
         for m in range(M_SUB)
     ]
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    return _pq_codebooks_from(_load(spark, sf_dir))
 
 
 def _sub_dot_lit(m: int, cent: list[float]) -> str:
@@ -684,6 +690,171 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 SQL_ANN_PQ_ADC = _sql_ann_pq_adc()
+
+
+# ------------------------------------------------------------- IVFPQ (IVFADC)
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al., TPAMI 2011, §IV) — the compact 10^12-scale
+    layout, combining both index structures: vectors live in
+    list_id-PARTITIONED inverted lists as M_SUB-int residual PQ codes
+    (index/ann.py::ivfpq_lists). A query probes its N_PROBE nearest
+    lists — a partition-pruned scan of ~N*n_probe/K code rows, 8 small
+    ints each — and scores approx dot(q, x) = dot(q, c_list) +
+    sum_m LUT_m[code_m] where LUT_m[j] = dot(q_m, cb_mj) over the
+    residual codebooks; embeddings are read for the 5 query rows only.
+    All models are step-0 deterministic, so the whole pipeline is
+    SQL-expressible and DuckDB-hash-gated."""
+    d = _ann_dir_for(spark, sf_dir)
+    meta = ann.read_ann_meta(d)
+    cents = [(int(c), v, float(nrm)) for c, v, nrm in meta["centroids"]]
+    cbs = meta["codebooks"]
+    emb = _load(spark, sf_dir)
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_rows = []
+    for r in sorted(q_rows, key=lambda r: r.vec_id):
+        qv = [float(x) for x in r.embedding]
+        lut = [
+            [float(_fold_dot(qv[m * SUB_DIM:(m + 1) * SUB_DIM], cbs[m][j]))
+             for j in range(K_PQ)]
+            for m in range(M_SUB)
+        ]
+        ranked = sorted(
+            ((-(_fold_dot(qv, vec) / norm), cid, vec) for cid, vec, norm in cents))
+        for _, cid, cvec in ranked[:N_PROBE]:
+            probe_rows.append(
+                (int(r.vec_id), cid, float(_fold_dot(qv, cvec)), lut))
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id long, list_id long, qcdot double, lut array<array<double>>")
+    lists = ann.read_ivfpq_lists(
+        spark, d, sorted({lid for _, lid, _, _ in probe_rows}))
+    adc_expr = "qcdot + " + " + ".join(
+        f"element_at(element_at(lut, {m + 1}), code{m} + 1)" for m in range(M_SUB))
+    scored = (
+        lists.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(F.expr(adc_expr), 6).alias("adc"))
+    )
+    # rounded-score ranking — see q_ann_brute
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "adc")
+    )
+
+
+def _sql_ann_ivfpq() -> str:
+    qids = ", ".join(map(str, QUERY_VEC_IDS))
+    sub = "{v}[{lo}:{hi}]"
+
+    def sl(v, m):
+        return sub.format(v=v, lo=m * SUB_DIM + 1, hi=(m + 1) * SUB_DIM)
+
+    raw = ", ".join(
+        f"list_dot_product(list_transform({sl('e.embedding', m)},"
+        f" x -> CAST(x AS DOUBLE)), {sl('k.ce', m)}) AS s{m}"
+        for m in range(M_SUB)
+    )
+    # corr folds BOTH list-dependent terms: dot(c_m, cb_mj) + |cb_mj|^2/2
+    corr = ", ".join(
+        f"list_dot_product({sl('c.ce', m)}, {sl('k.ce', m)})"
+        f" + list_dot_product({sl('k.ce', m)}, {sl('k.ce', m)}) / 2 AS c{m}"
+        for m in range(M_SUB)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT r.vec_id, {m} AS m, r.s{m} - co.c{m} AS s, r.j"
+        f" FROM sub_raw r JOIN assign a USING (vec_id)"
+        f" JOIN corr co ON co.cid = a.list_id AND co.j = r.j"
+        for m in range(M_SUB)
+    )
+    lut_unions = " UNION ALL ".join(
+        f"SELECT q.vec_id AS query_id, k.j, {m} AS m,"
+        f" list_dot_product(list_transform({sl('q.embedding', m)},"
+        f" x -> CAST(x AS DOUBLE)), {sl('k.ce', m)}) AS qdot"
+        f" FROM embeddings q CROSS JOIN pqc k WHERE q.vec_id IN ({qids})"
+        for m in range(M_SUB)
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings WHERE vec_id IN ({", ".join(map(str, K_CENTROID_IDS))})
+),
+pqc AS (
+  SELECT vec_id - 200 AS j, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings WHERE vec_id BETWEEN 200 AND {200 + K_PQ - 1}
+),
+assign_scored AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.ce)
+           / sqrt(list_dot_product(c.ce, c.ce)) AS score
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS list_id
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        FROM assign_scored)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS list_id
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+        FROM assign_scored WHERE vec_id IN ({qids}))
+  WHERE rn <= {N_PROBE}
+),
+sub_raw AS (
+  SELECT e.vec_id, k.j, {raw}
+  FROM embeddings e CROSS JOIN pqc k
+),
+corr AS (
+  SELECT c.cid, k.j, {corr}
+  FROM cents c CROSS JOIN pqc k
+),
+long_scores AS ({unions}),
+codes AS (
+  SELECT vec_id, m, j AS code
+  FROM (SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, j) AS rn
+        FROM long_scores)
+  WHERE rn = 1
+),
+lut AS ({lut_unions}),
+qc AS (
+  SELECT q.vec_id AS query_id, c.cid,
+         list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)), c.ce) AS qcdot
+  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id IN ({qids})
+),
+adc AS (
+  SELECT p.query_id, a.vec_id,
+         round(max(qc.qcdot) + sum(l.qdot), 6) AS adc
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN codes k ON k.vec_id = a.vec_id
+  JOIN lut l ON l.query_id = p.query_id AND l.m = k.m AND l.j = k.code
+  JOIN qc ON qc.query_id = p.query_id AND qc.cid = p.list_id
+  WHERE a.vec_id <> p.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  -- rounded-score ranking: see q_ann_brute / SQL_ANN_BRUTE
+  SELECT query_id, vec_id AS neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, rank, neighbor_id, adc
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+SQL_ANN_IVFPQ = _sql_ann_ivfpq()
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,6 +83,35 @@ def test_q_ann_ivf_serves_from_materialized_lists(spark):
     assert sorted(mat) == sorted(inline)
 
 
+def test_q_ann_ivfpq_serves_from_materialized_code_lists(spark):
+    """IVFADC: the scoring plan must scan the partition-pruned
+    ivfpq_lists artifact (codes, not embeddings — embeddings are read
+    only for the 5 query rows, outside this plan); every neighbor
+    comes from the query's probed lists; 5 x TOP_K rows."""
+    df = sim.q_ann_ivfpq(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ivfpq_lists" in plan and "PartitionFilters" in plan
+    assert "embeddings.parquet" not in plan
+    rows = df.collect()
+    assert len(rows) == len(sim.QUERY_VEC_IDS) * sim.TOP_K
+    for r in rows:
+        assert 1 <= r.rank <= sim.TOP_K and r.neighbor_id != r.query_id
+
+
+def test_ann_ivfpq_recall_vs_brute(spark):
+    """Residual-PQ ADC over probed lists must still find a meaningful
+    share of the true top-10 (step-0 models, n_probe=2/8 lists): at
+    least brute-recall floor measured at fixture scale, and strictly
+    better than empty. Floors are deliberately loose — the gate for
+    VALUES is the DuckDB hash oracle; this pins algorithmic sanity."""
+    brute = {(r.query_id, r.neighbor_id)
+             for r in sim.q_ann_brute(spark, SF).collect()}
+    ivfpq = {(r.query_id, r.neighbor_id)
+             for r in sim.q_ann_ivfpq(spark, SF).collect()}
+    recall = len(brute & ivfpq) / len(brute)
+    assert recall >= 0.2, f"ivfpq recall collapsed: {recall}"
+
+
 def test_extend_ann_incremental_equals_full_build(spark, tmp_path):
     """Build on half the corpus, extend with the full snapshot: the
     incremental index must equal a from-scratch full build (codes AND
@@ -111,3 +140,9 @@ def test_extend_ann_incremental_equals_full_build(spark, tmp_path):
     full_assign = sorted(map(tuple, ann.read_ivf_lists(spark, d_full)
                              .select("vec_id", "list_id").collect()))
     assert inc_assign == full_assign
+    pq_cols = ["vec_id", "list_id"] + [f"code{m}" for m in range(sim.M_SUB)]
+    inc_pq = sorted(map(tuple, ann.read_ivfpq_lists(spark, d_inc)
+                        .select(*pq_cols).collect()))
+    full_pq = sorted(map(tuple, ann.read_ivfpq_lists(spark, d_full)
+                         .select(*pq_cols).collect()))
+    assert inc_pq == full_pq
