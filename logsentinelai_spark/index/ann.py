@@ -151,6 +151,21 @@ def ivfpq_code_cols(
     return cols
 
 
+def lsh_bucket_expr(planes: list[list[float]], col: str = "embedding"):
+    """Sign-bit bucket id for one hash table as a JVM expression:
+    bit p set iff dot(embedding, plane_p) > 0. Planes are literals
+    (broadcast by constant folding)."""
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({arr}, {col}, (x, y) -> x * CAST(y AS DOUBLE)),"
+            " 0D, (a, x) -> a + x)"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return F.expr(" + ".join(bits))
+
+
 def ivf_assign(emb: DataFrame, cents: list[tuple[int, list[float], float]]) -> DataFrame:
     """(vec_id, embedding, list_id) — nearest-centroid assignment as a
     constant-folded JVM expression (argmax of dot/|c|, ties to lower
@@ -170,12 +185,32 @@ def ivf_assign(emb: DataFrame, cents: list[tuple[int, list[float], float]]) -> D
     )
 
 
+def _write_lsh_tables(emb_df: DataFrame, out: Path,
+                      lsh_planes: list[list[list[float]]], mode: str) -> None:
+    """One bucket-PARTITIONED table per LSH hash table: probing a
+    query's bucket is a partition-pruned scan of ~N/2^n_planes rows.
+    Rows carry the embedding so the exact cosine re-rank reads the
+    same pruned row (per-table duplication is multi-table LSH's
+    classic space/time trade; the storage-lean alternative — vec_id-
+    only buckets + a gather join against the vector store — trades
+    that back for a 10^12-row shuffle join per query batch)."""
+    for t, planes in enumerate(lsh_planes):
+        (
+            emb_df.select(
+                lsh_bucket_expr(planes).alias("bucket"), "vec_id", "embedding")
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(str(out / "lsh_lists" / f"table={t}"))
+        )
+
+
 def build_ann(
     spark: SparkSession,
     emb_df: DataFrame,
     ann_dir: str,
     centroids: list[tuple[int, list[float], float]],
     codebooks: list[list[list[float]]],
+    lsh_planes: list[list[list[float]]] | None = None,
 ) -> dict:
     """Build the materialized ANN index at ann_dir. emb_df must carry
     (vec_id, embedding). Returns a summary dict."""
@@ -205,6 +240,9 @@ def build_ann(
         .parquet(str(out / "ivfpq_lists"))
     )
 
+    if lsh_planes:
+        _write_lsh_tables(emb_df, out, lsh_planes, "overwrite")
+
     n = spark.read.parquet(str(out / "pq_codes")).count()
     meta = {
         "version": ANN_FORMAT_VERSION,
@@ -213,6 +251,7 @@ def build_ann(
         "sub_dim": len(codebooks[0][0]),
         "centroids": [[cid, vec, norm] for cid, vec, norm in centroids],
         "codebooks": codebooks,
+        "lsh_planes": lsh_planes,
         "n_vectors": n,
         "epochs": [n],
     }
@@ -248,6 +287,8 @@ def extend_ann(spark: SparkSession, emb_df: DataFrame, ann_dir: str) -> dict:
         .partitionBy("list_id")
         .parquet(str(out / "ivfpq_lists"))
     )
+    if meta.get("lsh_planes"):
+        _write_lsh_tables(new, out, meta["lsh_planes"], "append")
     n = spark.read.parquet(str(out / "pq_codes")).count()
     added = n - meta["n_vectors"]
     meta["n_vectors"] = n
@@ -293,3 +334,17 @@ def read_ivfpq_lists(
     compact artifact; same partition pruning as read_ivf_lists."""
     return _read_partitioned_lists(
         spark, str(Path(ann_dir) / "ivfpq_lists"), list_ids)
+
+
+def read_lsh_table(
+    spark: SparkSession, ann_dir: str, table: int,
+    buckets: list[int] | None = None,
+) -> DataFrame:
+    """One LSH hash table's bucket-partitioned rows (bucket, vec_id,
+    embedding); with ``buckets`` the read is partition-pruned to the
+    probed buckets."""
+    d = str(Path(ann_dir) / "lsh_lists" / f"table={table}")
+    df = spark.read.option("basePath", d).parquet(d)
+    if buckets is not None:
+        df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
+    return df.withColumn("bucket", F.col("bucket").cast("int"))

@@ -133,11 +133,57 @@ def lsh_bucket_expr(table: int, col: str = "embedding"):
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table random-hyperplane LSH ANN: a vector is a candidate
-    when it shares a bucket with the query in ANY of the N_TABLES hash
-    tables; exact cosine re-rank among candidates. At 10^12 rows each
-    table is a (bucket) equi-join — never an all-pairs cross join.
-    Rows-only driver check; recall vs brute force asserted in pytest."""
+    """Multi-table random-hyperplane LSH ANN served from the
+    MATERIALIZED bucket-PARTITIONED tables (index/ann.py::lsh_lists):
+    a vector is a candidate when it shares a bucket with the query in
+    ANY of the N_TABLES hash tables; exact cosine re-rank among
+    candidates. Each probe is a partition-pruned scan of
+    ~N/2^N_PLANES rows joined hash-wise against the broadcast query
+    set — the per-run corpus bucket computation is gone (it ran once
+    at build time). Rank-identity vs the inline twin pytest-pinned."""
+    d = _ann_dir_for(spark, sf_dir)
+    planes_all = ann.read_ann_meta(d)["lsh_planes"]
+    emb = _load(spark, sf_dir)
+    q_rows = (
+        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    scored = None
+    for t, planes in enumerate(planes_all):
+        q_pairs = []
+        for r in sorted(q_rows, key=lambda r: r.vec_id):
+            qv = [float(x) for x in r.embedding]
+            # driver-side bucket via the SAME left-fold summation order
+            # as the build-time JVM expression (|dot| >> ulp, see the
+            # cross-engine determinism note below)
+            b = sum(
+                (1 << p) for p, plane in enumerate(planes)
+                if _fold_dot(qv, plane) > 0)
+            q_pairs.append((int(r.vec_id), qv, int(b)))
+        qt = spark.createDataFrame(
+            q_pairs, "query_id long, qe array<double>, b int")
+        tbl = ann.read_lsh_table(
+            spark, d, t, buckets=sorted({b for _, _, b in q_pairs}))
+        j = (
+            tbl.join(F.broadcast(qt), tbl.bucket == qt.b)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", F.round(F.expr(_COS_EXPR), 6).alias("cos"))
+        )
+        scored = j if scored is None else scored.unionAll(j)
+    cands = scored.groupBy("query_id", "vec_id").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
+    )
+
+
+def q_ann_lsh_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-run twin: computes every vector's buckets inside the
+    query (constant-folded JVM exprs) — the shape the DuckDB oracle
+    mirrors, and the correctness anchor for the materialized path."""
     emb = _load(spark, sf_dir)
     for t in range(N_TABLES):
         emb = emb.withColumn(f"bucket{t}", lsh_bucket_expr(t))
@@ -556,7 +602,11 @@ def _ann_dir_for(spark: SparkSession, sf_dir: str) -> str:
         d = tempfile.mkdtemp(prefix="ann_idx_")
         ann.build_ann(
             spark, _load(spark, sf_dir), d,
-            _centroid_rows(spark, sf_dir), _pq_codebooks(spark, sf_dir))
+            _centroid_rows(spark, sf_dir), _pq_codebooks(spark, sf_dir),
+            lsh_planes=[
+                [[float(v) for v in plane] for plane in hyperplanes(t)]
+                for t in range(N_TABLES)
+            ])
         _ANN_CACHE[sf_dir] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d

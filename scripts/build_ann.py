@@ -56,7 +56,11 @@ def main() -> None:
         cbs = sim._pq_codebooks_from(emb)
         if args.lloyd_iters:
             cents = sim.ivf_train(emb, cents, iters=args.lloyd_iters)
-        summary = ann.build_ann(spark, emb, args.out, cents, cbs)
+        lsh = [
+            [[float(v) for v in plane] for plane in sim.hyperplanes(t)]
+            for t in range(sim.N_TABLES)
+        ]
+        summary = ann.build_ann(spark, emb, args.out, cents, cbs, lsh_planes=lsh)
     print(json.dumps(dict(summary, elapsed_sec=round(time.monotonic() - t0, 3))))
 
 

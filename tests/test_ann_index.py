@@ -12,12 +12,20 @@ from logsentinelai_spark.operators import similarity as sim
 SF = "/root/testdata/sf0.001"
 
 
+def _planes():
+    return [
+        [[float(v) for v in plane] for plane in sim.hyperplanes(t)]
+        for t in range(sim.N_TABLES)
+    ]
+
+
 def _build(spark, tmp_path):
     d = str(tmp_path / "ann")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     summary = ann.build_ann(
         spark, emb, d,
-        sim._centroid_rows(spark, SF), sim._pq_codebooks(spark, SF))
+        sim._centroid_rows(spark, SF), sim._pq_codebooks(spark, SF),
+        lsh_planes=_planes())
     return d, emb, summary
 
 
@@ -112,6 +120,22 @@ def test_ann_ivfpq_recall_vs_brute(spark):
     assert recall >= 0.2, f"ivfpq recall collapsed: {recall}"
 
 
+def test_q_ann_lsh_serves_from_materialized_buckets(spark):
+    """The gated LSH query must read the bucket-partitioned tables
+    (partition-pruned to the queries' buckets) instead of recomputing
+    every vector's sign bits per run, and return exactly what the
+    inline per-run path returns."""
+    df = sim.q_ann_lsh(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lsh_lists" in plan and "PartitionFilters" in plan
+    assert plan.count("BroadcastHashJoin") == sim.N_TABLES
+    assert "BroadcastNestedLoopJoin" not in plan
+    mat = [(r.query_id, r.rank, r.neighbor_id, r.cos) for r in df.collect()]
+    inline = [(r.query_id, r.rank, r.neighbor_id, r.cos)
+              for r in sim.q_ann_lsh_inline(spark, SF).collect()]
+    assert sorted(mat) == sorted(inline)
+
+
 def test_extend_ann_incremental_equals_full_build(spark, tmp_path):
     """Build on half the corpus, extend with the full snapshot: the
     incremental index must equal a from-scratch full build (codes AND
@@ -121,7 +145,7 @@ def test_extend_ann_incremental_equals_full_build(spark, tmp_path):
     d_inc = str(tmp_path / "inc")
     cents = sim._centroid_rows(spark, SF)
     cbs = sim._pq_codebooks(spark, SF)
-    s0 = ann.build_ann(spark, half, d_inc, cents, cbs)
+    s0 = ann.build_ann(spark, half, d_inc, cents, cbs, lsh_planes=_planes())
     s1 = ann.extend_ann(spark, emb, d_inc)
     assert s1["new_vectors"] == emb.count() - s0["n_vectors"]
     assert s1["n_vectors"] == emb.count()
@@ -130,7 +154,7 @@ def test_extend_ann_incremental_equals_full_build(spark, tmp_path):
     assert s2["new_vectors"] == 0
 
     d_full = str(tmp_path / "full")
-    ann.build_ann(spark, emb, d_full, cents, cbs)
+    ann.build_ann(spark, emb, d_full, cents, cbs, lsh_planes=_planes())
     cols = ["vec_id"] + [f"code{m}" for m in range(sim.M_SUB)]
     inc_codes = sorted(map(tuple, ann.read_pq_codes(spark, d_inc).select(*cols).collect()))
     full_codes = sorted(map(tuple, ann.read_pq_codes(spark, d_full).select(*cols).collect()))
@@ -146,3 +170,9 @@ def test_extend_ann_incremental_equals_full_build(spark, tmp_path):
     full_pq = sorted(map(tuple, ann.read_ivfpq_lists(spark, d_full)
                          .select(*pq_cols).collect()))
     assert inc_pq == full_pq
+    for t in range(sim.N_TABLES):
+        inc_l = sorted(map(tuple, ann.read_lsh_table(spark, d_inc, t)
+                           .select("vec_id", "bucket").collect()))
+        full_l = sorted(map(tuple, ann.read_lsh_table(spark, d_full, t)
+                            .select("vec_id", "bucket").collect()))
+        assert inc_l == full_l, f"lsh table {t}"
