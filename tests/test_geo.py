@@ -132,6 +132,32 @@ def test_resolve_longest_prefix_flattens_nested_pair(spark):
         assert a.ip_hi < b.ip_lo  # disjoint
 
 
+def test_resolve_longest_prefix_three_level_nesting(spark):
+    """Grandparent /8 ⊃ parent /12 ⊃ child /16: every point resolves
+    to its MOST specific cover, and the parent re-emerges on both
+    flanks of the child (depth >2 pins the sweep's most-specific-first
+    assignment, not just one nesting level)."""
+    dim = spark.createDataFrame(
+        [
+            (0, 0, 99_999, 8, "US", 1.0, 1.0),
+            (1, 10_000, 19_999, 12, "KR", 2.0, 2.0),
+            (2, 14_000, 14_999, 16, "DE", 3.0, 3.0),
+        ],
+        "range_id long, ip_lo long, ip_hi long, prefix_len int, "
+        "country_code string, lat double, lon double",
+    )
+    flat = sorted(
+        geo.resolve_longest_prefix(dim).collect(), key=lambda r: r.ip_lo)
+    spans = [(r.ip_lo, r.ip_hi, r.country_code) for r in flat]
+    assert spans == [
+        (0, 9_999, "US"),
+        (10_000, 13_999, "KR"),
+        (14_000, 14_999, "DE"),
+        (15_000, 19_999, "KR"),
+        (20_000, 99_999, "US"),
+    ]
+
+
 def test_enrich_ips_longest_prefix_nested_range(spark):
     """An ip inside a nested /14 enriches with the NESTED range's
     attributes; ips just outside (either flank, same base block) get
