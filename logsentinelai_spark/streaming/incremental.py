@@ -79,6 +79,62 @@ def incremental_index_stream(
     return writer.start()
 
 
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def incremental_ann_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    ann_dir: str,
+    centroids,
+    codebooks,
+    lsh_planes=None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 16,
+    processing_time: str | None = None,
+):
+    """Continuous ANN-index maintenance — the embedding-side twin of
+    :func:`incremental_index_stream` for a training-data pipeline
+    whose vectors arrive continuously: every micro-batch of newly
+    landed embedding files is encoded with the FROZEN models
+    (index/ann.py: PQ/IVF/LSH models freeze at build time; re-training
+    is a rebuild) and appended to pq_codes / ivf_lists / ivfpq_lists /
+    lsh_lists. Replays are no-ops: extend_ann anti-joins arriving
+    vec_ids against the committed code table, so the sink is
+    idempotent and the stream exactly-once end-to-end.
+
+    ``centroids``/``codebooks``/``lsh_planes`` seed the first batch's
+    build; later batches read the frozen models from _ann_meta.json.
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops)."""
+    from pathlib import Path
+
+    from ..index.ann import build_ann, extend_ann
+
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(landing_dir)
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if len(batch_df.take(1)) == 0:
+            return
+        if (Path(ann_dir) / "_ann_meta.json").exists():
+            extend_ann(batch_df.sparkSession, batch_df, ann_dir)
+        else:
+            build_ann(batch_df.sparkSession, batch_df, ann_dir,
+                      centroids, codebooks, lsh_planes=lsh_planes)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir or f"{ann_dir}/_stream_checkpoint")
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def alert_stream(
     spark: SparkSession,
     events_dir: str,

@@ -204,3 +204,65 @@ def test_chunker_timeout_preserves_counter():
     assert ids == [0, 1, 2], ids                    # strictly increasing, no reuse
     assert reasons == ["count", "timeout", "count"]
     assert state.exists                             # counter retained in state
+
+
+def test_incremental_ann_stream(spark, tmp_path):
+    """Continuous ANN maintenance: two landing drops -> streamed index
+    equals a one-shot build on the full corpus (codes + assignments +
+    LSH buckets); a replayed run with no new files adds nothing."""
+    from pyspark.sql import functions as F
+
+    from logsentinelai_spark.index import ann
+    from logsentinelai_spark.operators import similarity as sim
+    from logsentinelai_spark.streaming.incremental import incremental_ann_stream
+
+    SF = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    cents = sim._centroid_rows_from(emb)
+    cbs = sim._pq_codebooks_from(emb)
+    planes = [
+        [[float(v) for v in plane] for plane in sim.hyperplanes(t)]
+        for t in range(sim.N_TABLES)
+    ]
+    landing = str(tmp_path / "landing")
+    d_stream = str(tmp_path / "ann_stream")
+
+    # drop 1 MUST contain the model seed rows (models are derived
+    # before streaming starts anyway; the filter just keeps the
+    # fixture's id split simple)
+    emb.filter(F.col("vec_id") < 300).write.mode("append").parquet(landing)
+    q = incremental_ann_stream(
+        spark, landing, d_stream, cents, cbs, lsh_planes=planes,
+        max_files_per_trigger=100)
+    q.awaitTermination(300)
+    assert ann.read_ann_meta(d_stream)["n_vectors"] == 300
+
+    emb.filter(F.col("vec_id") >= 300).write.mode("append").parquet(landing)
+    q = incremental_ann_stream(
+        spark, landing, d_stream, cents, cbs, lsh_planes=planes,
+        max_files_per_trigger=100)
+    q.awaitTermination(300)
+    meta = ann.read_ann_meta(d_stream)
+    assert meta["n_vectors"] == emb.count()
+
+    # replay with no new files: nothing changes
+    q = incremental_ann_stream(
+        spark, landing, d_stream, cents, cbs, lsh_planes=planes,
+        max_files_per_trigger=100)
+    q.awaitTermination(300)
+    assert ann.read_ann_meta(d_stream)["n_vectors"] == meta["n_vectors"]
+
+    d_full = str(tmp_path / "ann_full")
+    ann.build_ann(spark, emb, d_full, cents, cbs, lsh_planes=planes)
+    cols = ["vec_id"] + [f"code{m}" for m in range(sim.M_SUB)]
+    assert sorted(map(tuple, ann.read_pq_codes(spark, d_stream).select(*cols).collect())) == \
+        sorted(map(tuple, ann.read_pq_codes(spark, d_full).select(*cols).collect()))
+    assert sorted(map(tuple, ann.read_ivf_lists(spark, d_stream)
+                      .select("vec_id", "list_id").collect())) == \
+        sorted(map(tuple, ann.read_ivf_lists(spark, d_full)
+                   .select("vec_id", "list_id").collect()))
+    for t in range(sim.N_TABLES):
+        assert sorted(map(tuple, ann.read_lsh_table(spark, d_stream, t)
+                          .select("vec_id", "bucket").collect())) == \
+            sorted(map(tuple, ann.read_lsh_table(spark, d_full, t)
+                       .select("vec_id", "bucket").collect()))
