@@ -198,6 +198,14 @@ def _write_lsh_tables(emb_df: DataFrame, out: Path,
         (
             emb_df.select(
                 lsh_bucket_expr(planes).alias("bucket"), "vec_id", "embedding")
+            # one file per bucket, not one per (bucket x writing task):
+            # an unrepartitioned dynamic-partition write fans every task
+            # across every bucket, and the resulting tiny-file explosion
+            # taxes EVERY future probe's file listing (measured 2x on
+            # the warm query). The build-time shuffle is paid once; at
+            # production scale repartition(n, "bucket") with n sized to
+            # target file size keeps files-per-bucket bounded.
+            .repartition("bucket")
             .write.mode(mode)
             .partitionBy("bucket")
             .parquet(str(out / "lsh_lists" / f"table={t}"))
@@ -224,6 +232,7 @@ def build_ann(
     (
         assigned
         .select("list_id", "vec_id", "embedding")
+        .repartition("list_id")  # one file per list — see _write_lsh_tables
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(str(out / "ivf_lists"))
@@ -235,6 +244,7 @@ def build_ann(
     (
         assigned
         .select("list_id", "vec_id", *ivfpq_code_cols(codebooks, centroids))
+        .repartition("list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(str(out / "ivfpq_lists"))
@@ -276,6 +286,7 @@ def extend_ann(spark: SparkSession, emb_df: DataFrame, ann_dir: str) -> dict:
     (
         new_assigned
         .select("list_id", "vec_id", "embedding")
+        .repartition("list_id")
         .write.mode("append")
         .partitionBy("list_id")
         .parquet(str(out / "ivf_lists"))
@@ -283,6 +294,7 @@ def extend_ann(spark: SparkSession, emb_df: DataFrame, ann_dir: str) -> dict:
     (
         new_assigned
         .select("list_id", "vec_id", *ivfpq_code_cols(meta["codebooks"], cents))
+        .repartition("list_id")
         .write.mode("append")
         .partitionBy("list_id")
         .parquet(str(out / "ivfpq_lists"))
@@ -348,3 +360,31 @@ def read_lsh_table(
     if buckets is not None:
         df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
     return df.withColumn("bucket", F.col("bucket").cast("int"))
+
+
+def read_lsh_lists(
+    spark: SparkSession, ann_dir: str,
+    probe_buckets: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """ALL LSH hash tables in ONE scan: the on-disk layout
+    lsh_lists/table=t/bucket=b is a two-level hive partitioning, so a
+    whole probe set — {table: [bucket, ...]} — prunes to exactly the
+    probed (table, bucket) partitions in a single pass (an OR of
+    partition-column predicates; both columns are partition dirs, so
+    the OR lands in PartitionFilters). One scan + one join replaces
+    the per-table read+join chain, whose per-job overhead dominated at
+    fixture scale (measured ~2x the single-scan shape) and whose two
+    passes are one too many at any scale."""
+    d = str(Path(ann_dir) / "lsh_lists")
+    df = spark.read.option("basePath", d).parquet(d)
+    if probe_buckets is not None:
+        cond = F.lit(False)
+        for t, bs in sorted(probe_buckets.items()):
+            cond = cond | (
+                (F.col("table") == int(t))
+                & F.col("bucket").isin([int(b) for b in bs]))
+        df = df.filter(cond)
+    return (
+        df.withColumn("table", F.col("table").cast("int"))
+        .withColumn("bucket", F.col("bucket").cast("int"))
+    )

@@ -142,16 +142,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — the per-run corpus bucket computation is gone (it ran once
     at build time). Rank-identity vs the inline twin pytest-pinned."""
     d = _ann_dir_for(spark, sf_dir)
-    planes_all = ann.read_ann_meta(d)["lsh_planes"]
+    planes_all = ann.read_ann_meta(d).get("lsh_planes")
+    if not planes_all:
+        raise ValueError(
+            f"ANN index at {d!r} was built without lsh_planes; rebuild "
+            "with build_ann(..., lsh_planes=...) to serve LSH queries")
     emb = _load(spark, sf_dir)
     q_rows = (
         emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
         .select("vec_id", "embedding")
         .collect()
     )
-    scored = None
+    probe_pairs = []
+    by_table: dict[int, set[int]] = {}
     for t, planes in enumerate(planes_all):
-        q_pairs = []
         for r in sorted(q_rows, key=lambda r: r.vec_id):
             qv = [float(x) for x in r.embedding]
             # driver-side bucket via the SAME left-fold summation order
@@ -160,17 +164,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = sum(
                 (1 << p) for p, plane in enumerate(planes)
                 if _fold_dot(qv, plane) > 0)
-            q_pairs.append((int(r.vec_id), qv, int(b)))
-        qt = spark.createDataFrame(
-            q_pairs, "query_id long, qe array<double>, b int")
-        tbl = ann.read_lsh_table(
-            spark, d, t, buckets=sorted({b for _, _, b in q_pairs}))
-        j = (
-            tbl.join(F.broadcast(qt), tbl.bucket == qt.b)
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id", F.round(F.expr(_COS_EXPR), 6).alias("cos"))
-        )
-        scored = j if scored is None else scored.unionAll(j)
+            probe_pairs.append((t, int(b), int(r.vec_id), qv))
+            by_table.setdefault(t, set()).add(int(b))
+    probes = spark.createDataFrame(
+        probe_pairs, "table int, bucket int, query_id long, qe array<double>")
+    lists = ann.read_lsh_lists(
+        spark, d, {t: sorted(bs) for t, bs in by_table.items()})
+    scored = (
+        lists.join(F.broadcast(probes), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(F.expr(_COS_EXPR), 6).alias("cos"))
+    )
     cands = scored.groupBy("query_id", "vec_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

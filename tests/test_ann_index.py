@@ -128,7 +128,9 @@ def test_q_ann_lsh_serves_from_materialized_buckets(spark):
     df = sim.q_ann_lsh(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "lsh_lists" in plan and "PartitionFilters" in plan
-    assert plan.count("BroadcastHashJoin") == sim.N_TABLES
+    # ONE scan + ONE hash join covers every hash table (the two-level
+    # (table, bucket) hive layout prunes the probe set in one pass)
+    assert plan.count("BroadcastHashJoin") == 1
     assert "BroadcastNestedLoopJoin" not in plan
     mat = [(r.query_id, r.rank, r.neighbor_id, r.cos) for r in df.collect()]
     inline = [(r.query_id, r.rank, r.neighbor_id, r.cos)

@@ -108,11 +108,13 @@ def test_pq_scoring_plan_is_broadcast_no_smj(spark):
 
 
 def test_ann_lsh_joins_are_hash_not_nested_loop(spark):
-    """Each LSH table must probe as a broadcast HASH equi-join; an
+    """Every LSH probe must be a broadcast HASH equi-join; an
     OR-of-tables condition would fall back to BroadcastNestedLoopJoin
-    (per-row predicate scan, anti-scales with the query set)."""
-    from logsentinelai_spark.operators.similarity import N_TABLES, q_ann_lsh
+    (per-row predicate scan, anti-scales with the query set). The
+    inline twin keeps one join per table; the materialized path's
+    single (table, bucket) join is pinned in test_ann_index.py."""
+    from logsentinelai_spark.operators.similarity import N_TABLES, q_ann_lsh_inline
 
-    plan = q_ann_lsh(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    plan = q_ann_lsh_inline(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == N_TABLES
     assert "BroadcastNestedLoopJoin" not in plan
