@@ -55,3 +55,42 @@ def test_local_cluster_committed_build_and_query(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], f"lc q{q.query_id}"
         for (wd, ws), (gd, gs) in zip(want, got):
             assert abs(ws - gs) <= 1e-6
+
+
+def test_local_cluster_ann_build(spark, tmp_path):
+    """The ANN build ships the same way (spark-submit shape on separate
+    executor JVMs): artifacts land through the DataFrame writer's
+    task-commit protocol and are value-identical to an in-process
+    build."""
+    from logsentinelai_spark.index import ann
+    from logsentinelai_spark.operators import similarity as sim
+
+    out = str(tmp_path / "lc_ann")
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "build_ann.py"),
+         "--embeddings", emb_path, "--out", out,
+         "--master", "local-cluster[2,2,1024]", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_vectors"] == 500
+
+    # committed layout: Spark-committer-named files + _SUCCESS
+    files = list(Path(out, "ivfpq_lists").rglob("part-*.parquet"))
+    assert files and all(".c000." in p.name for p in files), files[:3]
+    assert (Path(out) / "ivfpq_lists" / "_SUCCESS").exists()
+
+    # value identity vs an in-process build on the same fixture
+    emb = spark.read.parquet(emb_path).select("vec_id", "embedding")
+    d_local = str(tmp_path / "ip_ann")
+    ann.build_ann(spark, emb, d_local,
+                  sim._centroid_rows_from(emb), sim._pq_codebooks_from(emb))
+    cols = ["vec_id"] + [f"code{m}" for m in range(sim.M_SUB)]
+    assert sorted(map(tuple, ann.read_pq_codes(spark, out).select(*cols).collect())) == \
+        sorted(map(tuple, ann.read_pq_codes(spark, d_local).select(*cols).collect()))
+    assert sorted(map(tuple, ann.read_ivfpq_lists(spark, out)
+                      .select("vec_id", "list_id", "code0").collect())) == \
+        sorted(map(tuple, ann.read_ivfpq_lists(spark, d_local)
+                   .select("vec_id", "list_id", "code0").collect()))
