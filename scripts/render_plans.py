@@ -1,0 +1,151 @@
+"""Render PLANS.md: the formatted physical plans of the headline
+queries plus the index build's stage-1 plan and the pruned posting
+scan, each with the plan-audit commentary that justifies it at the
+100 TB target. Re-run per round so the committed document always
+matches the code.
+
+    python scripts/render_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from logsentinelai_spark import entry_queries  # noqa: E402
+from logsentinelai_spark.session import get_spark  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+# what a reader should verify in each plan, written against the scale
+# target rather than the fixture
+COMMENT = {
+    "term_tf": """One scan of `documents` with ReadSchema pruned to (doc_id, text)
+and the tokenize/explode pipeline inside WholeStageCodegen; the only
+exchange is the (doc_id, term) hash aggregate with a partial_count
+below it (map-side combine), so the shuffle carries one row per
+distinct (doc, term), never the token stream.""",
+    "geo_enrich": """The fact side streams through one codegen stage (validity + private
+predicates, octet/ip_num keys) into a BroadcastHashJoin against the
+bucket-expanded CIDR dimension — no SortMergeJoin, no fact-side
+exchange before the join, range check as join residual. Nested-CIDR
+longest-prefix resolution happened dimension-side (broadcast-small),
+so it is invisible here: the fact plan is identical to the disjoint
+case at any corpus size.""",
+    "dedup_jaccard": """Prefix-filtered similarity join: every join in the plan is an
+equi-join on int64 shingle hashes (SortMergeJoin/ShuffledHashJoin on
+hash keys is acceptable here — both sides are corpus-derived), and
+there is NO CartesianProduct / BroadcastNestedLoopJoin anywhere.
+Candidate verification is `array_intersect` inside the stage, so hot
+shingles never self-join.""",
+    "dedup_minhash_lsh": """Single-pass signatures (8 min-hash aggregates), band equi-join for
+candidates, semi-join-bounded verify. Like dedup_jaccard the audit
+point is the ABSENCE of any nested-loop/cartesian operator.""",
+    "ann_ivf": """The candidate source is `Scan parquet` over the MATERIALIZED
+ivf_lists with PartitionFilters on list_id (only the probed lists'
+files are read) joined hash-wise against the broadcast query set; the
+per-run centroid-argmax assignment pass over the corpus no longer
+exists in the query plan — it ran once at build_ann time.""",
+    "ann_ivfpq": """IVFADC: the scan reads the ivfpq_lists CODE columns
+(ReadSchema = vec_id + 8 small ints) with PartitionFilters on
+list_id; embeddings.parquet appears nowhere — approximate scores are
+LUT lookups + the broadcast dot(q, c_list) offset. This is the
+8-bytes-per-probed-vector plan the 10^12 target requires.""",
+    "ann_pq_adc": """Whole-corpus ADC: one scan of the materialized pq_codes table
+(vec_id + codes only — embeddings.parquet absent from the plan),
+cross-joined against the 5-row broadcast LUT relation, ranked on the
+window exchange that carries only (query_id, vec_id, adc).""",
+    "ann_lsh": """One scan of the two-level (table, bucket) hive layout with BOTH
+partition columns in PartitionFilters (the whole multi-table probe
+set prunes in a single pass) and ONE BroadcastHashJoin on
+(table, bucket) serving every hash table.""",
+    "corpus_filter": """One token-explode pass computes all text signals (the aggregate
+above it has partial functions = map-side combine); the dup-keeper
+join is a BroadcastHashJoin against the md5-group keeper table. No
+second pass over text, no nested-loop operators.""",
+}
+
+
+def _formatted(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def main() -> None:
+    spark = get_spark("render_plans", cpus=8)
+    out = ["""# PLANS — physical-plan audit of the headline queries
+
+Rendered by `scripts/render_plans.py` (re-run per round; commentary is
+the audit contract, the plan text is the evidence). Every plan below
+is the `explain("formatted")` of the exact DataFrame the driver gate
+executes at sf0.01. The global audit invariants, checked by the
+plan-pin tests in `tests/test_plans.py` / `tests/test_ann_index.py` /
+`tests/test_geo.py`:
+
+* no `CartesianProduct` / `BroadcastNestedLoopJoin` outside the
+  intentional tiny-broadcast query-set cross joins;
+* every dimension/model join is a `BroadcastHashJoin`;
+* every materialized-artifact read shows `PartitionFilters` /
+  `PushedFilters` / pruned `ReadSchema`;
+* scalar pipelines sit inside `WholeStageCodegen` spans.
+"""]
+
+    for name, comment in COMMENT.items():
+        df = entry_queries.QUERIES[name](spark, SF_DIR)
+        out.append(f"\n## {name}\n\n{comment}\n\n```\n{_formatted(df).strip()}\n```\n")
+
+    # the index build's stage-1 plan + the pruned posting scan
+    from pyspark.sql import functions as F
+
+    from logsentinelai_spark.corpus import gen_pages_df
+    from logsentinelai_spark.index.build import IndexConfig, build_index, stage1_partial_runs
+    from logsentinelai_spark.index.reader import IndexReader
+
+    with tempfile.TemporaryDirectory(prefix="plans_idx_") as d:
+        pages = gen_pages_df(spark, 2000, partitions=8)
+        cfg = IndexConfig(shard_size=512, wave_shards=2)
+        # idmap_dir is only touched at execution time; the plan is what
+        # we render, and this is the exact production call shape (JVM
+        # url-hash columns + executor-side id resolution)
+        s1 = stage1_partial_runs(
+            pages.filter(F.col("url").between("http://a", "http://zzzz")), cfg,
+            idmap_dir=f"{d}/idmap-placeholder")
+        out.append(f"""
+## index build — stage 1 (fused partial runs)
+
+Shuffle- and join-free: one `MapInArrow` over the pages scan (url
+range filter pushed to the scan) emits doc rows + compressed block
+runs; there is no Exchange in this plan — the build's ONLY wide
+shuffle is the later salted merge, and it moves compressed runs, not
+postings. Pinned by `test_wave_stage1_plan_shuffle_free_and_pruned`.
+
+```
+{_formatted(s1).strip()}
+```
+""")
+        build_index(spark, pages, f"{d}/idx", cfg)
+        blocks = IndexReader(spark, f"{d}/idx").postings_blocks(["the", "server"])
+        out.append(f"""
+## query-time posting scan (pruned)
+
+The serving scan: PartitionFilters on term_bucket (only the query
+terms' buckets are listed/read) and the `term IN (...)` predicate
+pushed into the parquet row-group scan (PushedFilters), ReadSchema =
+the block columns only. df(t) aggregation and scoring share this one
+scan.
+
+```
+{_formatted(blocks).strip()}
+```
+""")
+
+    (REPO / "PLANS.md").write_text("".join(out))
+    print(f"wrote {REPO / 'PLANS.md'}")
+
+
+if __name__ == "__main__":
+    main()
