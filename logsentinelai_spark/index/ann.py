@@ -52,6 +52,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 ANN_FORMAT_VERSION = 1
 
+# exact cosine between a broadcast query vector column `qe` and the
+# corpus `embedding` column, as one JVM higher-order-function expr
+COS_EXPR = """
+aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)
+/ (sqrt(aggregate(qe, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+   * sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+"""
+
 
 def fold_dot(a, b) -> float:
     """Strict left-fold double dot product — the SAME summation order
@@ -346,6 +354,141 @@ def read_ivfpq_lists(
     compact artifact; same partition pruning as read_ivf_lists."""
     return _read_partitioned_lists(
         spark, str(Path(ann_dir) / "ivfpq_lists"), list_ids)
+
+
+def ann_search(
+    spark: SparkSession,
+    ann_dir: str,
+    queries: list[tuple[int, list[float]]],
+    method: str = "ivfpq",
+    k: int = 10,
+    n_probe: int = 2,
+    multiprobe: int = 0,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Serve ANN top-k for ARBITRARY query vectors against a built
+    index — the production API the fixture-bound gated queries
+    (operators/similarity.py) are twins of (equality pytest-pinned).
+
+    queries: [(query_id, vector)], driver-side (the query set is the
+    broadcast-small side by definition). Methods:
+
+      * "ivfpq" — IVFADC: partition-pruned residual-code lists +
+        broadcast LUTs; score = dot(q, c_list) + sum LUT[code]. The
+        10^12-scale default: a probe scans ~N*n_probe/K rows of M
+        small ints.
+      * "ivf"   — IVFFlat: partition-pruned (vec_id, embedding) lists,
+        exact cosine re-rank of the probed lists.
+      * "lsh"   — multi-table sign-bit buckets via the single-scan
+        (table, bucket) layout; ``multiprobe`` adds Hamming-<=d
+        neighbor buckets (Lv et al. VLDB'07).
+
+    Returns (query_id, rank, neighbor_id, score); scores rounded to 6
+    decimals before ranking (summation-order robustness), ties to the
+    lower neighbor_id. ``exclude_self`` drops neighbor_id == query_id
+    rows (for corpus-resident queries)."""
+    from pyspark.sql import Window
+
+    meta = read_ann_meta(ann_dir)
+    cents = [(int(c), v, float(nrm)) for c, v, nrm in meta["centroids"]]
+    cbs = meta["codebooks"]
+    m_sub = meta["m_sub"]
+    k_pq = meta["k_pq"]
+    sub_dim = meta["sub_dim"]
+
+    def _rank(scored, score_col):
+        if exclude_self:
+            scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(score_col), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+                    F.col(score_col).alias("score"))
+        )
+
+    if method == "ivfpq":
+        probe_rows = []
+        for qid, qv in queries:
+            qv = [float(x) for x in qv]
+            lut = [
+                [float(fold_dot(qv[m * sub_dim:(m + 1) * sub_dim], cbs[m][j]))
+                 for j in range(k_pq)]
+                for m in range(m_sub)
+            ]
+            ranked = sorted(
+                ((-(fold_dot(qv, vec) / norm), cid, vec) for cid, vec, norm in cents))
+            for _, cid, cvec in ranked[:n_probe]:
+                probe_rows.append((int(qid), cid, float(fold_dot(qv, cvec)), lut))
+        probes = spark.createDataFrame(
+            probe_rows,
+            "query_id long, list_id long, qcdot double, lut array<array<double>>")
+        lists = read_ivfpq_lists(
+            spark, ann_dir, sorted({lid for _, lid, _, _ in probe_rows}))
+        adc = "qcdot + " + " + ".join(
+            f"element_at(element_at(lut, {m + 1}), code{m} + 1)"
+            for m in range(m_sub))
+        scored = lists.join(F.broadcast(probes), "list_id").select(
+            "query_id", "vec_id", F.round(F.expr(adc), 6).alias("score"))
+        return _rank(scored, "score")
+
+    if method == "ivf":
+        probe_pairs, q_rows = [], []
+        for qid, qv in queries:
+            qv = [float(x) for x in qv]
+            q_rows.append((int(qid), qv))
+            ranked = sorted(
+                ((-(fold_dot(qv, vec) / norm), cid) for cid, vec, norm in cents))
+            probe_pairs += [(int(qid), cid) for _, cid in ranked[:n_probe]]
+        probes = spark.createDataFrame(
+            probe_pairs, "query_id long, list_id long")
+        q = spark.createDataFrame(
+            q_rows, "query_id long, qe array<double>").join(probes, "query_id")
+        lists = read_ivf_lists(
+            spark, ann_dir, sorted({lid for _, lid in probe_pairs}))
+        scored = lists.join(F.broadcast(q), "list_id").select(
+            "query_id", "vec_id", F.round(F.expr(COS_EXPR), 6).alias("score"))
+        return _rank(scored, "score")
+
+    if method == "lsh":
+        planes_all = meta.get("lsh_planes")
+        if not planes_all:
+            raise ValueError(
+                f"ANN index at {ann_dir!r} was built without lsh_planes")
+        probe_rows = []
+        by_table: dict[int, set[int]] = {}
+        for t, planes in enumerate(planes_all):
+            n_planes = len(planes)
+            for qid, qv in queries:
+                qv = [float(x) for x in qv]
+                b = sum(
+                    (1 << p) for p, plane in enumerate(planes)
+                    if fold_dot(qv, plane) > 0)
+                buckets = {int(b)}
+                if multiprobe >= 1:
+                    buckets |= {int(b) ^ (1 << p) for p in range(n_planes)}
+                if multiprobe >= 2:
+                    buckets |= {
+                        int(b) ^ (1 << p) ^ (1 << q2)
+                        for p in range(n_planes)
+                        for q2 in range(p + 1, n_planes)}
+                for bb in sorted(buckets):
+                    probe_rows.append((t, bb, int(qid), qv))
+                    by_table.setdefault(t, set()).add(bb)
+        probes = spark.createDataFrame(
+            probe_rows, "table int, bucket int, query_id long, qe array<double>")
+        lists = read_lsh_lists(
+            spark, ann_dir, {t: sorted(bs) for t, bs in by_table.items()})
+        scored = (
+            lists.join(F.broadcast(probes), ["table", "bucket"])
+            .select("query_id", "vec_id",
+                    F.round(F.expr(COS_EXPR), 6).alias("cos"))
+            .groupBy("query_id", "vec_id").agg(F.max("cos").alias("score"))
+        )
+        return _rank(scored, "score")
+
+    raise ValueError(f"unknown method {method!r}")
 
 
 def read_lsh_table(

@@ -132,7 +132,8 @@ def lsh_bucket_expr(table: int, col: str = "embedding"):
     return F.expr(" + ".join(bits))
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_lsh(spark: SparkSession, sf_dir: str,
+              multiprobe: int = 0) -> DataFrame:
     """Multi-table random-hyperplane LSH ANN served from the
     MATERIALIZED bucket-PARTITIONED tables (index/ann.py::lsh_lists):
     a vector is a candidate when it shares a bucket with the query in
@@ -140,7 +141,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. Each probe is a partition-pruned scan of
     ~N/2^N_PLANES rows joined hash-wise against the broadcast query
     set — the per-run corpus bucket computation is gone (it ran once
-    at build time). Rank-identity vs the inline twin pytest-pinned."""
+    at build time). Rank-identity vs the inline twin pytest-pinned.
+
+    ``multiprobe`` (Lv et al., "Multi-Probe LSH", VLDB 2007): also
+    probe every bucket within Hamming distance <= multiprobe of the
+    query's bucket — near-miss sign bits are the dominant
+    false-negative mode, and flipping them recovers recall WITHOUT
+    more tables (i.e. without duplicating the corpus again). Probe
+    expansion is driver-side model arithmetic; the scan/join shape is
+    unchanged, just more pruned partitions. The driver gate uses
+    multiprobe=0 (the SQL twin mirrors single-probe); the recall gain
+    is pytest-pinned."""
     d = _ann_dir_for(spark, sf_dir)
     planes_all = ann.read_ann_meta(d).get("lsh_planes")
     if not planes_all:
@@ -156,6 +167,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_pairs = []
     by_table: dict[int, set[int]] = {}
     for t, planes in enumerate(planes_all):
+        n_planes = len(planes)
         for r in sorted(q_rows, key=lambda r: r.vec_id):
             qv = [float(x) for x in r.embedding]
             # driver-side bucket via the SAME left-fold summation order
@@ -164,8 +176,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = sum(
                 (1 << p) for p, plane in enumerate(planes)
                 if _fold_dot(qv, plane) > 0)
-            probe_pairs.append((t, int(b), int(r.vec_id), qv))
-            by_table.setdefault(t, set()).add(int(b))
+            buckets = {int(b)}
+            if multiprobe >= 1:
+                buckets |= {int(b) ^ (1 << p) for p in range(n_planes)}
+            if multiprobe >= 2:
+                buckets |= {
+                    int(b) ^ (1 << p) ^ (1 << q)
+                    for p in range(n_planes) for q in range(p + 1, n_planes)}
+            for bb in sorted(buckets):
+                probe_pairs.append((t, bb, int(r.vec_id), qv))
+                by_table.setdefault(t, set()).add(bb)
     probes = spark.createDataFrame(
         probe_pairs, "table int, bucket int, query_id long, qe array<double>")
     lists = ann.read_lsh_lists(
