@@ -135,6 +135,33 @@ def main() -> None:
     for name, runs in qruns.items():
         qtimes[name] = min(runs)
 
+    # (e) ANN artifact build cost — the one-off ingest-time pass the
+    # warm ANN queries amortize (codes + IVF/IVFADC lists + LSH
+    # tables); disclosed so "warm = scoring-only" has its other half.
+    from logsentinelai_spark.index.ann import build_ann
+    from logsentinelai_spark.operators import similarity as _sim
+
+    ann_dir = tempfile.mkdtemp(prefix="bench_ann_")
+    try:
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding")
+        t0 = time.monotonic()
+        s_ann = build_ann(
+            spark, emb, ann_dir,
+            _sim._centroid_rows_from(emb), _sim._pq_codebooks_from(emb),
+            lsh_planes=[
+                [[float(v) for v in plane] for plane in _sim.hyperplanes(t)]
+                for t in range(_sim.N_TABLES)
+            ])
+        ann_build_sec = round(time.monotonic() - t0, 3)
+        ann_build = {
+            "vectors": s_ann["n_vectors"],
+            "wall_sec": ann_build_sec,
+            "vectors_per_sec": round(s_ann["n_vectors"] / ann_build_sec, 1),
+        }
+    finally:
+        shutil.rmtree(ann_dir, ignore_errors=True)
+
     total = round(time.monotonic() - t_all, 3)
     lat_stats = {
         m: {
@@ -163,7 +190,14 @@ def main() -> None:
     delta = {}
     if prev_path.exists():
         try:
-            prev_q = json.loads(prev_path.read_text()).get("queries", {})
+            prev = json.loads(prev_path.read_text())
+            # only compare like with like: a smoke run at another sf or
+            # cpu count must not pollute the round-over-round deltas
+            prev_q = (
+                prev.get("queries", {})
+                if prev.get("sf") == sf and prev.get("cpus") == CPUS
+                else {}
+            )
             for name, t in qtimes.items():
                 p = prev_q.get(name)
                 # both gates: sub-second queries drift 20%+ on this VM
@@ -185,6 +219,7 @@ def main() -> None:
         "slowest5_runs": {n: qruns[n] for n in slow5},
         "delta_vs_prev_warm": delta,
         "index_build": index_build,
+        "ann_build": ann_build,
         "bm25_latency_ms": lat_stats,
         "batched_serving": batched,
         "wand_crossover": _wand_crossover_point(),
@@ -204,6 +239,7 @@ def main() -> None:
         "queries": qtimes,
         "queries_cold": qcold,
         "index_build": index_build,
+        "ann_build": ann_build,
         "bm25_latency_ms_median": {m: s["median"] for m, s in lat_stats.items()},
         "summary_file": "bench_summary.json",
     }

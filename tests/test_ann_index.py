@@ -171,9 +171,12 @@ def test_multiprobe_lsh_improves_recall(spark):
               for r in sim.q_ann_lsh(spark, SF).collect()}
     multi = {(r.query_id, r.neighbor_id)
              for r in sim.q_ann_lsh(spark, SF, multiprobe=1).collect()}
+    multi2 = {(r.query_id, r.neighbor_id)
+              for r in sim.q_ann_lsh(spark, SF, multiprobe=2).collect()}
     r_single = len(brute & single) / len(brute)
     r_multi = len(brute & multi) / len(brute)
-    assert r_multi >= r_single
+    r_multi2 = len(brute & multi2) / len(brute)
+    assert r_multi2 >= r_multi >= r_single
     assert r_multi > 0.5  # hamming-1 over 2 tables covers most misses
 
 
