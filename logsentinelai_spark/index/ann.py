@@ -377,6 +377,8 @@ def ann_search(
         broadcast LUTs; score = dot(q, c_list) + sum LUT[code]. The
         10^12-scale default: a probe scans ~N*n_probe/K rows of M
         small ints.
+      * "pq"    — whole-corpus ADC over the pq_codes table (exhaustive
+        but 8 small ints/vector; no recall loss from list pruning).
       * "ivf"   — IVFFlat: partition-pruned (vec_id, embedding) lists,
         exact cosine re-rank of the probed lists.
       * "lsh"   — multi-table sign-bit buckets via the single-scan
@@ -408,15 +410,35 @@ def ann_search(
                     F.col(score_col).alias("score"))
         )
 
+    def _lut(qv):
+        return [
+            [float(fold_dot(qv[m * sub_dim:(m + 1) * sub_dim], cbs[m][j]))
+             for j in range(k_pq)]
+            for m in range(m_sub)
+        ]
+
+    if method == "pq":
+        # whole-corpus ADC over the pq_codes table: one codes scan
+        # cross-joined against the broadcast per-query LUT rows —
+        # 8 small ints/vector for the FULL corpus (no list pruning;
+        # the exhaustive-but-compact path)
+        lut_rows = [(int(qid), _lut([float(x) for x in qv]))
+                    for qid, qv in queries]
+        qlut = spark.createDataFrame(
+            lut_rows, "query_id long, lut array<array<double>>")
+        adc = " + ".join(
+            f"element_at(element_at(lut, {m + 1}), code{m} + 1)"
+            for m in range(m_sub))
+        scored = read_pq_codes(spark, ann_dir).crossJoin(
+            F.broadcast(qlut)).select(
+            "query_id", "vec_id", F.round(F.expr(adc), 6).alias("score"))
+        return _rank(scored, "score")
+
     if method == "ivfpq":
         probe_rows = []
         for qid, qv in queries:
             qv = [float(x) for x in qv]
-            lut = [
-                [float(fold_dot(qv[m * sub_dim:(m + 1) * sub_dim], cbs[m][j]))
-                 for j in range(k_pq)]
-                for m in range(m_sub)
-            ]
+            lut = _lut(qv)
             ranked = sorted(
                 ((-(fold_dot(qv, vec) / norm), cid, vec) for cid, vec, norm in cents))
             for _, cid, cvec in ranked[:n_probe]:

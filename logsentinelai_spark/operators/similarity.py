@@ -152,56 +152,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str,
     unchanged, just more pruned partitions. The driver gate uses
     multiprobe=0 (the SQL twin mirrors single-probe); the recall gain
     is pytest-pinned."""
-    d = _ann_dir_for(spark, sf_dir)
-    planes_all = ann.read_ann_meta(d).get("lsh_planes")
-    if not planes_all:
-        raise ValueError(
-            f"ANN index at {d!r} was built without lsh_planes; rebuild "
-            "with build_ann(..., lsh_planes=...) to serve LSH queries")
-    emb = _load(spark, sf_dir)
-    q_rows = (
-        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
+    return ann.ann_search(
+        spark, _ann_dir_for(spark, sf_dir), _fixture_queries(spark, sf_dir),
+        method="lsh", k=TOP_K, multiprobe=multiprobe, exclude_self=True,
+    ).withColumnRenamed("score", "cos")
+
+
+def _fixture_queries(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The fixed query set as (query_id, vector) pairs — the
+    broadcast-small side every gated ANN query shares."""
+    rows = (
+        _load(spark, sf_dir)
+        .filter(F.col("vec_id").isin(QUERY_VEC_IDS))
         .select("vec_id", "embedding")
         .collect()
     )
-    probe_pairs = []
-    by_table: dict[int, set[int]] = {}
-    for t, planes in enumerate(planes_all):
-        n_planes = len(planes)
-        for r in sorted(q_rows, key=lambda r: r.vec_id):
-            qv = [float(x) for x in r.embedding]
-            # driver-side bucket via the SAME left-fold summation order
-            # as the build-time JVM expression (|dot| >> ulp, see the
-            # cross-engine determinism note below)
-            b = sum(
-                (1 << p) for p, plane in enumerate(planes)
-                if _fold_dot(qv, plane) > 0)
-            buckets = {int(b)}
-            if multiprobe >= 1:
-                buckets |= {int(b) ^ (1 << p) for p in range(n_planes)}
-            if multiprobe >= 2:
-                buckets |= {
-                    int(b) ^ (1 << p) ^ (1 << q)
-                    for p in range(n_planes) for q in range(p + 1, n_planes)}
-            for bb in sorted(buckets):
-                probe_pairs.append((t, bb, int(r.vec_id), qv))
-                by_table.setdefault(t, set()).add(bb)
-    probes = spark.createDataFrame(
-        probe_pairs, "table int, bucket int, query_id long, qe array<double>")
-    lists = ann.read_lsh_lists(
-        spark, d, {t: sorted(bs) for t, bs in by_table.items()})
-    scored = (
-        lists.join(F.broadcast(probes), ["table", "bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.round(F.expr(_COS_EXPR), 6).alias("cos"))
-    )
-    cands = scored.groupBy("query_id", "vec_id").agg(F.max("cos").alias("cos"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
-    )
+    return [(int(r.vec_id), [float(x) for x in r.embedding])
+            for r in sorted(rows, key=lambda r: r.vec_id)]
 
 
 def q_ann_lsh_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,66 +409,21 @@ def _ivf_search(
     )
 
 
-def _ivf_search_materialized(
-    spark: SparkSession,
-    sf_dir: str,
-    ann_dir: str,
-    cents: list[tuple[int, list[float], float]],
-    n_probe: int = N_PROBE,
-) -> DataFrame:
-    """IVF search against the MATERIALIZED inverted lists
-    (index/ann.py): probe list ids are ranked driver-side from the
-    model (k x dim JSON), and the candidate source is a PARTITION-
-    PRUNED scan of only the probed lists' files — storage read
-    ~ N * n_probe / K vectors instead of the whole corpus, and the
-    per-run centroid-argmax assignment pass is gone entirely (it
-    happened once at build time). Same ranking as _ivf_search."""
-    emb = _load(spark, sf_dir)
-    q_rows = (
-        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    probe_pairs = []
-    for r in q_rows:
-        qv = [float(x) for x in r.embedding]
-        ranked = sorted(
-            ((-(_fold_dot(qv, vec) / norm), cid) for cid, vec, norm in cents))
-        probe_pairs += [(int(r.vec_id), cid) for _, cid in ranked[:n_probe]]
-    probes = spark.createDataFrame(probe_pairs, "query_id long, list_id long")
-    q = (
-        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-        .join(probes, "query_id")
-    )
-    lists = ann.read_ivf_lists(
-        spark, ann_dir, sorted({cid for _, cid in probe_pairs}))
-    cands = (
-        lists.join(F.broadcast(q), "list_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.round(F.expr(_COS_EXPR), 6).alias("cos"))
-    )
-    # rounded-score ranking — see q_ann_brute
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos")
-    )
-
-
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate entry: IVF search with the deterministic step-0
     centroid model (seed rows — SQL-expressible, DuckDB-oracle-gated),
-    served from the MATERIALIZED index (_ann_dir_for builds it once
-    per session; production calls build_ann at ingest). Lloyd-refined
-    models go through ivf_train + _ivf_search and are recall-tested in
-    pytest (a trained model is not SQL-expressible, so the hash gate
-    stays on step-0 by design)."""
-    d = _ann_dir_for(spark, sf_dir)
-    meta = ann.read_ann_meta(d)
-    cents = [(int(c), v, float(nrm)) for c, v, nrm in meta["centroids"]]
-    return _ivf_search_materialized(spark, sf_dir, d, cents, N_PROBE)
+    served from the MATERIALIZED index via the production API
+    (ann.ann_search method="ivf": partition-pruned list scan; the
+    per-run centroid-argmax assignment pass happened once at build
+    time). _ann_dir_for builds the index once per session; production
+    calls build_ann at ingest. Lloyd-refined models go through
+    ivf_train + _ivf_search and are recall-tested in pytest (a trained
+    model is not SQL-expressible, so the hash gate stays on step-0 by
+    design)."""
+    return ann.ann_search(
+        spark, _ann_dir_for(spark, sf_dir), _fixture_queries(spark, sf_dir),
+        method="ivf", k=TOP_K, n_probe=N_PROBE, exclude_self=True,
+    ).withColumnRenamed("score", "cos")
 
 
 def _dot_lit(vec: list[float]) -> str:
@@ -687,10 +609,10 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (q_ann_pq_adc_inline) is rank-identity-pinned in pytest; the
     DuckDB oracle recomputes codes from scratch, so the hash gate
     proves materialized == recomputed."""
-    d = _ann_dir_for(spark, sf_dir)
-    return _pq_adc_score(
-        spark, sf_dir, ann.read_pq_codes(spark, d),
-        ann.read_ann_meta(d)["codebooks"])
+    return ann.ann_search(
+        spark, _ann_dir_for(spark, sf_dir), _fixture_queries(spark, sf_dir),
+        method="pq", k=TOP_K, exclude_self=True,
+    ).withColumnRenamed("score", "adc")
 
 
 def q_ann_pq_adc_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,48 +701,10 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual codebooks; embeddings are read for the 5 query rows only.
     All models are step-0 deterministic, so the whole pipeline is
     SQL-expressible and DuckDB-hash-gated."""
-    d = _ann_dir_for(spark, sf_dir)
-    meta = ann.read_ann_meta(d)
-    cents = [(int(c), v, float(nrm)) for c, v, nrm in meta["centroids"]]
-    cbs = meta["codebooks"]
-    emb = _load(spark, sf_dir)
-    q_rows = (
-        emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    probe_rows = []
-    for r in sorted(q_rows, key=lambda r: r.vec_id):
-        qv = [float(x) for x in r.embedding]
-        lut = [
-            [float(_fold_dot(qv[m * SUB_DIM:(m + 1) * SUB_DIM], cbs[m][j]))
-             for j in range(K_PQ)]
-            for m in range(M_SUB)
-        ]
-        ranked = sorted(
-            ((-(_fold_dot(qv, vec) / norm), cid, vec) for cid, vec, norm in cents))
-        for _, cid, cvec in ranked[:N_PROBE]:
-            probe_rows.append(
-                (int(r.vec_id), cid, float(_fold_dot(qv, cvec)), lut))
-    probes = spark.createDataFrame(
-        probe_rows,
-        "query_id long, list_id long, qcdot double, lut array<array<double>>")
-    lists = ann.read_ivfpq_lists(
-        spark, d, sorted({lid for _, lid, _, _ in probe_rows}))
-    adc_expr = "qcdot + " + " + ".join(
-        f"element_at(element_at(lut, {m + 1}), code{m} + 1)" for m in range(M_SUB))
-    scored = (
-        lists.join(F.broadcast(probes), "list_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.round(F.expr(adc_expr), 6).alias("adc"))
-    )
-    # rounded-score ranking — see q_ann_brute
-    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "adc")
-    )
+    return ann.ann_search(
+        spark, _ann_dir_for(spark, sf_dir), _fixture_queries(spark, sf_dir),
+        method="ivfpq", k=TOP_K, n_probe=N_PROBE, exclude_self=True,
+    ).withColumnRenamed("score", "adc")
 
 
 def _sql_ann_ivfpq() -> str:

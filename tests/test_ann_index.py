@@ -148,7 +148,8 @@ def test_ann_search_api_matches_gated_twins(spark, tmp_path):
          for r in emb.filter(F.col("vec_id").isin(sim.QUERY_VEC_IDS))
          .select("vec_id", "embedding").collect()]
     for method, twin in (
-        ("ivfpq", sim.q_ann_ivfpq), ("ivf", sim.q_ann_ivf), ("lsh", sim.q_ann_lsh),
+        ("ivfpq", sim.q_ann_ivfpq), ("ivf", sim.q_ann_ivf),
+        ("lsh", sim.q_ann_lsh), ("pq", sim.q_ann_pq_adc),
     ):
         got = {(r.query_id, r.rank): (r.neighbor_id, r.score)
                for r in ann.ann_search(
