@@ -292,6 +292,7 @@ QUERIES = {
     "lang_id": _ts.q_lang_id,
     "quality_score": _ts.q_quality_score,
     "corpus_filter": _ts.q_corpus_filter,
+    "line_dedup": _ts.q_line_dedup,
     "token_count": _ts.q_token_count,
     "doc_fingerprint": _ts.q_doc_fingerprint,
     # multimodal plumbing
@@ -333,6 +334,7 @@ ORACLES = {
     "lang_id": _ts.SQL_LANG_ID,
     "quality_score": _ts.SQL_QUALITY,
     "corpus_filter": _ts.SQL_CORPUS_FILTER,
+    "line_dedup": _ts.SQL_LINE_DEDUP,
     "token_count": _ts.SQL_TOKEN_COUNT,
     "doc_fingerprint": _ts.SQL_FINGERPRINT,
     "multimodal_meta": _mm.SQL_MULTIMODAL_META,

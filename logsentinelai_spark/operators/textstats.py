@@ -266,3 +266,93 @@ SELECT doc_id,
        CAST(sum((('0x' || substr(md5(term), 1, 8))::BIGINT % 1000000) * (((pos - 1) % 64) + 1)) % {FP_MOD} AS BIGINT) AS fingerprint
 FROM tok GROUP BY doc_id
 """
+
+
+# -------------------------------------------------------- global line dedup
+
+# deterministic cross-doc duplicate injection (both engines): every
+# 5th doc gains a shared boilerplate line, so the global rule fires
+_BOILERPLATE = "boilerplate nav footer copyright"
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style GLOBAL line deduplication (Raffel et al., JMLR 2020,
+    §2.2 deduplicate repeated spans at corpus level): a line survives
+    only in its first global occurrence — min (doc_id, line_idx) over
+    every document containing that exact line — and each document is
+    reconstructed from its surviving lines in order. The classic
+    boilerplate-removal pass (nav bars, footers, cookie banners repeat
+    across a crawl).
+
+    Scale shape: explode to (line, doc_id, line_idx) rows WITHOUT the
+    text column, one groupBy(line) computes the global keeper with
+    map-side combine (min(struct(doc_id, line_idx)) — the shuffle
+    carries one row per distinct line), keeper broadcast-scale rows
+    join back, and the per-doc reconstruction is a single
+    groupBy(doc_id) whose ordering is an in-row array_sort (no
+    secondary sort shuffle). Output carries md5(cleaned) rather than
+    the cleaned text (value-exact, artifact-compact)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat("text", F.lit("\n" + _BOILERPLATE)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    lines = d.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("line_idx", "line"))
+    keepers = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_idx")).alias("keep"))
+    kept = (
+        lines.join(keepers, "line")
+        .filter((F.col("doc_id") == F.col("keep.doc_id"))
+                & (F.col("line_idx") == F.col("keep.line_idx")))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.expr(
+                "md5(array_join(transform(array_sort("
+                "collect_list(struct(line_idx, line))), s -> s.line), '\n'))"
+            ).alias("cleaned_md5"),
+        )
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || chr(10) || '{_BOILERPLATE}'
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(range(len(string_split(text, chr(10))))) AS line_idx,
+         unnest(string_split(text, chr(10))) AS line
+  FROM d
+),
+keep AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+  FROM lines
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY line_idx)) AS cleaned_md5
+  FROM keep WHERE rn = 1 GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
+FROM totals t LEFT JOIN kept k USING (doc_id)
+"""

@@ -337,3 +337,22 @@ def test_prefix_filtered_jaccard_equals_all_pairs(spark):
         for r in dedup.jaccard_pairs(df).collect()
     }
     assert got == expect and len(expect) > 5
+
+
+def test_line_dedup_keeps_first_global_occurrence(spark):
+    """The injected cross-doc boilerplate line must survive in exactly
+    ONE document — the globally first (min doc_id) injected doc — and
+    every other injected doc loses exactly that one line; documents
+    with unique lines are untouched."""
+    from logsentinelai_spark.operators.textstats import q_line_dedup
+
+    rows = {r.doc_id: r for r in q_line_dedup(spark, SF).collect()}
+    injected = sorted(d for d in rows if d % 5 == 0)
+    first = injected[0]
+    assert rows[first].n_kept == rows[first].n_lines
+    for d in injected[1:]:
+        assert rows[d].n_kept == rows[d].n_lines - 1, d
+    # a corpus doc with no injected line keeps everything (its lines
+    # are unique word sequences)
+    clean = next(d for d in sorted(rows) if d % 5 != 0)
+    assert rows[clean].n_kept == rows[clean].n_lines
