@@ -293,6 +293,7 @@ QUERIES = {
     "quality_score": _ts.q_quality_score,
     "corpus_filter": _ts.q_corpus_filter,
     "line_dedup": _ts.q_line_dedup,
+    "repetition_signals": _ts.q_repetition_signals,
     "token_count": _ts.q_token_count,
     "doc_fingerprint": _ts.q_doc_fingerprint,
     # multimodal plumbing
@@ -335,6 +336,7 @@ ORACLES = {
     "quality_score": _ts.SQL_QUALITY,
     "corpus_filter": _ts.SQL_CORPUS_FILTER,
     "line_dedup": _ts.SQL_LINE_DEDUP,
+    "repetition_signals": _ts.SQL_REPETITION,
     "token_count": _ts.SQL_TOKEN_COUNT,
     "doc_fingerprint": _ts.SQL_FINGERPRINT,
     "multimodal_meta": _mm.SQL_MULTIMODAL_META,

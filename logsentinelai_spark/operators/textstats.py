@@ -11,7 +11,7 @@ corpus-quality metrics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.tokenizer import SQL_TOKEN_PATTERN
 
@@ -355,4 +355,151 @@ SELECT t.doc_id, t.n_lines,
        coalesce(k.n_kept, 0) AS n_kept,
        coalesce(k.cleaned_md5, md5('')) AS cleaned_md5
 FROM totals t LEFT JOIN kept k USING (doc_id)
+"""
+
+
+# ---------------------------------------------------- repetition signals
+
+# deterministic repetition injection (both engines): every 6th doc
+# gains three identical lines, so every signal fires on a known subset
+_REP_LINE = "rep rep nav rep"
+_REP_SUFFIX = "\n" + "\n".join([_REP_LINE] * 3)
+
+# Gopher repetition-filter thresholds (Rae et al. 2021, Table A1)
+DUP_LINE_FRAC_MAX = 0.30
+DUP_LINE_CHAR_FRAC_MAX = 0.20
+TOP2GRAM_CHAR_FRAC_MAX = 0.20
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals à la Gopher (Rae et al.,
+    "Scaling Language Models: ... Gopher", 2021, §A1.1): documents
+    dominated by repeated lines or one repeated word bigram are
+    low-quality crawl artifacts (nav bars, generated spam). Signals:
+
+      * dup_line_frac       1 - distinct_lines / n_lines
+      * dup_line_char_frac  chars on lines whose line-text occurs >1
+                            time in the doc, beyond each first
+                            occurrence, / total line chars
+      * top2gram_char_frac  occurrences(most frequent word bigram) x
+                            chars(bigram) / total text chars
+                            (tie: lexicographically smallest bigram)
+
+    plus the Gopher-threshold keep flag. Shape: line stats come from
+    one explode + groupBy(doc_id, line) with map-side combine; bigram
+    stats from one in-row bigram array explode + groupBy(doc_id,
+    bigram) + per-doc max_by — shuffles carry (doc, distinct
+    line/bigram) counts, never text."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat("text", F.lit(_REP_SUFFIX)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    lines = d.select(
+        "doc_id", F.length("text").alias("text_chars"),
+        F.explode(F.split("text", "\n")).alias("line"))
+    per_line = lines.groupBy("doc_id", "text_chars", "line").agg(
+        F.count("*").alias("c"), F.length("line").alias("lc"))
+    line_stats = per_line.groupBy("doc_id", "text_chars").agg(
+        F.sum("c").alias("n_lines"),
+        F.count("*").alias("n_distinct_lines"),
+        F.sum(F.col("c") * F.col("lc")).alias("line_chars"),
+        F.sum((F.col("c") - 1) * F.col("lc")).alias("dup_line_chars"),
+    )
+    # tokens materialized as a column FIRST: a lambda referencing the
+    # regexp expression directly would re-run regexp_extract_all per
+    # element access. sequence(1, 0) in Spark is DESCENDING, so docs
+    # with <2 tokens need the explicit empty-array branch.
+    toks = d.select("doc_id", _tok_col().alias("ts"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(ts) >= 2 THEN"
+            " transform(sequence(1, size(ts) - 1),"
+            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+            " ELSE array() END"
+        )).alias("bg"))
+    top_bg = (
+        bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("bg"))))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", (F.col("c") * F.length("bg")).alias("top2gram_chars"))
+    )
+    out = (
+        line_stats.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id", "n_lines",
+            F.round(1 - F.col("n_distinct_lines") / F.col("n_lines"), 6)
+            .alias("dup_line_frac"),
+            F.round(F.col("dup_line_chars")
+                    / F.greatest("line_chars", F.lit(1)), 6)
+            .alias("dup_line_char_frac"),
+            F.round(F.coalesce("top2gram_chars", F.lit(0))
+                    / F.greatest("text_chars", F.lit(1)), 6)
+            .alias("top2gram_char_frac"),
+        )
+    )
+    keep = (
+        (F.col("dup_line_frac") <= DUP_LINE_FRAC_MAX)
+        & (F.col("dup_line_char_frac") <= DUP_LINE_CHAR_FRAC_MAX)
+        & (F.col("top2gram_char_frac") <= TOP2GRAM_CHAR_FRAC_MAX)
+    )
+    return out.withColumn("keep", keep)
+
+
+SQL_REPETITION = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0
+              THEN text || {"||".join(["chr(10) || '" + _REP_LINE + "'"] * 3)}
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, length(text) AS text_chars,
+         unnest(string_split(text, chr(10))) AS line
+  FROM d
+),
+per_line AS (
+  SELECT doc_id, text_chars, line, count(*) AS c, length(line) AS lc
+  FROM lines GROUP BY 1, 2, 3
+),
+line_stats AS (
+  SELECT doc_id, text_chars,
+         sum(c) AS n_lines,
+         count(*) AS n_distinct_lines,
+         sum(c * lc) AS line_chars,
+         sum((c - 1) * lc) AS dup_line_chars
+  FROM per_line GROUP BY 1, 2
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS ts
+  FROM d
+),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ts), 1)),
+                i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM toks
+),
+top_bg AS (
+  SELECT doc_id, c * length(bg) AS top2gram_chars
+  FROM (SELECT doc_id, bg, count(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, bg) AS rn
+        FROM bigrams GROUP BY 1, 2)
+  WHERE rn = 1
+)
+SELECT l.doc_id, l.n_lines,
+       round(1 - l.n_distinct_lines * 1.0 / l.n_lines, 6) AS dup_line_frac,
+       round(l.dup_line_chars * 1.0 / greatest(l.line_chars, 1), 6) AS dup_line_char_frac,
+       round(coalesce(t.top2gram_chars, 0) * 1.0 / greatest(l.text_chars, 1), 6)
+         AS top2gram_char_frac,
+       (round(1 - l.n_distinct_lines * 1.0 / l.n_lines, 6) <= {DUP_LINE_FRAC_MAX}
+        AND round(l.dup_line_chars * 1.0 / greatest(l.line_chars, 1), 6) <= {DUP_LINE_CHAR_FRAC_MAX}
+        AND round(coalesce(t.top2gram_chars, 0) * 1.0 / greatest(l.text_chars, 1), 6) <= {TOP2GRAM_CHAR_FRAC_MAX})
+         AS keep
+FROM line_stats l LEFT JOIN top_bg t USING (doc_id)
 """

@@ -356,3 +356,22 @@ def test_line_dedup_keeps_first_global_occurrence(spark):
     # are unique word sequences)
     clean = next(d for d in sorted(rows) if d % 5 != 0)
     assert rows[clean].n_kept == rows[clean].n_lines
+
+
+def test_repetition_signals_flag_injected_docs(spark):
+    """Docs with the injected triple-repeated line must show non-zero
+    dup-line signals (and the repeated bigram inflates
+    top2gram_char_frac); untouched docs with unique random lines score
+    ~zero dup_line_frac and keep=True."""
+    from logsentinelai_spark.operators.textstats import q_repetition_signals
+
+    rows = {r.doc_id: r for r in q_repetition_signals(spark, SF).collect()}
+    injected = [rows[d] for d in rows if d % 6 == 0]
+    clean = [rows[d] for d in rows if d % 6 != 0]
+    assert all(r.dup_line_frac > 0 and r.dup_line_char_frac > 0 for r in injected)
+    assert sum(1 for r in clean if r.dup_line_frac == 0) >= 0.9 * len(clean)
+    assert sum(1 for r in clean if r.keep) >= 0.9 * len(clean)
+    # signals are valid fractions
+    for r in rows.values():
+        for v in (r.dup_line_frac, r.dup_line_char_frac, r.top2gram_char_frac):
+            assert 0.0 <= v <= 1.0
