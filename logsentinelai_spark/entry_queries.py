@@ -294,6 +294,7 @@ QUERIES = {
     "corpus_filter": _ts.q_corpus_filter,
     "line_dedup": _ts.q_line_dedup,
     "repetition_signals": _ts.q_repetition_signals,
+    "pii_scrub": _ts.q_pii_scrub,
     "token_count": _ts.q_token_count,
     "doc_fingerprint": _ts.q_doc_fingerprint,
     # multimodal plumbing
@@ -337,6 +338,7 @@ ORACLES = {
     "corpus_filter": _ts.SQL_CORPUS_FILTER,
     "line_dedup": _ts.SQL_LINE_DEDUP,
     "repetition_signals": _ts.SQL_REPETITION,
+    "pii_scrub": _ts.SQL_PII_SCRUB,
     "token_count": _ts.SQL_TOKEN_COUNT,
     "doc_fingerprint": _ts.SQL_FINGERPRINT,
     "multimodal_meta": _mm.SQL_MULTIMODAL_META,

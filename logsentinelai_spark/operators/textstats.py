@@ -503,3 +503,71 @@ SELECT l.doc_id, l.n_lines,
          AS keep
 FROM line_stats l LEFT JOIN top_bg t USING (doc_id)
 """
+
+
+# ------------------------------------------------------------- PII scrub
+
+# deterministic PII injection (both engines): every 8th doc gains one
+# email, one public IP, and one long numeric id
+_PII_SUFFIX = "\ncontact bob@example.com from 8.8.8.8 ref 123456789012"
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_LONGID_RE = "[0-9]{9,}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass training-data pipelines run
+    before release (emails, IP addresses, long numeric identifiers
+    replaced by typed placeholders; cf. CCNet/RedPajama preprocessing).
+    Pure per-row JVM regexp work: counts from regexp_extract_all on
+    the raw text (per-pattern, independent), redaction as a fixed
+    substitution chain (emails -> IPs -> long ids, same order in both
+    engines so overlap resolution is identical); output carries
+    md5(scrubbed) as the compact value gate. Zero shuffles beyond the
+    scan: this is the cheapest kind of operator at 100 TB — one
+    codegen'd projection."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 8 == 0,
+               F.concat("text", F.lit(_PII_SUFFIX)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _IPV4_RE, "<IP>"),
+        _LONGID_RE, "<ID>")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(
+            f"regexp_extract_all(text, '{_EMAIL_RE.replace(chr(92), chr(92) * 2)}', 0)"
+        )).cast("long").alias("n_emails"),
+        F.size(F.expr(
+            f"regexp_extract_all(text, '{_IPV4_RE.replace(chr(92), chr(92) * 2)}', 0)"
+        )).cast("long").alias("n_ips"),
+        F.size(F.expr(
+            f"regexp_extract_all(text, '{_LONGID_RE.replace(chr(92), chr(92) * 2)}', 0)"
+        )).cast("long").alias("n_long_ids"),
+        F.md5(F.encode(scrubbed, "utf-8")).alias("scrubbed_md5"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 8 = 0
+              THEN text || chr(10) ||
+                   'contact bob@example.com from 8.8.8.8 ref 123456789012'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_IPV4_RE}')) AS n_ips,
+       len(regexp_extract_all(text, '{_LONGID_RE}')) AS n_long_ids,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IPV4_RE}', '<IP>', 'g'),
+             '{_LONGID_RE}', '<ID>', 'g')) AS scrubbed_md5
+FROM d
+"""

@@ -375,3 +375,24 @@ def test_repetition_signals_flag_injected_docs(spark):
     for r in rows.values():
         for v in (r.dup_line_frac, r.dup_line_char_frac, r.top2gram_char_frac):
             assert 0.0 <= v <= 1.0
+
+
+def test_pii_scrub_redacts_injected_pii(spark):
+    """Injected docs (doc_id%8==0) must count exactly one email, one
+    IP, and one long id; scrubbing is idempotent on docs without PII
+    (scrubbed_md5 == md5 of the raw text)."""
+    import hashlib
+
+    from logsentinelai_spark.operators.textstats import q_pii_scrub
+
+    rows = {r.doc_id: r for r in q_pii_scrub(spark, SF).collect()}
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    for d, r in rows.items():
+        if d % 8 == 0:
+            assert (r.n_emails, r.n_ips, r.n_long_ids) == (1, 1, 1), d
+        else:
+            assert (r.n_emails, r.n_ips, r.n_long_ids) == (0, 0, 0), d
+            assert r.scrubbed_md5 == hashlib.md5(
+                docs[d].encode("utf-8")).hexdigest(), d
