@@ -468,7 +468,7 @@ per_line AS (
 ),
 line_stats AS (
   SELECT doc_id, text_chars,
-         sum(c) AS n_lines,
+         CAST(sum(c) AS BIGINT) AS n_lines,
          count(*) AS n_distinct_lines,
          sum(c * lc) AS line_chars,
          sum((c - 1) * lc) AS dup_line_chars
