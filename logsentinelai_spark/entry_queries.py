@@ -295,6 +295,7 @@ QUERIES = {
     "line_dedup": _ts.q_line_dedup,
     "repetition_signals": _ts.q_repetition_signals,
     "pii_scrub": _ts.q_pii_scrub,
+    "span_dedup": _ts.q_span_dedup,
     "token_count": _ts.q_token_count,
     "doc_fingerprint": _ts.q_doc_fingerprint,
     # multimodal plumbing
@@ -339,6 +340,7 @@ ORACLES = {
     "line_dedup": _ts.SQL_LINE_DEDUP,
     "repetition_signals": _ts.SQL_REPETITION,
     "pii_scrub": _ts.SQL_PII_SCRUB,
+    "span_dedup": _ts.SQL_SPAN_DEDUP,
     "token_count": _ts.SQL_TOKEN_COUNT,
     "doc_fingerprint": _ts.SQL_FINGERPRINT,
     "multimodal_meta": _mm.SQL_MULTIMODAL_META,

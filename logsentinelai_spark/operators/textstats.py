@@ -571,3 +571,91 @@ SELECT doc_id,
              '{_LONGID_RE}', '<ID>', 'g')) AS scrubbed_md5
 FROM d
 """
+
+
+# ------------------------------------------------------ 3-line span dedup
+
+# deterministic cross-doc duplicate span (both engines): every 9th doc
+# gains the same 3-line block
+_SPAN_BLOCK = ["span nav alpha", "span nav beta", "span nav gamma"]
+_SPAN_SUFFIX = "\n" + "\n".join(_SPAN_BLOCK)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's actual dedup rule (Raffel et al., JMLR 2020, §2.2:
+    "we discard all but one of any three-sentence span occurring more
+    than once") over line-structured documents: every window of 3
+    consecutive lines is a span; a span is a duplicate when its first
+    global occurrence — min (doc_id, span_idx) — is elsewhere. Output
+    is the per-document span census (n_spans, n_dup_spans, dup_rate),
+    the observability surface that decides whether a crawl slice needs
+    the removal pass at all.
+
+    Shape: spans are built IN-ROW (transform over the split array —
+    the text column never rides the explode), one groupBy(span) with
+    map-side combine finds global keepers (shuffle carries one row per
+    distinct span), per-doc counts come back from one more narrow
+    aggregate."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0,
+               F.concat("text", F.lit(_SPAN_SUFFIX)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    # sequence(1, 0) descends in Spark — guard docs with < 3 lines
+    spans = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "CASE WHEN size(split(text, '\\n')) >= 3 THEN"
+            " transform(sequence(1, size(split(text, '\\n')) - 2),"
+            " i -> concat_ws('\\n', element_at(split(text, '\\n'), i),"
+            " element_at(split(text, '\\n'), i + 1),"
+            " element_at(split(text, '\\n'), i + 2)))"
+            " ELSE array() END"
+        )).alias("span_idx", "span"))
+    keepers = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("keep"))
+    flagged = spans.join(keepers, "span").select(
+        "doc_id",
+        ((F.col("doc_id") != F.col("keep.doc_id"))
+         | (F.col("span_idx") != F.col("keep.span_idx"))).cast("long").alias("dup"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"), F.sum("dup").alias("n_dup_spans"))
+        .select(
+            "doc_id", "n_spans", "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_rate"),
+        )
+    )
+
+
+SQL_SPAN_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN text || {"||".join(["chr(10) || '" + ln + "'" for ln in _SPAN_BLOCK])}
+              ELSE text END AS text
+  FROM d0
+),
+split_d AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+),
+spans AS (
+  SELECT doc_id,
+         unnest(range(greatest(len(ls) - 2, 0))) + 1 AS span_idx,
+         unnest(list_transform(range(greatest(len(ls) - 2, 0)),
+                i -> ls[i + 1] || chr(10) || ls[i + 2] || chr(10) || ls[i + 3]))
+           AS span
+  FROM split_d
+),
+keep AS (
+  SELECT doc_id, span_idx, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_rate
+FROM keep GROUP BY doc_id
+""".replace("FROM d0", "FROM documents")

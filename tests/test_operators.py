@@ -396,3 +396,20 @@ def test_pii_scrub_redacts_injected_pii(spark):
             assert (r.n_emails, r.n_ips, r.n_long_ids) == (0, 0, 0), d
             assert r.scrubbed_md5 == hashlib.md5(
                 docs[d].encode("utf-8")).hexdigest(), d
+
+
+def test_span_dedup_flags_injected_block(spark):
+    """The injected 3-line block forms an identical span across every
+    9th doc: all but its globally-first occurrence count as duplicate
+    spans. Docs with fewer than 3 lines have no spans and no census
+    row (both engines agree — the gate is hash-exact on that set)."""
+    from logsentinelai_spark.operators.textstats import q_span_dedup
+
+    rows = {r.doc_id: r for r in q_span_dedup(spark, SF).collect()}
+    injected = sorted(d for d in rows if d % 9 == 0)
+    assert injected, "every injected doc gains >= 2 spans"
+    with_dup = [d for d in injected if rows[d].n_dup_spans >= 1]
+    assert len(with_dup) >= len(injected) - 1  # all but the global first
+    for r in rows.values():
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert abs(r.dup_rate - round(r.n_dup_spans / r.n_spans, 6)) < 1e-9
