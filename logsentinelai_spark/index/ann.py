@@ -9,25 +9,37 @@ lists' members. Both require encode/assignment to happen ONCE, at
 build time. This module is that build:
 
   build_ann(spark, emb_df, ann_dir, centroids, codebooks)
-    pq_codes/    parquet (vec_id, code0..code{M-1}) — M small ints per
-                 vector; ADC scoring scans THIS, never the embeddings
-    ivf_lists/   parquet PARTITIONED BY list_id, (vec_id, embedding) —
-                 the inverted lists themselves (IVFFlat layout), so a
-                 query's n_probe lists are a partition-PRUNED scan:
-                 storage read ~ N * n_probe / K vectors, not N
+    pq_codes/epoch=E/    parquet (vec_id, code0..code{M-1}) — M small
+                 ints per vector; ADC scoring scans THIS, never the
+                 embeddings
+    ivf_lists/epoch=E/list_id=L/  (vec_id, embedding) — the inverted
+                 lists themselves (IVFFlat layout), so a query's
+                 n_probe lists are a partition-PRUNED scan: storage
+                 read ~ N * n_probe / K vectors, not N
     _ann_meta.json  the frozen model (IVF centroids + PQ codebooks),
-                 vector counts, and format version; written LAST =
-                 the commit point (both bulk artifacts land through
-                 the DataFrame writer, i.e. the Hadoop task-commit
-                 protocol — the same transport as the text index's
-                 committed mode, correct on object stores)
+                 vector counts, format version, and committed_epoch;
+                 written LAST = the ONLY commit point (bulk artifacts
+                 land through the DataFrame writer, i.e. the Hadoop
+                 task-commit protocol — the same transport as the text
+                 index's committed mode, correct on object stores)
 
   extend_ann(spark, emb_df, ann_dir)
-    incremental encode: vectors whose vec_id is absent from pq_codes
-    are encoded with the FROZEN model and appended (PQ/IVF models
-    freeze at build time; re-training is a rebuild — standard for
-    production ANN systems, and required for code stability: a code
-    is only meaningful against the codebook that produced it).
+    incremental encode: vectors whose vec_id is absent from the
+    COMMITTED pq_codes epochs are encoded with the FROZEN model and
+    written as epoch committed_epoch+1 (PQ/IVF models freeze at build
+    time; re-training is a rebuild — standard for production ANN
+    systems, and required for code stability: a code is only
+    meaningful against the codebook that produced it).
+
+Transactionality (round-4 ADVICE): every reader filters
+``epoch <= committed_epoch`` — epoch is a partition column, so the
+filter prunes at file listing — and every epoch write is
+mode=overwrite into dirs unique to that epoch. A batch that crashes
+between artifact writes is therefore (a) invisible to serving and
+(b) fully re-applied by the retry (the anti-join baseline — committed
+codes — is unchanged, and the rewrite lands on top of the partial
+leftovers). Exactly-once end-to-end, matching what
+streaming/incremental.py::incremental_ann_stream claims.
 
 Scale shape: encoding is one pass of constant-folded JVM expressions
 over the corpus — no shuffle, no Python, no join touches the embedding
@@ -50,7 +62,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-ANN_FORMAT_VERSION = 1
+ANN_FORMAT_VERSION = 2
 
 # exact cosine between a broadcast query vector column `qe` and the
 # corpus `embedding` column, as one JVM higher-order-function expr
@@ -194,7 +206,7 @@ def ivf_assign(emb: DataFrame, cents: list[tuple[int, list[float], float]]) -> D
 
 
 def _write_lsh_tables(emb_df: DataFrame, out: Path,
-                      lsh_planes: list[list[list[float]]], mode: str) -> None:
+                      lsh_planes: list[list[list[float]]], epoch: int) -> None:
     """One bucket-PARTITIONED table per LSH hash table: probing a
     query's bucket is a partition-pruned scan of ~N/2^n_planes rows.
     Rows carry the embedding so the exact cosine re-rank reads the
@@ -214,9 +226,12 @@ def _write_lsh_tables(emb_df: DataFrame, out: Path,
             # production scale repartition(n, "bucket") with n sized to
             # target file size keeps files-per-bucket bounded.
             .repartition("bucket")
-            .write.mode(mode)
+            # one dir per (table, EPOCH): the epoch dir is unique to
+            # this batch, so overwrite makes a replayed batch land on
+            # top of its own partial leftovers — idempotent by layout
+            .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(str(out / "lsh_lists" / f"table={t}"))
+            .parquet(str(out / "lsh_lists" / f"table={t}" / f"epoch={epoch}"))
         )
 
 
@@ -229,12 +244,53 @@ def build_ann(
     lsh_planes: list[list[list[float]]] | None = None,
 ) -> dict:
     """Build the materialized ANN index at ann_dir. emb_df must carry
-    (vec_id, embedding). Returns a summary dict."""
+    (vec_id, embedding). Returns a summary dict.
+
+    Every artifact lands under an ``epoch=0`` partition dir and the
+    meta file — written LAST — carries ``committed_epoch``: readers
+    filter ``epoch <= committed_epoch``, so a crash mid-build leaves
+    nothing servable and a retried build overwrites its own partial
+    output (see _write_epoch)."""
     out = Path(ann_dir)
     out.mkdir(parents=True, exist_ok=True)
 
+    n = _write_epoch(emb_df, out, 0, centroids, codebooks, lsh_planes)
+    meta = {
+        "version": ANN_FORMAT_VERSION,
+        "m_sub": len(codebooks),
+        "k_pq": len(codebooks[0]),
+        "sub_dim": len(codebooks[0][0]),
+        "centroids": [[cid, vec, norm] for cid, vec, norm in centroids],
+        "codebooks": codebooks,
+        "lsh_planes": lsh_planes,
+        "n_vectors": n,
+        "epochs": [n],
+        "committed_epoch": 0,
+    }
+    # the ONLY commit point: artifacts above are invisible to every
+    # reader until this meta lands (readers filter epoch <= committed)
+    (out / "_ann_meta.json").write_text(json.dumps(meta))
+    return {"n_vectors": n, "ann_dir": str(out)}
+
+
+def _write_epoch(
+    emb_df: DataFrame,
+    out: Path,
+    epoch: int,
+    centroids: list[tuple[int, list[float], float]],
+    codebooks: list[list[list[float]]],
+    lsh_planes: list[list[list[float]]] | None,
+) -> int:
+    """Encode one batch into ``epoch=<epoch>`` dirs of every artifact.
+
+    Each write is mode=overwrite into a dir unique to this epoch, so
+    re-running the SAME epoch (a replay after a crash anywhere in the
+    sequence) replaces any partial leftovers instead of duplicating
+    rows — per-artifact idempotence, which plus the meta-last commit
+    gives exactly-once end-to-end. Returns the batch row count."""
+    n = emb_df.count()
     codes = emb_df.select("vec_id", *pq_code_cols(codebooks))
-    codes.write.mode("overwrite").parquet(str(out / "pq_codes"))
+    codes.write.mode("overwrite").parquet(str(out / "pq_codes" / f"epoch={epoch}"))
 
     assigned = ivf_assign(emb_df, centroids)
     (
@@ -243,7 +299,7 @@ def build_ann(
         .repartition("list_id")  # one file per list — see _write_lsh_tables
         .write.mode("overwrite")
         .partitionBy("list_id")
-        .parquet(str(out / "ivf_lists"))
+        .parquet(str(out / "ivf_lists" / f"epoch={epoch}"))
     )
     # IVFADC layout: residual PQ codes INSIDE the partitioned lists —
     # the compact 10^12-scale artifact (a probe scans n_probe/K of the
@@ -255,85 +311,79 @@ def build_ann(
         .repartition("list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
-        .parquet(str(out / "ivfpq_lists"))
+        .parquet(str(out / "ivfpq_lists" / f"epoch={epoch}"))
     )
-
     if lsh_planes:
-        _write_lsh_tables(emb_df, out, lsh_planes, "overwrite")
-
-    n = spark.read.parquet(str(out / "pq_codes")).count()
-    meta = {
-        "version": ANN_FORMAT_VERSION,
-        "m_sub": len(codebooks),
-        "k_pq": len(codebooks[0]),
-        "sub_dim": len(codebooks[0][0]),
-        "centroids": [[cid, vec, norm] for cid, vec, norm in centroids],
-        "codebooks": codebooks,
-        "lsh_planes": lsh_planes,
-        "n_vectors": n,
-        "epochs": [n],
-    }
-    (out / "_ann_meta.json").write_text(json.dumps(meta))
-    return {"n_vectors": n, "ann_dir": str(out)}
+        _write_lsh_tables(emb_df, out, lsh_planes, epoch)
+    return n
 
 
 def extend_ann(spark: SparkSession, emb_df: DataFrame, ann_dir: str) -> dict:
     """Incremental encode of a NEW snapshot: vectors whose vec_id is
-    not yet coded are encoded with the frozen model and appended to
-    both artifacts. The anti-join probes only the column-pruned vec_id
-    column of pq_codes (8 bytes/row at any scale)."""
+    not yet COMMITTED are encoded with the frozen model and written as
+    epoch ``committed_epoch + 1``; the meta update (written last) is
+    the commit. The anti-join probes only the column-pruned vec_id
+    column of the committed pq_codes epochs (8 bytes/row at any scale).
+
+    Crash anywhere before the meta write -> the partial epoch is
+    invisible to readers (epoch filter) and the retry recomputes the
+    SAME batch (the anti-join baseline is unchanged) into the SAME
+    epoch dirs with overwrite — no silent omission, no duplicates."""
     out = Path(ann_dir)
     meta = read_ann_meta(ann_dir)
     cents = [(int(c), v, float(nrm)) for c, v, nrm in meta["centroids"]]
-    known = spark.read.parquet(str(out / "pq_codes")).select("vec_id")
-    new = emb_df.join(known, "vec_id", "left_anti")
-
-    new_codes = new.select("vec_id", *pq_code_cols(meta["codebooks"]))
-    new_codes.write.mode("append").parquet(str(out / "pq_codes"))
-    new_assigned = ivf_assign(new, cents)
-    (
-        new_assigned
-        .select("list_id", "vec_id", "embedding")
-        .repartition("list_id")
-        .write.mode("append")
-        .partitionBy("list_id")
-        .parquet(str(out / "ivf_lists"))
-    )
-    (
-        new_assigned
-        .select("list_id", "vec_id", *ivfpq_code_cols(meta["codebooks"], cents))
-        .repartition("list_id")
-        .write.mode("append")
-        .partitionBy("list_id")
-        .parquet(str(out / "ivfpq_lists"))
-    )
-    if meta.get("lsh_planes"):
-        _write_lsh_tables(new, out, meta["lsh_planes"], "append")
-    n = spark.read.parquet(str(out / "pq_codes")).count()
-    added = n - meta["n_vectors"]
-    meta["n_vectors"] = n
+    new_epoch = meta["committed_epoch"] + 1
+    known = read_pq_codes(spark, ann_dir).select("vec_id")
+    new = emb_df.join(known, "vec_id", "left_anti").cache()
+    try:
+        added = _write_epoch(
+            new, out, new_epoch, cents, meta["codebooks"],
+            meta.get("lsh_planes"))
+    finally:
+        new.unpersist()
+    meta["n_vectors"] += added
     meta["epochs"].append(added)
+    meta["committed_epoch"] = new_epoch
     (out / "_ann_meta.json").write_text(json.dumps(meta))
-    return {"n_vectors": n, "new_vectors": added, "ann_dir": str(out)}
+    return {"n_vectors": meta["n_vectors"], "new_vectors": added,
+            "ann_dir": str(out)}
 
 
 def read_ann_meta(ann_dir: str) -> dict:
     return json.loads((Path(ann_dir) / "_ann_meta.json").read_text())
 
 
+def _committed_epoch(ann_dir: str) -> int:
+    return int(read_ann_meta(ann_dir)["committed_epoch"])
+
+
 def read_pq_codes(spark: SparkSession, ann_dir: str) -> DataFrame:
-    return spark.read.parquet(str(Path(ann_dir) / "pq_codes"))
+    """Committed PQ codes: epoch is a partition column, so the
+    committed-epoch filter prunes uncommitted (crashed-batch) dirs at
+    file-listing time."""
+    d = str(Path(ann_dir) / "pq_codes")
+    return (
+        spark.read.option("basePath", d).parquet(d)
+        .filter(F.col("epoch") <= _committed_epoch(ann_dir))
+        .drop("epoch")
+    )
 
 
 def _read_partitioned_lists(
-    spark: SparkSession, d: str, list_ids: list[int] | None
+    spark: SparkSession, ann_dir: str, name: str, list_ids: list[int] | None
 ) -> DataFrame:
-    df = spark.read.option("basePath", d).parquet(d)
+    d = str(Path(ann_dir) / name)
+    df = (
+        spark.read.option("basePath", d).parquet(d)
+        # uncommitted epochs (a batch that crashed before its meta
+        # commit) are pruned here, same as the list_id pruning below
+        .filter(F.col("epoch") <= _committed_epoch(ann_dir))
+    )
     if list_ids is not None:
         # filter on the RAW partition column (before any cast) so the
         # predicate lands in PartitionFilters, not a post-scan Filter
         df = df.filter(F.col("list_id").isin([int(x) for x in list_ids]))
-    return df.withColumn("list_id", F.col("list_id").cast("long"))
+    return df.withColumn("list_id", F.col("list_id").cast("long")).drop("epoch")
 
 
 def read_ivf_lists(
@@ -343,8 +393,7 @@ def read_ivf_lists(
     ``list_ids`` the read is partition-pruned — only the probed lists'
     files are scanned (the plan shows PartitionFilters on list_id,
     pinned by test)."""
-    return _read_partitioned_lists(
-        spark, str(Path(ann_dir) / "ivf_lists"), list_ids)
+    return _read_partitioned_lists(spark, ann_dir, "ivf_lists", list_ids)
 
 
 def read_ivfpq_lists(
@@ -352,8 +401,7 @@ def read_ivfpq_lists(
 ) -> DataFrame:
     """The IVFADC inverted lists (vec_id, residual PQ codes) — the
     compact artifact; same partition pruning as read_ivf_lists."""
-    return _read_partitioned_lists(
-        spark, str(Path(ann_dir) / "ivfpq_lists"), list_ids)
+    return _read_partitioned_lists(spark, ann_dir, "ivfpq_lists", list_ids)
 
 
 def ann_search(
@@ -521,10 +569,13 @@ def read_lsh_table(
     embedding); with ``buckets`` the read is partition-pruned to the
     probed buckets."""
     d = str(Path(ann_dir) / "lsh_lists" / f"table={table}")
-    df = spark.read.option("basePath", d).parquet(d)
+    df = (
+        spark.read.option("basePath", d).parquet(d)
+        .filter(F.col("epoch") <= _committed_epoch(ann_dir))
+    )
     if buckets is not None:
         df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
-    return df.withColumn("bucket", F.col("bucket").cast("int"))
+    return df.withColumn("bucket", F.col("bucket").cast("int")).drop("epoch")
 
 
 def read_lsh_lists(
@@ -541,7 +592,10 @@ def read_lsh_lists(
     fixture scale (measured ~2x the single-scan shape) and whose two
     passes are one too many at any scale."""
     d = str(Path(ann_dir) / "lsh_lists")
-    df = spark.read.option("basePath", d).parquet(d)
+    df = (
+        spark.read.option("basePath", d).parquet(d)
+        .filter(F.col("epoch") <= _committed_epoch(ann_dir))
+    )
     if probe_buckets is not None:
         cond = F.lit(False)
         for t, bs in sorted(probe_buckets.items()):
@@ -552,4 +606,5 @@ def read_lsh_lists(
     return (
         df.withColumn("table", F.col("table").cast("int"))
         .withColumn("bucket", F.col("bucket").cast("int"))
+        .drop("epoch")
     )

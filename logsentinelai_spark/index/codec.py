@@ -141,6 +141,12 @@ def packed_encode_blocks(
     if block_size % 8:
         raise ValueError(
             f"packed codec requires block_size % 8 == 0, got {block_size}")
+    if block_size > 0xFFFF:
+        # the zero-width full-block header stores the count in 2
+        # little-endian bytes — a larger block would silently truncate
+        # on decode, so refuse at encode time like the %8 guard above
+        raise ValueError(
+            f"packed codec requires block_size <= 65535, got {block_size}")
     vals = np.asarray(values, dtype=np.uint64)
     block_starts = np.asarray(block_starts, dtype=np.int64)
     block_ends = np.asarray(block_ends, dtype=np.int64)

@@ -146,6 +146,27 @@ def geo_dim(spark: SparkSession) -> DataFrame:
     return base.unionByName(nested)
 
 
+# the fixture dimension is a frozen model per process, so its flattened
+# (longest-prefix-resolved) rows are computed once and replayed from the
+# driver — enrich_ips construction then costs zero Spark jobs beyond the
+# fact plan itself (round-4 ADVICE: resolve_longest_prefix ran an eager
+# collect per query construction)
+_GEO_FLAT_ROWS: list | None = None
+
+
+def geo_dim_flat(spark: SparkSession) -> DataFrame:
+    """resolve_longest_prefix(geo_dim(spark)), memoized per process.
+    Valid because geo_dim is deterministic constants — a real pipeline
+    would key this cache by the GeoIP database snapshot id."""
+    global _GEO_FLAT_ROWS
+    if _GEO_FLAT_ROWS is None:
+        _GEO_FLAT_ROWS = _flatten_rows(geo_dim(spark).select(
+            "range_id", "ip_lo", "ip_hi", "prefix_len",
+            "country_code", "lat", "lon",
+        ).collect())
+    return spark.createDataFrame(_GEO_FLAT_ROWS, _FLAT_SCHEMA)
+
+
 def resolve_longest_prefix(dim: DataFrame) -> DataFrame:
     """Flatten a NESTED CIDR-style dimension into DISJOINT ranges under
     longest-prefix-match semantics: each ip maps to the most specific
@@ -162,12 +183,23 @@ def resolve_longest_prefix(dim: DataFrame) -> DataFrame:
     extra shuffle — the alternative (join all overlapping ranges, then
     max_by(prefix_len) per fact row) re-shuffles or re-windows the
     entire fact table."""
-    import numpy as np
-
     rows = dim.select(
         "range_id", "ip_lo", "ip_hi", "prefix_len",
         "country_code", "lat", "lon",
     ).collect()
+    return dim.sparkSession.createDataFrame(_flatten_rows(rows), _FLAT_SCHEMA)
+
+
+_FLAT_SCHEMA = (
+    "range_id long, ip_lo long, ip_hi long, "
+    "country_code string, lat double, lon double"
+)
+
+
+def _flatten_rows(rows: list) -> list[tuple]:
+    """Driver-side boundary sweep (see resolve_longest_prefix)."""
+    import numpy as np
+
     lo = np.array([r.ip_lo for r in rows], dtype=np.int64)
     hi = np.array([r.ip_hi for r in rows], dtype=np.int64)
     plen = np.array([r.prefix_len for r in rows], dtype=np.int64)
@@ -195,11 +227,7 @@ def resolve_longest_prefix(dim: DataFrame) -> DataFrame:
         r = rows[i]
         out.append((int(r.range_id), int(starts[a]), int(ends[b - 1] - 1),
                     r.country_code, float(r.lat), float(r.lon)))
-    return dim.sparkSession.createDataFrame(
-        out,
-        "range_id long, ip_lo long, ip_hi long, "
-        "country_code string, lat double, lon double",
-    )
+    return out
 
 
 def enrich_ips(events_ip: DataFrame, dim: DataFrame) -> DataFrame:
@@ -263,7 +291,9 @@ def enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.expr(IP_SYNTH_SQL).alias("ip"))
         .cache()
     )
-    return enrich_ips(with_ip, geo_dim(spark))
+    # pre-flattened, memoized dimension: no prefix_len column, so
+    # enrich_ips skips the per-call resolve (round-4 ADVICE)
+    return enrich_ips(with_ip, geo_dim_flat(spark))
 
 
 def q_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,8 @@ encode/assign twins remain as correctness anchors.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -535,11 +537,27 @@ def _sub_dot_lit(m: int, cent: list[float]) -> str:
 # PQ scoring scans 8 small ints/vector, IVF probes partition-pruned
 # lists, and neither re-runs the encode/assignment pass. Warm bench
 # runs therefore measure pure scoring cost (round-3 Missing #1).
-_ANN_CACHE: dict[str, str] = {}
+# Keyed by (sf_dir, fixture mtime+size): if the embeddings parquet at
+# a path is replaced mid-process the index is rebuilt, never served
+# stale (round-4 ADVICE).
+_ANN_CACHE: dict[tuple, str] = {}
+
+
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, total bytes) over the embeddings fixture file(s) —
+    cheap stat-level change detection for the session cache."""
+    import os
+
+    p = Path(sf_dir) / "embeddings.parquet"
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    return tuple(
+        (str(f), os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files
+    )
 
 
 def _ann_dir_for(spark: SparkSession, sf_dir: str) -> str:
-    d = _ANN_CACHE.get(sf_dir)
+    key = (sf_dir, _emb_fingerprint(sf_dir))
+    d = _ANN_CACHE.get(key)
     if d is None:
         import atexit
         import shutil
@@ -553,7 +571,7 @@ def _ann_dir_for(spark: SparkSession, sf_dir: str) -> str:
                 [[float(v) for v in plane] for plane in hyperplanes(t)]
                 for t in range(N_TABLES)
             ])
-        _ANN_CACHE[sf_dir] = d
+        _ANN_CACHE[key] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 

@@ -221,3 +221,39 @@ def test_extend_ann_incremental_equals_full_build(spark, tmp_path):
         full_l = sorted(map(tuple, ann.read_lsh_table(spark, d_full, t)
                             .select("vec_id", "bucket").collect()))
         assert inc_l == full_l, f"lsh table {t}"
+
+
+def test_extend_ann_crash_replay_is_exactly_once(spark, tmp_path):
+    """Round-4 ADVICE scenario: a batch crashes AFTER its pq_codes
+    land but BEFORE the list/LSH artifacts (and before the meta
+    commit). The partial epoch must be (a) invisible to every reader
+    and (b) fully re-applied by the retried extend — the old layout
+    (anti-join against raw pq_codes) would have made the retry a
+    silent no-op, permanently omitting the batch from the lists."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    d = str(tmp_path / "crash")
+    cents = sim._centroid_rows(spark, SF)
+    cbs = sim._pq_codebooks(spark, SF)
+    s0 = ann.build_ann(spark, half, d, cents, cbs, lsh_planes=_planes())
+
+    # simulate the crash: ONLY the new batch's pq_codes epoch dir
+    # lands (the first artifact _write_epoch writes); no meta update
+    new = emb.join(half.select("vec_id"), "vec_id", "left_anti")
+    new.select("vec_id", *ann.pq_code_cols(cbs)).write.mode(
+        "overwrite").parquet(f"{d}/pq_codes/epoch=1")
+
+    # (a) invisible: readers serve exactly the committed build
+    assert ann.read_pq_codes(spark, d).count() == s0["n_vectors"]
+    assert ann.read_ivf_lists(spark, d).count() == s0["n_vectors"]
+
+    # (b) retry re-applies the WHOLE batch (not a no-op)
+    s1 = ann.extend_ann(spark, emb, d)
+    assert s1["new_vectors"] == emb.count() - s0["n_vectors"]
+    assert ann.read_pq_codes(spark, d).count() == emb.count()
+    assert ann.read_ivf_lists(spark, d).count() == emb.count()
+    assert ann.read_ivfpq_lists(spark, d).count() == emb.count()
+    # no duplicates anywhere: overwrite-into-epoch-dir replaced the
+    # partial leftovers instead of appending beside them
+    pq = ann.read_pq_codes(spark, d)
+    assert pq.select("vec_id").distinct().count() == emb.count()
