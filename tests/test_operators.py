@@ -413,3 +413,59 @@ def test_span_dedup_flags_injected_block(spark):
     for r in rows.values():
         assert 0 <= r.n_dup_spans <= r.n_spans
         assert abs(r.dup_rate - round(r.n_dup_spans / r.n_spans, 6)) < 1e-9
+
+
+def test_dedup_shuffles_carry_hash_keys_not_text(spark):
+    """Round-4 VERDICT fix pin: the global line/span dedup shuffles
+    must carry 8-byte xxhash64 content keys, never the raw strings.
+    The executed plans hash-partition on line_key/span_key and contain
+    NO string line/span column anywhere (text lives only in its doc
+    row)."""
+    import re
+
+    from logsentinelai_spark.operators.textstats import (
+        q_line_dedup, span_census)
+
+    plan = (q_line_dedup(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "xxhash64" in plan
+    assert re.search(r"hashpartitioning\(line_key#\d+L", plan)
+    assert not re.search(r"\bline#\d+", plan), "raw line string in plan"
+
+    plan = (span_census(spark, SF, 3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(r"hashpartitioning\(span_key#\d+L", plan)
+    assert not re.search(r"\bspan#\d+", plan), "raw span string in plan"
+
+
+def test_span_census_window_variants_match_python_oracle(spark):
+    """span_census parameterizes C4's window: at w in {2,3,4} the
+    census must equal an independent pure-Python first-occurrence
+    sweep over the same injected corpus."""
+    import duckdb
+
+    from logsentinelai_spark.operators.textstats import (
+        _SPAN_SUFFIX, span_census)
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+        " ORDER BY doc_id").fetchall()
+    docs = [(d, t + _SPAN_SUFFIX if d % 9 == 0 else t) for d, t in docs]
+    for w in (2, 3, 4):
+        first = {}
+        census = {}
+        for doc_id, text in docs:  # doc_id ascending = global order
+            ls = text.split("\n")
+            spans = ["\n".join(ls[i:i + w]) for i in range(len(ls) - w + 1)]
+            if not spans:
+                continue
+            dup = 0
+            for idx, s in enumerate(spans):
+                if s in first:
+                    dup += 1
+                else:
+                    first[s] = (doc_id, idx)
+            census[doc_id] = (len(spans), dup)
+        got = {r.doc_id: (r.n_spans, r.n_dup_spans)
+               for r in span_census(spark, SF, w).collect()}
+        assert got == census, f"window={w}"
