@@ -296,6 +296,7 @@ QUERIES = {
     "repetition_signals": _ts.q_repetition_signals,
     "pii_scrub": _ts.q_pii_scrub,
     "span_dedup": _ts.q_span_dedup,
+    "decontaminate": _ts.q_decontaminate,
     "token_count": _ts.q_token_count,
     "doc_fingerprint": _ts.q_doc_fingerprint,
     # multimodal plumbing
@@ -341,6 +342,7 @@ ORACLES = {
     "repetition_signals": _ts.SQL_REPETITION,
     "pii_scrub": _ts.SQL_PII_SCRUB,
     "span_dedup": _ts.SQL_SPAN_DEDUP,
+    "decontaminate": _ts.SQL_DECONTAMINATE,
     "token_count": _ts.SQL_TOKEN_COUNT,
     "doc_fingerprint": _ts.SQL_FINGERPRINT,
     "multimodal_meta": _mm.SQL_MULTIMODAL_META,

@@ -677,3 +677,136 @@ SELECT doc_id,
        round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_rate
 FROM keep GROUP BY doc_id
 """.replace("FROM d0", "FROM documents")
+
+
+# ------------------------------------------------ benchmark decontamination
+
+# eval-set membership and verbatim-contamination injection are both
+# deterministic doc_id rules so the two engines agree exactly
+DECON_NGRAM = 13          # GPT-3 Appendix C / PaLM: 13-gram overlap
+_EVAL_MOD, _EVAL_RES = 29, 3      # ~3.4 % of docs form the "eval set"
+_CONTAM_MOD, _CONTAM_RES = 31, 5  # these docs gain a verbatim excerpt
+
+
+def _decon_gram_keys(d: DataFrame) -> DataFrame:
+    """(doc_id, grams: distinct xxhash64 over space-joined 13-token
+    windows) — one per-row expression. The token array is materialized
+    BEFORE the window lambda (a lambda referencing regexp_extract_all
+    re-runs the regex per element). Docs under 13 tokens yield an
+    empty array."""
+    toks = d.select("doc_id", _tok_col().alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(toks) >= {DECON_NGRAM} THEN"
+            f" array_distinct(transform(sequence(1, size(toks) - {DECON_NGRAM - 1}),"
+            f" i -> xxhash64(concat_ws(' ', slice(toks, i, {DECON_NGRAM})))))"
+            " ELSE array() END"
+        ).alias("grams"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 Appendix C, Brown et al. 2020;
+    PaLM §App. D — public methodology): flag every training document
+    sharing any 13-token n-gram with a held-out eval set, the release
+    gate that keeps benchmark text out of a training corpus.
+
+    Here the eval set is the deterministic slice doc_id % 29 == 3 of
+    the documents table, and contamination is guaranteed to exist two
+    ways: eval members are themselves in the corpus (verbatim, the
+    degenerate case a real pipeline drops first), and docs with
+    doc_id % 31 == 5 gain an appended verbatim excerpt (the first 13
+    tokens of the lowest-id eval doc) — the partial-overlap case the
+    n-gram rule exists to catch.
+
+    Scale shape: eval-set shingle tables are broadcast-small BY
+    DEFINITION (benchmarks are KBs–MBs against a 100 TB corpus), so
+    the corpus NEVER shuffles on content — per-doc gram arrays are
+    built in-row, n_grams is an in-row size(), and only the exploded
+    8-byte gram keys meet the broadcast eval table; the surviving
+    matches (rare) are the only thing the doc_id re-aggregate moves.
+    The 1-row excerpt collect is bounded (eval-side, driver-side).
+    Oracle cross-check: DuckDB matches RAW gram strings, so the hash
+    path is independently verified (collision note as q_line_dedup)."""
+    from ..functions.tokenizer import tokens as _py_tokens
+
+    docs = _docs(spark, sf_dir)
+    eval_cond = F.col("doc_id") % _EVAL_MOD == _EVAL_RES
+    first_eval = (docs.filter(eval_cond).orderBy("doc_id")
+                  .select("text").limit(1).collect())
+    excerpt = " ".join(_py_tokens(first_eval[0].text)[:DECON_NGRAM])
+
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % _CONTAM_MOD == _CONTAM_RES,
+               F.concat("text", F.lit(" " + excerpt)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    eval_grams = (
+        _decon_gram_keys(docs.filter(eval_cond))
+        .select(F.explode("grams").alias("gram")).distinct()
+    )
+    corpus_grams = _decon_gram_keys(corpus)
+    matches = (
+        corpus_grams.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        corpus_grams.select(
+            "doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(matches, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH excerpt AS (
+  SELECT array_to_string(
+           (regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}'))[1:{DECON_NGRAM}],
+           ' ') AS ex
+  FROM documents WHERE doc_id % {_EVAL_MOD} = {_EVAL_RES}
+  ORDER BY doc_id LIMIT 1
+),
+corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_CONTAM_MOD} = {_CONTAM_RES}
+              THEN text || ' ' || (SELECT ex FROM excerpt)
+              ELSE text END AS text
+  FROM documents
+),
+ctoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS t
+  FROM corpus
+),
+cgrams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i + 1:i + {DECON_NGRAM}], ' ') AS g
+  FROM ctoks, unnest(range(greatest(len(t) - {DECON_NGRAM - 1}, 0))) AS u(i)
+),
+etoks AS (
+  SELECT regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS t
+  FROM documents WHERE doc_id % {_EVAL_MOD} = {_EVAL_RES}
+),
+egrams AS (
+  SELECT DISTINCT array_to_string(t[i + 1:i + {DECON_NGRAM}], ' ') AS g
+  FROM etoks, unnest(range(greatest(len(t) - {DECON_NGRAM - 1}, 0))) AS u(i)
+),
+stats AS (SELECT doc_id, count(*) AS n_grams FROM cgrams GROUP BY doc_id),
+olap AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM cgrams JOIN egrams USING (g) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(o.n_overlap, 0) AS n_overlap,
+       coalesce(o.n_overlap, 0) > 0 AS contaminated
+FROM corpus c
+LEFT JOIN stats s USING (doc_id)
+LEFT JOIN olap o USING (doc_id)
+"""

@@ -469,3 +469,28 @@ def test_span_census_window_variants_match_python_oracle(spark):
         got = {r.doc_id: (r.n_spans, r.n_dup_spans)
                for r in span_census(spark, SF, w).collect()}
         assert got == census, f"window={w}"
+
+
+def test_decontaminate_catches_injection_and_spares_clean(spark):
+    """Injected verbatim excerpts and eval members must flag as
+    contaminated; docs in neither rule (and without natural overlap)
+    must not. The eval-gram join must be a broadcast (the corpus never
+    shuffles on content)."""
+    from logsentinelai_spark.operators.textstats import (
+        _CONTAM_MOD, _CONTAM_RES, _EVAL_MOD, _EVAL_RES, q_decontaminate)
+
+    df = q_decontaminate(spark, SF)
+    rows = {r.doc_id: r for r in df.collect()}
+    for d, r in rows.items():
+        if d % _EVAL_MOD == _EVAL_RES and r.n_grams > 0:
+            # eval members are verbatim in the corpus: every gram hits
+            assert r.contaminated and r.n_overlap == r.n_grams, d
+        if d % _CONTAM_MOD == _CONTAM_RES:
+            assert r.contaminated, f"injected doc {d} not flagged"
+        if not r.contaminated:
+            assert r.n_overlap == 0, d
+    clean = [d for d, r in rows.items() if not r.contaminated]
+    assert len(clean) > len(rows) * 0.8, "most docs must be clean"
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "gram" in plan
