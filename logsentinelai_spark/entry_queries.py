@@ -297,6 +297,7 @@ QUERIES = {
     "pii_scrub": _ts.q_pii_scrub,
     "span_dedup": _ts.q_span_dedup,
     "decontaminate": _ts.q_decontaminate,
+    "domain_stats": _ts.q_domain_stats,
     "token_count": _ts.q_token_count,
     "doc_fingerprint": _ts.q_doc_fingerprint,
     # multimodal plumbing
@@ -343,6 +344,7 @@ ORACLES = {
     "pii_scrub": _ts.SQL_PII_SCRUB,
     "span_dedup": _ts.SQL_SPAN_DEDUP,
     "decontaminate": _ts.SQL_DECONTAMINATE,
+    "domain_stats": _ts.SQL_DOMAIN_STATS,
     "token_count": _ts.SQL_TOKEN_COUNT,
     "doc_fingerprint": _ts.SQL_FINGERPRINT,
     "multimodal_meta": _mm.SQL_MULTIMODAL_META,

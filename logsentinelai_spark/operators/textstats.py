@@ -142,30 +142,70 @@ FROM documents
 KEEP_LANGS = ["en", "de", "fr", "es"]
 MIN_TOKENS = 25
 MIN_QUALITY = 0.4
+# C4-style domain blocklist (the registered domains q_domain_stats
+# surfaces; pinned here so both engines agree)
+BLOCK_DOMAINS = ["src7.com", "src5.co.uk"]
+
+# The documents fixture has no url column, so one is synthesized
+# deterministically from (doc_id, source) with the SAME SQL string in
+# both engines (precedent: geo.IP_SYNTH_SQL). Multi-label hosts and a
+# ccTLD slice make registered-domain extraction a real computation.
+URL_SYNTH_SQL = (
+    "concat('https://',"
+    " CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'cdn.'"
+    " ELSE '' END,"
+    " source,"
+    " CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END,"
+    " '/p/', CAST(doc_id AS STRING))"
+)
+
+# public-suffix-lite: suffixes under which the registered domain is
+# THREE labels (example.co.uk), not two. A production pipeline loads
+# the full Public Suffix List the same way (a broadcast lookup); the
+# extraction shape is identical.
+SECOND_LEVEL_SUFFIXES = ["co.uk", "com.au", "ac.uk"]
+
+_SLD_IN = ", ".join(f"'{s}'" for s in SECOND_LEVEL_SUFFIXES)
+
+# Spark side: JVM parse_url + split, all codegen'd in-row; DuckDB
+# oracles extract the host with a regexp instead — independent methods
+_REGDOM_SPARK = (
+    "CASE WHEN size(__p) >= 3 AND"
+    f" concat_ws('.', slice(__p, size(__p) - 1, 2)) IN ({_SLD_IN})"
+    " THEN concat_ws('.', slice(__p, size(__p) - 2, 3))"
+    " ELSE concat_ws('.', slice(__p, greatest(size(__p) - 1, 1), 2)) END"
+)
 
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/CCNet-style keep/drop decision per document — the composed
     filter a training-data pipeline actually ships: exact-dup keeper
-    (md5 groups, min-id wins), language allowlist (stored lang), token
-    floor, quality floor, with the FIRST failing rule recorded as
-    drop_reason (the drop-reason distribution is the pipeline's
-    observability surface). One token-explode pass computes all text
-    signals; the dup keeper is a narrow md5 groupBy + broadcast-size
-    join back. Exact copies (+200000, doc_id%7==0) are injected
-    identically in both engines so the duplicate rule is non-trivial."""
-    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    (md5 groups, min-id wins), domain blocklist (registered domain vs
+    BLOCK_DOMAINS — the C4 blocklist lever, fed by q_domain_stats),
+    language allowlist (stored lang), token floor, quality floor, with
+    the FIRST failing rule recorded as drop_reason (the drop-reason
+    distribution is the pipeline's observability surface). One
+    token-explode pass computes all text signals; the dup keeper is a
+    narrow md5 groupBy + broadcast-size join back; domain is an
+    in-row projection. Exact copies (+200000, doc_id%7==0) are
+    injected identically in both engines so the duplicate rule is
+    non-trivial."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
     aug = d.unionAll(
         d.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang")
+            (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang",
+            "source")
     )
+    aug = with_domain(aug).drop("url")
     tok = aug.select("doc_id", F.explode(_tok_col()).alias("term"))
     agg = tok.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.countDistinct("term").alias("n_distinct"),
         F.sum(_in_list("term", EN_STOP)).alias("n_stop"),
     )
-    keyed = aug.select("doc_id", "lang", F.md5(F.encode("text", "utf-8")).alias("k"))
+    keyed = aug.select(
+        "doc_id", "lang", "domain",
+        F.md5(F.encode("text", "utf-8")).alias("k"))
     keepers = keyed.groupBy("k").agg(F.min("doc_id").alias("keeper_id"))
     base = (
         keyed.join(F.broadcast(keepers), "k")
@@ -184,23 +224,37 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = base.withColumn("quality", quality)
     reason = (
         F.when(F.col("doc_id") != F.col("keeper_id"), "duplicate")
+        .when(F.col("domain").isin(BLOCK_DOMAINS), "domain_blocked")
         .when(~F.col("lang").isin(KEEP_LANGS), "lang")
         .when(F.col("n_tokens") < MIN_TOKENS, "too_short")
         .when(F.col("quality") < MIN_QUALITY, "low_quality")
         .otherwise("kept")
     )
     return scored.select(
-        "doc_id", "lang", "n_tokens", "quality",
+        "doc_id", "lang", "domain", "n_tokens", "quality",
         (reason == "kept").alias("keep"),
         reason.alias("drop_reason"),
     )
 
 
 SQL_CORPUS_FILTER = f"""
-WITH aug AS (
-  SELECT doc_id, text, lang FROM documents
+WITH aug0 AS (
+  SELECT doc_id, text, lang, source FROM documents
   UNION ALL
-  SELECT doc_id + 200000, text, lang FROM documents WHERE doc_id % 7 = 0
+  SELECT doc_id + 200000, text, lang, source
+  FROM documents WHERE doc_id % 7 = 0
+),
+parts AS (
+  SELECT doc_id, text, lang,
+         string_split(regexp_extract({URL_SYNTH_SQL}, '//([^/]+)', 1), '.') AS p
+  FROM aug0
+),
+aug AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN len(p) >= 3 AND p[len(p)-1] || '.' || p[len(p)] IN ({_SLD_IN})
+              THEN p[len(p)-2] || '.' || p[len(p)-1] || '.' || p[len(p)]
+              ELSE p[greatest(len(p)-1, 1)] || '.' || p[len(p)] END AS domain
+  FROM parts
 ),
 tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
@@ -211,10 +265,10 @@ agg AS (
          sum(CASE WHEN term IN ({_sql_inlist(EN_STOP)}) THEN 1 ELSE 0 END) AS n_stop
   FROM tok GROUP BY doc_id
 ),
-keyed AS (SELECT doc_id, lang, md5(text) AS k FROM aug),
+keyed AS (SELECT doc_id, lang, domain, md5(text) AS k FROM aug),
 keepers AS (SELECT k, min(doc_id) AS keeper_id FROM keyed GROUP BY k),
 scored AS (
-  SELECT y.doc_id, y.lang, coalesce(a.n_tokens, 0) AS n_tokens,
+  SELECT y.doc_id, y.lang, y.domain, coalesce(a.n_tokens, 0) AS n_tokens,
          CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN
            round(least(1.0, a.n_tokens / 100.0) * 0.4
                  + (a.n_distinct * 1.0 / a.n_tokens) * 0.3
@@ -226,15 +280,16 @@ scored AS (
   LEFT JOIN agg a USING (doc_id)
 ),
 decided AS (
-  SELECT doc_id, lang, n_tokens, quality,
+  SELECT doc_id, lang, domain, n_tokens, quality,
          CASE WHEN doc_id <> keeper_id THEN 'duplicate'
+              WHEN domain IN ({", ".join(f"'{d}'" for d in BLOCK_DOMAINS)}) THEN 'domain_blocked'
               WHEN lang NOT IN ({_sql_inlist(KEEP_LANGS)}) THEN 'lang'
               WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
               WHEN quality < {MIN_QUALITY} THEN 'low_quality'
               ELSE 'kept' END AS drop_reason
   FROM scored
 )
-SELECT doc_id, lang, n_tokens, quality,
+SELECT doc_id, lang, domain, n_tokens, quality,
        drop_reason = 'kept' AS keep, drop_reason
 FROM decided
 """
@@ -809,4 +864,119 @@ SELECT c.doc_id,
 FROM corpus c
 LEFT JOIN stats s USING (doc_id)
 LEFT JOIN olap o USING (doc_id)
+"""
+
+
+# ------------------------------------------------------- domain curation
+
+
+def with_domain(d: DataFrame) -> DataFrame:
+    """Attach (url, domain) to a DataFrame carrying (doc_id, source):
+    synthesized url, host via JVM parse_url, registered domain via the
+    PSL-lite rule. Pure in-row projection — zero shuffles."""
+    return (
+        d.withColumn("url", F.expr(URL_SYNTH_SQL))
+        .withColumn("__p", F.split(F.expr("parse_url(url, 'HOST')"), "\\."))
+        .withColumn("domain", F.expr(_REGDOM_SPARK))
+        .drop("__p")
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain curation statistics — the crawl-curation
+    lever (C4 blocklists, RefinedWeb domain filtering, both public):
+    doc count, exact-dup rate (share of docs whose text md5 appears
+    more than once corpus-wide), mean token count and mean quality
+    score per domain. This is the table a curator reads to DECIDE the
+    blocklist that corpus_filter then applies.
+
+    Shape: domain is an in-row projection; the dup flag rides an
+    8-byte xxhash64(text) groupBy + join (same discipline as
+    line_dedup); token signals reuse the one-explode quality
+    aggregate; the final groupBy(domain) moves one narrow row per
+    doc. Registered domains are bounded (~millions) — the output is
+    dashboard-scale at any corpus size."""
+    d = with_domain(_docs(spark, sf_dir).select("doc_id", "source", "text"))
+    tok = d.select("doc_id", F.explode(_tok_col()).alias("term"))
+    agg = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+        F.sum(_in_list("term", EN_STOP)).alias("n_stop"),
+    )
+    quality = F.when(
+        F.col("n_tokens") > 0,
+        F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * 0.4
+        + (F.col("n_distinct") / F.col("n_tokens")) * 0.3
+        + F.least(F.lit(1.0), (F.col("n_stop") / F.col("n_tokens")) * 5.0) * 0.3,
+    ).otherwise(0.0)
+    dup_groups = (
+        d.groupBy(F.xxhash64("text").alias("tk"))
+        .agg(F.count("*").alias("n_same"))
+    )
+    per_doc = (
+        d.select("doc_id", "domain", F.xxhash64("text").alias("tk"))
+        .join(dup_groups, "tk")
+        .join(agg, "doc_id", "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+        .select("domain", "n_tokens", quality.alias("q"),
+                (F.col("n_same") > 1).cast("long").alias("is_dup"))
+    )
+    return (
+        per_doc.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_dup").alias("n_dup_docs"),
+            F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_rate"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+        )
+    )
+
+
+SQL_DOMAIN_STATS = f"""
+WITH urls AS (
+  SELECT doc_id, text, {URL_SYNTH_SQL} AS url FROM documents
+),
+parts AS (
+  SELECT doc_id, text,
+         string_split(regexp_extract(url, '//([^/]+)', 1), '.') AS p
+  FROM urls
+),
+dom AS (
+  SELECT doc_id, text,
+         CASE WHEN len(p) >= 3 AND p[len(p)-1] || '.' || p[len(p)] IN ({_SLD_IN})
+              THEN p[len(p)-2] || '.' || p[len(p)-1] || '.' || p[len(p)]
+              ELSE p[greatest(len(p)-1, 1)] || '.' || p[len(p)] END AS domain
+  FROM parts
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct,
+         sum(CASE WHEN term IN ({_sql_inlist(EN_STOP)}) THEN 1 ELSE 0 END) AS n_stop
+  FROM tok GROUP BY doc_id
+),
+dups AS (SELECT md5(text) AS k, count(*) AS n_same FROM documents GROUP BY 1),
+per_doc AS (
+  SELECT m.domain,
+         coalesce(a.n_tokens, 0) AS n_tokens,
+         CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN
+           least(1.0, a.n_tokens / 100.0) * 0.4
+           + (a.n_distinct * 1.0 / a.n_tokens) * 0.3
+           + least(1.0, (a.n_stop * 1.0 / a.n_tokens) * 5.0) * 0.3
+         ELSE 0.0 END AS q,
+         CASE WHEN u.n_same > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM dom m
+  JOIN dups u ON md5(m.text) = u.k
+  LEFT JOIN agg a USING (doc_id)
+)
+SELECT domain,
+       count(*) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       round(sum(is_dup) * 1.0 / count(*), 6) AS dup_rate,
+       round(avg(n_tokens), 6) AS mean_tokens,
+       round(avg(q), 6) AS mean_quality
+FROM per_doc GROUP BY domain
 """

@@ -166,24 +166,49 @@ def test_ann_ivf_lloyd_training_improves_recall(spark):
 
 def test_corpus_filter_rules_and_precedence(spark):
     """The composed keep/drop filter: every rule branch fires on the
-    fixture, precedence is duplicate > lang > too_short > low_quality,
-    and kept docs satisfy every rule."""
+    fixture, precedence is duplicate > domain_blocked > lang >
+    too_short > low_quality, and kept docs satisfy every rule."""
     rows = textstats.q_corpus_filter(spark, SF).collect()
     by_reason: dict[str, list] = {}
     for r in rows:
         by_reason.setdefault(r.drop_reason, []).append(r)
-    assert set(by_reason) == {"kept", "duplicate", "lang", "too_short", "low_quality"}
+    assert set(by_reason) == {
+        "kept", "duplicate", "domain_blocked", "lang", "too_short",
+        "low_quality"}
     for r in by_reason["duplicate"]:
         assert r.doc_id >= 200000  # injected copies lose to their source
+    for r in by_reason["domain_blocked"]:
+        assert r.domain in textstats.BLOCK_DOMAINS
+        assert r.doc_id < 200000  # copies of blocked docs report 'duplicate'
     for r in by_reason["lang"]:
         assert r.lang not in textstats.KEEP_LANGS
+        assert r.domain not in textstats.BLOCK_DOMAINS  # precedence
     for r in by_reason["kept"]:
         assert r.keep and r.lang in textstats.KEEP_LANGS
+        assert r.domain not in textstats.BLOCK_DOMAINS
         assert r.n_tokens >= textstats.MIN_TOKENS
         assert r.quality >= textstats.MIN_QUALITY
     # precedence: a short zh doc reports 'lang', not 'too_short'
     for r in by_reason["too_short"]:
         assert r.lang in textstats.KEEP_LANGS
+
+
+def test_domain_stats_and_registered_domain_extraction(spark):
+    """q_domain_stats aggregates per REGISTERED domain: the PSL-lite
+    rule keeps 3 labels under co.uk-style suffixes and 2 otherwise
+    (subdomains collapse), every fixture source appears, dup/quality
+    stats are within range, and the blocklist domains exist (the
+    curator workflow: read domain_stats, write BLOCK_DOMAINS)."""
+    rows = {r.domain: r for r in textstats.q_domain_stats(spark, SF).collect()}
+    assert all("." in d for d in rows)
+    assert not any(d.startswith(("www.", "cdn.")) for d in rows)
+    for b in textstats.BLOCK_DOMAINS:
+        assert b in rows, f"blocklist domain {b} absent from stats"
+    cc = [d for d in rows if d.endswith(".co.uk")]
+    assert cc and all(len(d.split(".")) == 3 for d in cc)
+    for r in rows.values():
+        assert r.n_docs > 0 and 0 <= r.dup_rate <= 1
+        assert 0 <= r.mean_quality <= 1
 
 
 def test_near_dup_pipeline_clusters_recover_injected(spark):
