@@ -198,14 +198,30 @@ def main() -> None:
                 if prev.get("sf") == sf and prev.get("cpus") == CPUS
                 else {}
             )
-            for name, t in qtimes.items():
+            for name, t in list(qtimes.items()):
                 p = prev_q.get(name)
                 # both gates: sub-second queries drift 20%+ on this VM
                 # (documented burstiness) — only absolute+relative
                 # movement is worth a reader's attention
                 if p and abs(t - p) >= 0.15 and abs(t - p) / p >= 0.15:
-                    delta[name] = {"prev": p, "now": t,
-                                   "pct": round(100.0 * (t - p) / p, 1)}
+                    # classify in-artifact (round-4 review item): one
+                    # more measurement; if the best time stops tripping
+                    # both gates the movement was VM noise, otherwise a
+                    # genuine regression (or improvement)
+                    t0 = time.monotonic()
+                    entry_queries.QUERIES[name](spark, SF_DIR).collect()
+                    qruns[name].append(round(time.monotonic() - t0, 3))
+                    best = min(qruns[name])
+                    qtimes[name] = best
+                    still = (abs(best - p) >= 0.15
+                             and abs(best - p) / p >= 0.15)
+                    delta[name] = {
+                        "prev": p, "now": best, "runs": qruns[name],
+                        "pct": round(100.0 * (best - p) / p, 1),
+                        "verdict": ("regression" if still and best > p
+                                    else "improvement" if still
+                                    else "noise"),
+                    }
         except (ValueError, KeyError):
             delta = {"error": "unreadable previous summary"}
     summary = {
@@ -244,6 +260,23 @@ def main() -> None:
         "summary_file": "bench_summary.json",
     }
     print(json.dumps(out, separators=(",", ":")))
+
+    # final ultra-compact line (<500 B): rounds 3 and 4 both lost the
+    # full headline's FRONT to the driver's bounded tail capture, so
+    # the LAST stdout line is a complete, self-sufficient JSON object
+    # any tail window will contain whole.
+    slowest3 = sorted(qtimes, key=lambda n: qtimes[n], reverse=True)[:3]
+    mini = {
+        "metric": "bench_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(qtimes),
+        "build_docs_per_sec": index_build["docs_per_sec"],
+        "slowest3": {n: qtimes[n] for n in slowest3},
+        "summary_file": "bench_summary.json",
+    }
+    print(json.dumps(mini, separators=(",", ":")))
 
 
 def _wand_crossover_point() -> dict:
