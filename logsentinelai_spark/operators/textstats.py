@@ -119,24 +119,79 @@ FROM agg
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (reference `core/token_utils.py:9-45` analog):
-    regex token count, whitespace-delimited count, char count."""
+    """Token counting (reference `core/token_utils.py:9-45` analog,
+    which uses tiktoken): regex token count, whitespace-delimited
+    count, char count, and a deterministic SUBWORD count from the
+    committed BPE merge table (`functions/bpe.py`) — the accounting a
+    training budget actually uses.
+
+    Scale shape of the subword column: the BPE merge replay (Python)
+    runs only over DISTINCT terms — O(vocabulary) — as a vectorized
+    pandas UDF; the corpus-sized work is a JVM broadcast join of
+    occurrences against the per-term subword length plus one narrow
+    groupBy(doc_id). At 100 TB that is MBs of Python work against TBs
+    of JVM join."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.bpe import term_subword_lengths
+
+    # hintless form: `from __future__ import annotations` stringifies
+    # local type hints beyond the UDF inferencer's reach
+    _n_sub = pandas_udf(term_subword_lengths, "long")
+
     d = _docs(spark, sf_dir)
-    return d.select(
+    base = d.select(
         "doc_id",
         F.size(_tok_col()).cast("long").alias("n_tokens"),
         F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias("n_ws_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
+    tok = d.select("doc_id", F.explode(_tok_col()).alias("term"))
+    term_sub = tok.select("term").distinct().select(
+        "term", _n_sub("term").alias("n_sub"))
+    subs = (
+        tok.join(F.broadcast(term_sub), "term")
+        .groupBy("doc_id").agg(F.sum("n_sub").alias("n_subword_tokens"))
+    )
+    return (
+        base.join(subs, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_ws_tokens", "n_chars",
+            F.coalesce("n_subword_tokens", F.lit(0)).alias("n_subword_tokens"),
+        )
+    )
 
 
-SQL_TOKEN_COUNT = f"""
-SELECT doc_id,
-       len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS n_tokens,
-       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
-       length(text) AS n_chars
-FROM documents
+def _sql_token_count() -> str:
+    """DuckDB twin: the subword side joins the committed model's
+    precomputed per-word expected column (bpe_merges.json "vocab") —
+    the model-replay check; the pytest separately pins segment()
+    against the learner, so the gate verifies the DISTRIBUTED
+    application of the frozen model."""
+    from ..functions.bpe import load_model
+
+    vocab = load_model()["vocab"]
+    values = ", ".join(f"('{w}', {n})" for w, n in sorted(vocab.items()))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+m (term, n_sub) AS (VALUES {values}),
+subs AS (
+  SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_subword_tokens
+  FROM tok JOIN m USING (term) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(regexp_extract_all(lower(d.text), '{SQL_TOKEN_PATTERN}')) AS n_tokens,
+       len(regexp_extract_all(d.text, '\\S+')) AS n_ws_tokens,
+       length(d.text) AS n_chars,
+       coalesce(s.n_subword_tokens, 0) AS n_subword_tokens
+FROM documents d LEFT JOIN subs s USING (doc_id)
 """
+
+
+SQL_TOKEN_COUNT = _sql_token_count()
 
 
 KEEP_LANGS = ["en", "de", "fr", "es"]

@@ -29,8 +29,11 @@ def ship_package(spark: SparkSession) -> None:
     zpath = Path(tempfile.gettempdir()) / f"logsentinelai_spark_{os.getpid()}.zip"
     if not zpath.exists():
         with zipfile.ZipFile(zpath, "w") as z:
-            for p in sorted(pkg_dir.rglob("*.py")):
-                z.write(p, arcname=str(Path(pkg_dir.name) / p.relative_to(pkg_dir)))
+            # .json: committed model artifacts (e.g. the BPE merge
+            # table) read on executors via importlib.resources
+            for pat in ("*.py", "*.json"):
+                for p in sorted(pkg_dir.rglob(pat)):
+                    z.write(p, arcname=str(Path(pkg_dir.name) / p.relative_to(pkg_dir)))
     spark.sparkContext.addPyFile(str(zpath))
 
 
