@@ -338,29 +338,54 @@ JOIN scount cb ON cb.doc_id = c.doc_b
 
 # ------------------------------------------------------- duplicate clusters
 
-def connected_components(pairs: DataFrame) -> DataFrame:
+# min-label propagation needs diameter rounds; past this many the graph
+# is not a dedup-shaped one (clusters of near-identical docs have
+# diameter 1-3) and the O(log^2 n)-round star algorithm takes over
+CC_STAR_SWITCH_ROUNDS = 5
+
+# observability for tests/bench: method and round count of the last
+# connected_components call (the driver loop is inherently stateful)
+LAST_CC_INFO: dict = {}
+
+
+def connected_components(pairs: DataFrame, method: str = "auto") -> DataFrame:
     """(doc_id, canonical_id) — connected components over an undirected
     pair graph, canonical = min doc_id of the component. The cluster
     step every near-dup pipeline ends with (keep one doc per cluster).
 
-    Spark-native min-label propagation: labels start as self; each
-    round every node takes the min of its own label and its neighbors'
-    labels (one equi-join + one groupBy per round), until a round
-    changes nothing. Rounds needed = graph diameter — for dedup graphs
-    (clusters of a few near-identical docs) that is 1-3; the driver
-    loop is inherent to iterative graph algorithms (cf. ivf_train).
-    Per round only (node, label) pairs shuffle, never documents;
-    labels are cached and lineage-truncated each round so plan depth
-    stays O(1). Convergence detection rides IN the label job: each
-    round's select carries a ``__changed`` flag (did any neighbor beat
-    my label?), and the single count() action over the lazily
-    local-checkpointed result both materializes the round's labels and
-    returns the changed total — ONE action and ONE join per round
-    (round 3 ran a second labels-vs-labels join just to count changes).
-    For adversarial long-chain graphs the alternating
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC 2014) converges in
-    O(log^2 n) rounds with the same per-round join shape."""
+    Two engines behind one signature:
+
+    * ``label`` — min-label propagation: labels start as self; each
+      round every node takes the min of its own label and its
+      neighbors' (ONE equi-join + ONE groupBy + ONE action per round,
+      convergence flag riding in the label job). Rounds = graph
+      diameter: optimal for dedup graphs (diameter 1-3).
+    * ``star`` — alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC 2014):
+      O(log^2 n) rounds on ANY topology, the safety net for
+      adversarial long-chain/high-diameter graphs.
+    * ``auto`` (default) — run label propagation; if it hasn't
+      converged after CC_STAR_SWITCH_ROUNDS (the graph has revealed
+      itself as high-diameter), restart on the star algorithm. The
+      wasted rounds are bounded and small; the pathological O(n)
+      tail is gone.
+
+    Per round only (node, label)/(edge) pairs shuffle, never
+    documents; results are lineage-truncated per round."""
+    if method not in ("auto", "label", "star"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "star":
+        return _cc_star(pairs)
+    cap = CC_STAR_SWITCH_ROUNDS if method == "auto" else None
+    res = _cc_label(pairs, max_rounds=cap)
+    if res is None:
+        return _cc_star(pairs)
+    return res
+
+
+def _cc_label(pairs: DataFrame, max_rounds: int | None = None) -> DataFrame | None:
+    """Min-label propagation (see connected_components). Returns None
+    if max_rounds elapse without convergence."""
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -370,6 +395,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .cache()
     )
+    rounds = 0
     while True:
         neigh = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -391,10 +417,90 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         changed = new_labels.filter(F.col("__changed")).count()
         labels.unpersist()
         labels = new_labels
+        rounds += 1
         if changed == 0:
+            LAST_CC_INFO.update(method="label", rounds=rounds)
             break
+        if max_rounds is not None and rounds >= max_rounds:
+            sym.unpersist()
+            labels.unpersist()
+            return None  # high-diameter graph: caller switches to star
     sym.unpersist()
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+def _cc_star(pairs: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star components (Kiveris et al.,
+    SoCC 2014, §3): per round, large-star connects every neighbor
+    LARGER than u to m = min(N(u) ∪ {u}); small-star (on edges
+    directed large→small) connects every smaller neighbor and u
+    itself to m. Each phase strictly shrinks star heights, converging
+    in O(log^2 n) rounds on any topology; at the fixpoint every edge
+    is (node → component-min). Per phase: one groupBy + one join over
+    8-byte id pairs — the same shuffle shape as one label round."""
+    edges = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+    )
+    all_nodes = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionAll(edges.select(F.col("b").alias("doc_id")))
+        .distinct().cache()
+    )
+    E = edges.cache()
+    prev_sig = None
+    rounds = 0
+    while True:
+        # ---- large-star
+        sym = E.unionAll(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = (
+            sym.groupBy("a").agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", F.col("a")).alias("m"))
+        )
+        e1 = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(m, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # ---- small-star (edges directed large -> small)
+        directed = e1.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        m2 = directed.groupBy("a").agg(F.min("b").alias("m"))
+        e2 = (
+            directed.join(m2, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionAll(m2.select(F.col("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # one action: materialize the round AND read its signature —
+        # the edge set is a fixpoint exactly when (count, hash-sum)
+        # repeats (edges are canonical large->small pairs here)
+        row = e2.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0): a plain long sum of 64-bit hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row.n, row.h)
+        E.unpersist()
+        E = e2
+        rounds += 1
+        if sig == prev_sig:
+            LAST_CC_INFO.update(method="star", rounds=rounds)
+            break
+        prev_sig = sig
+    # fixpoint: E is (node -> component-min) stars; roots label selves
+    star_min = E.groupBy("a").agg(F.min("b").alias("b"))
+    labels = (
+        all_nodes.join(star_min.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("b", F.col("doc_id")).alias("canonical_id"))
+    )
+    all_nodes.unpersist()
+    return labels
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -519,3 +519,53 @@ def test_decontaminate_catches_injection_and_spares_clean(spark):
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "gram" in plan
+
+
+def test_connected_components_star_beats_diameter_on_chains(spark):
+    """Adversarial high-diameter graph: a 256-node chain. Label
+    propagation needs ~diameter rounds; the star algorithm must give
+    the SAME single component in O(log^2 n) rounds, and method='auto'
+    must cut over to it after CC_STAR_SWITCH_ROUNDS."""
+    import math
+
+    n = 256
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+
+    star = dedup.connected_components(chain, method="star")
+    assert dedup.LAST_CC_INFO["method"] == "star"
+    star_rounds = dedup.LAST_CC_INFO["rounds"]
+    assert star_rounds <= int(math.log2(n) ** 2), star_rounds
+    rows = star.collect()
+    assert len(rows) == n
+    assert all(r.canonical_id == 0 for r in rows)
+
+    auto = dedup.connected_components(chain)  # default auto
+    assert dedup.LAST_CC_INFO["method"] == "star"  # cut over happened
+    assert sorted((r.doc_id, r.canonical_id) for r in auto.collect()) == \
+           sorted((r.doc_id, r.canonical_id) for r in rows)
+
+
+def test_connected_components_methods_agree_on_random_graph(spark):
+    """label and star must produce identical components on a seeded
+    multi-component graph with cycles, chains, and isolates-via-self
+    (every node appears in an edge)."""
+    import random
+
+    rng = random.Random(42)
+    edges = set()
+    # 30 clusters of assorted shapes over ids 0..299
+    for c in range(30):
+        base = c * 10
+        ids = list(range(base, base + rng.randint(2, 10)))
+        for i in range(len(ids) - 1):
+            edges.add((ids[i], ids[i + 1]))
+        for _ in range(3):  # extra chords/cycles
+            a, b = rng.sample(ids, 2)
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    lab = {(r.doc_id, r.canonical_id)
+           for r in dedup.connected_components(df, method="label").collect()}
+    st = {(r.doc_id, r.canonical_id)
+          for r in dedup.connected_components(df, method="star").collect()}
+    assert lab == st
