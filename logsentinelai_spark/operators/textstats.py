@@ -717,28 +717,45 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_census(spark, sf_dir, window=3)
 
 
-def span_census(spark: SparkSession, sf_dir: str, window: int = 3) -> DataFrame:
-    """Per-document duplicate-span census for any window length w:
-    every w consecutive lines form a span; a span is a duplicate when
-    its first global occurrence — min (doc_id, span_idx) — is
-    elsewhere. Docs with fewer than w lines contribute no rows (in
-    both engines). See q_span_dedup."""
+# sentence boundary for span_census(unit="sentence"): split AFTER
+# terminal punctuation — C4's actual unit is the sentence (Raffel et
+# al. §2.2); the gated fixture corpus is unpunctuated, so the gate
+# stays on unit="line" and the sentence mode is pinned by a pytest
+# over a punctuated corpus
+SENTENCE_SPLIT_RE = r"(?<=[.!?])\\s+"
+
+
+def span_census(
+    spark: SparkSession, sf_dir: str, window: int = 3,
+    unit: str = "line",
+) -> DataFrame:
+    """Per-document duplicate-span census for any window length w over
+    ``unit`` in {"line", "sentence"}: every w consecutive units form a
+    span; a span is a duplicate when its first global occurrence — min
+    (doc_id, span_idx) — is elsewhere. Docs with fewer than w units
+    contribute no rows (in both engines). See q_span_dedup."""
     w = int(window)
     if w < 1:
         raise ValueError(f"span window must be >= 1, got {window}")
+    if unit == "line":
+        delim = "\\n"
+    elif unit == "sentence":
+        delim = SENTENCE_SPLIT_RE
+    else:
+        raise ValueError(f"unknown span unit {unit!r}")
     d = _docs(spark, sf_dir).select(
         "doc_id",
         F.when(F.col("doc_id") % 9 == 0,
                F.concat("text", F.lit(_SPAN_SUFFIX)))
         .otherwise(F.col("text")).alias("text"),
     )
-    # sequence(1, 0) descends in Spark — guard docs with < w lines
+    # sequence(1, 0) descends in Spark — guard docs with < w units
     spans = d.select(
         "doc_id",
         F.posexplode(F.expr(
-            f"CASE WHEN size(split(text, '\\n')) >= {w} THEN"
-            f" transform(sequence(1, size(split(text, '\\n')) - {w - 1}),"
-            f" i -> xxhash64(concat_ws('\\n', slice(split(text, '\\n'), i, {w}))))"
+            f"CASE WHEN size(split(text, '{delim}')) >= {w} THEN"
+            f" transform(sequence(1, size(split(text, '{delim}')) - {w - 1}),"
+            f" i -> xxhash64(concat_ws('\\n', slice(split(text, '{delim}'), i, {w}))))"
             " ELSE array() END"
         )).alias("span_idx", "span_key"))
     keepers = spans.groupBy("span_key").agg(

@@ -569,3 +569,47 @@ def test_connected_components_methods_agree_on_random_graph(spark):
     st = {(r.doc_id, r.canonical_id)
           for r in dedup.connected_components(df, method="star").collect()}
     assert lab == st
+
+
+def test_span_census_sentence_mode(spark, tmp_path):
+    """unit='sentence' splits on terminal punctuation (C4's literal
+    three-sentence span). A punctuated corpus with a repeated
+    3-sentence block across docs must census exactly like a pure-
+    Python sentence sweep."""
+    import re as _re
+
+    block = "Alpha one. Beta two! Gamma three?"
+    docs = [
+        (0, f"Intro sentence. {block} Tail here."),
+        (9, f"Opening words! {block} Closing words."),  # %9: suffix added
+        (2, "Only two. Sentences here."),
+        (4, f"{block}"),
+    ]
+    base = spark.createDataFrame(
+        [(i, t, "en", f"src{i}", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    base.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans)
+           for r in textstats.span_census(
+               spark, str(tmp_path), window=3, unit="sentence").collect()}
+
+    first: dict[str, tuple] = {}
+    want: dict[int, tuple] = {}
+    for doc_id, text in sorted(docs):
+        if doc_id % 9 == 0:
+            text = text + textstats._SPAN_SUFFIX
+        sents = _re.split(r"(?<=[.!?])\s+", text)
+        spans = ["\n".join(sents[i:i + 3]) for i in range(len(sents) - 2)]
+        if not spans:
+            continue
+        dup = 0
+        for idx, s in enumerate(spans):
+            if s in first:
+                dup += 1
+            else:
+                first[s] = (doc_id, idx)
+        want[doc_id] = (len(spans), dup)
+    assert got == want
+    # the shared block IS caught across docs
+    assert want[4][1] >= 1 or want[9][1] >= 1
