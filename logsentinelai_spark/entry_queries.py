@@ -14,7 +14,7 @@ value-hash at sf0.01):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .functions.tokenizer import SQL_TOKEN_PATTERN
 from .index.bm25 import B, K1
@@ -148,6 +148,109 @@ SELECT doc_id, round(s, 6) AS score FROM scored ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------- phrase top-k
+
+# second phrase pins OVERLAP semantics: "batch batch batch" contains
+# "batch batch" TWICE under positional-intersection counting (a
+# non-overlapping regex scan would say once — the classic phrase bug)
+FLAGSHIP_PHRASES = ["hash join", "batch batch"]
+
+
+def _ptf_expr(terms: list[str]) -> str:
+    """In-row phrase term frequency over the ``tokens`` array: count
+    start positions i where tokens[i..i+L-1] equals the phrase —
+    zero-shuffle whole-stage-codegen'd scan, the naive twin of the
+    positional-index intersection (index/query.py::phrase_topk_local)."""
+    L = len(terms)
+    conds = " AND ".join(
+        f"element_at(tokens, CAST(i AS INT) + {j}) = '{t}'"
+        for j, t in enumerate(terms))
+    return (
+        f"CASE WHEN size(tokens) >= {L} THEN"
+        f" size(filter(sequence(1, size(tokens) - {L - 1}), i -> {conds}))"
+        " ELSE 0 END"
+    )
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search, BM25-scored (ES match_phrase analog — the
+    reference's backend serves phrase queries over its positional
+    index; SURVEY §2.8 Q8 extension). The phrase acts as one pseudo-
+    term: ptf = count of phrase start positions (overlaps counted),
+    df = docs containing the phrase, score = idf * saturated-tf.
+
+    Naive Catalyst twin of the positional-index path: ptf is an
+    in-row filtered-sequence scan over the token array (no shuffle),
+    stats are one agg + one broadcast-scale join. The DuckDB oracle
+    recounts via list_filter over 1-based token arrays — independent
+    method, same numbers."""
+    base = tokenized_documents(spark, sf_dir).select(
+        "doc_id", "tokens", F.size("tokens").cast("long").alias("dl"))
+    stack_args = ", ".join(
+        f"'{p}', {_ptf_expr(p.split())}" for p in FLAGSHIP_PHRASES)
+    long = base.select(
+        "doc_id", "dl",
+        F.expr(f"stack({len(FLAGSHIP_PHRASES)}, {stack_args}) AS (phrase, ptf)"),
+    )
+    hits = long.filter(F.col("ptf") > 0)
+    g = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfs = hits.groupBy("phrase").agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("ptf") / (
+        F.col("ptf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+    w = Window.partitionBy("phrase").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        hits.join(F.broadcast(dfs), "phrase")
+        .crossJoin(F.broadcast(g))
+        .withColumn("s", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "phrase", "doc_id",
+            F.col("ptf").cast("long").alias("phrase_tf"),
+            F.round("s", 6).alias("score"),
+        )
+    )
+
+
+def sql_phrase_topk() -> str:
+    def ptf_sql(terms: list[str]) -> str:
+        L = len(terms)
+        conds = " AND ".join(
+            f"t[i + {j + 1}] = '{t}'" for j, t in enumerate(terms))
+        return (f"len(list_filter(range(greatest(len(t) - {L - 1}, 0)),"
+                f" i -> {conds}))")
+
+    longs = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, dl, '{p}' AS phrase, {ptf_sql(p.split())} AS ptf FROM base"
+        for p in FLAGSHIP_PHRASES)
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS t,
+         len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS dl
+  FROM documents
+),
+long AS (
+{longs}
+),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+dfs AS (SELECT phrase, count(*) AS df FROM long WHERE ptf > 0 GROUP BY 1),
+scored AS (
+  SELECT long.phrase, long.doc_id, long.ptf,
+         ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * long.ptf / (long.ptf + {K1} * ({round(1 - B, 2)} + {B} * long.dl / g.avgdl)) AS s
+  FROM long JOIN dfs USING (phrase) CROSS JOIN g
+  WHERE long.ptf > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY phrase ORDER BY s DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT phrase, doc_id, CAST(ptf AS BIGINT) AS phrase_tf, round(s, 6) AS score
+FROM ranked WHERE rn <= 10
+"""
+
+
 # ---------------------------------------------------------------- dashboard analogs (SURVEY §2.8)
 
 def q_events_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,6 +364,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "global_stats": q_global_stats,
     "bm25_topk": q_bm25_topk,
+    "phrase_topk": q_phrase_topk,
     # dashboard analogs (SURVEY §2.8 Q1-Q6)
     "events_terms": q_events_terms_topk,
     "events_date_histogram": q_events_date_histogram,
@@ -312,6 +416,7 @@ ORACLES = {
     "doc_stats": sql_doc_stats(),
     "global_stats": sql_global_stats(),
     "bm25_topk": sql_bm25_topk(),
+    "phrase_topk": sql_phrase_topk(),
     "events_terms": sql_events_terms_topk(),
     "events_date_histogram": sql_events_date_histogram(),
     "events_formula": sql_events_formula(),
