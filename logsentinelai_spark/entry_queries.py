@@ -251,6 +251,93 @@ FROM ranked WHERE rn <= 10
 """
 
 
+# ------------------------------------------- phrase top-k (positional index)
+
+_IDX_CACHE: dict[tuple, str] = {}
+
+
+def _documents_fingerprint(sf_dir: str) -> tuple:
+    """Invalidate the session index cache if the fixture file changes
+    (same discipline as similarity._emb_fingerprint)."""
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped POSITIONAL physical index over the documents
+    fixture (built once per (sf_dir, file fingerprint), like the
+    materialized ANN artifacts in operators/similarity._ann_dir_for).
+    url = doc%012d: zero-padded so the index's url-rank doc ids are
+    exactly the fixture doc_ids — candidates map back losslessly."""
+    key = (sf_dir, _documents_fingerprint(sf_dir))
+    d = _IDX_CACHE.get(key)
+    if d is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from .index.build import IndexConfig, build_index
+
+        d = tempfile.mkdtemp(prefix="fts_idx_")
+        pages = load(spark, sf_dir, "documents").select(
+            F.format_string("doc%012d", "doc_id").alias("url"), "text")
+        build_index(spark, pages, d, IndexConfig(
+            shard_size=1024, n_buckets=4, wave_shards=8,
+            use_text_col=True, positions=True))
+        _IDX_CACHE[key] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def q_phrase_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME match_phrase query served from the physical positional
+    index (pos_vb payload — index/query.py::phrase_match_local):
+    per-shard positional intersection yields every (doc, phrase_tf,
+    dl) candidate; BM25 pseudo-term scoring and the pinned tie-break
+    then run as the same Catalyst expressions as q_phrase_topk. The
+    gate therefore proves naive Catalyst scan, positional-index
+    intersection, and the DuckDB list_filter recount all agree
+    hash-exactly. Driver-side candidate lists are bounded by phrase
+    selectivity — compounding AND of the phrase terms' dfs — which is
+    precisely why a positional index makes phrases cheap at scale.
+    N/avgdl come from the index manifests (exact integer sums), not a
+    corpus rescan."""
+    from .index.query import phrase_match_local
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    cand_lists = phrase_match_local(reader, FLAGSHIP_PHRASES)
+    ids = sorted({d for lst in cand_lists for d, _, _ in lst})
+    urls = reader.doc_urls_local(ids)
+    rows = [
+        (p, int(urls[d][3:]), ptf, dl)
+        for p, lst in zip(FLAGSHIP_PHRASES, cand_lists)
+        for d, ptf, dl in lst
+    ]
+    n_docs, avgdl = reader.global_stats()
+    schema = "phrase string, doc_id long, ptf long, dl long"
+    cdf = spark.createDataFrame(rows, schema) if rows else (
+        spark.createDataFrame([], schema))
+    dfs = cdf.groupBy("phrase").agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("ptf") / (
+        F.col("ptf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl)))
+    w = Window.partitionBy("phrase").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        cdf.join(F.broadcast(dfs), "phrase")
+        .withColumn("s", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "phrase", "doc_id",
+            F.col("ptf").cast("long").alias("phrase_tf"),
+            F.round("s", 6).alias("score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- dashboard analogs (SURVEY §2.8)
 
 def q_events_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,6 +452,7 @@ QUERIES = {
     "global_stats": q_global_stats,
     "bm25_topk": q_bm25_topk,
     "phrase_topk": q_phrase_topk,
+    "phrase_topk_idx": q_phrase_topk_idx,
     # dashboard analogs (SURVEY §2.8 Q1-Q6)
     "events_terms": q_events_terms_topk,
     "events_date_histogram": q_events_date_histogram,
@@ -417,6 +505,9 @@ ORACLES = {
     "global_stats": sql_global_stats(),
     "bm25_topk": sql_bm25_topk(),
     "phrase_topk": sql_phrase_topk(),
+    # the positional-index path must reproduce the naive recount
+    # exactly — same oracle, independent third method
+    "phrase_topk_idx": sql_phrase_topk(),
     "events_terms": sql_events_terms_topk(),
     "events_date_histogram": sql_events_date_histogram(),
     "events_formula": sql_events_formula(),

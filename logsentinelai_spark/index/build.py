@@ -85,7 +85,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.extract import extract_arrow
 from ..functions.tokenizer import tokens_arrow
-from .codec import encode_blocks_grouped, vb_decode
+from .codec import (
+    encode_blocks_grouped, encode_pos_blocks, gather_entry_slices, vb_decode,
+)
 from .docids import doc_map_df, read_doc_map_meta, wave_url_bounds, write_doc_map
 from .lineage import StageTimer, commit_wave, committed_waves
 
@@ -100,6 +102,11 @@ class IndexConfig:
     wave_shards: int = 16            # shards per wave (checkpoint unit; also
                                      # bounds the per-worker id-map at ~20 B/doc)
     use_text_col: bool = False       # skip HTML extraction (pre-extracted corpus)
+    positions: bool = True           # store per-posting token positions
+                                     # (pos_vb, Lucene .prx-style) for
+                                     # phrase queries; delta-varbyte per
+                                     # posting, ~1 byte/token occurrence.
+                                     # False = nulls (no phrase support).
     codec: str = "varbyte"           # SEGMENT block codec ("varbyte" |
                                      # "packed" frame-of-reference bit
                                      # packing — see codec.py). Recorded in
@@ -145,17 +152,18 @@ STAGE1_SCHEMA = (
     "kind int, doc_id long, url string, dl long, "
     "shard long, term_bucket int, salt long, term string, block_id int, n int, "
     "first_doc long, last_doc long, max_tf long, min_dl long, sum_tf long, "
-    "gaps_vb binary, tfs_vb binary, dls_vb binary"
+    "gaps_vb binary, tfs_vb binary, dls_vb binary, pos_vb binary"
 )
 RUN_COLS = ["shard", "term_bucket", "salt", "term", "block_id", "n", "first_doc",
-            "last_doc", "max_tf", "min_dl", "sum_tf", "gaps_vb", "tfs_vb", "dls_vb"]
+            "last_doc", "max_tf", "min_dl", "sum_tf", "gaps_vb", "tfs_vb",
+            "dls_vb", "pos_vb"]
 ALL_COLS = ["kind", "doc_id", "url", "dl", *RUN_COLS]
 # on-disk segment layout (documentation; shard/term_bucket live in the
 # hive directory names, the rest are file columns written by the merge)
 SEGMENT_SCHEMA = (
     "shard long, term_bucket int, term string, block_id int, n int, "
     "first_doc long, last_doc long, max_tf long, min_dl long, sum_tf long, "
-    "gaps_vb binary, tfs_vb binary, dls_vb binary"
+    "gaps_vb binary, tfs_vb binary, dls_vb binary, pos_vb binary"
 )
 MERGE_METRICS_SCHEMA = (
     "shard long, term_bucket int, n_terms long, n_blocks long, postings long, "
@@ -173,7 +181,7 @@ MERGE_METRICS_SCHEMA = (
 SEGMENT_ROWS_SCHEMA = (
     "shard long, term_bucket int, term string, block_id int, n int, "
     "first_doc long, last_doc long, max_tf long, min_dl long, sum_tf long, "
-    "gaps_vb binary, tfs_vb binary, dls_vb binary"
+    "gaps_vb binary, tfs_vb binary, dls_vb binary, pos_vb binary"
 )
 
 
@@ -396,6 +404,7 @@ def _stage1_arrow_schema():
         ("n", pa.int32()), ("first_doc", pa.int64()), ("last_doc", pa.int64()),
         ("max_tf", pa.int64()), ("min_dl", pa.int64()), ("sum_tf", pa.int64()),
         ("gaps_vb", pa.binary()), ("tfs_vb", pa.binary()), ("dls_vb", pa.binary()),
+        ("pos_vb", pa.binary()),
     ])
 
 
@@ -416,7 +425,7 @@ def _lineage_row(pa, schema, const, pid, bi, n_docs, lens, n_blocks, n_groups, e
             const(elapsed_ms, np.int64, 1), const(n_blocks, np.int64, 1),
             const(-1, np.int64, 1), const(n_groups, np.int64, 1),
             pa.nulls(1, pa.binary()), pa.nulls(1, pa.binary()),
-            pa.nulls(1, pa.binary()),
+            pa.nulls(1, pa.binary()), pa.nulls(1, pa.binary()),
         ],
         schema=schema,
     )
@@ -442,6 +451,7 @@ def stage1_partial_runs(
     former broadcast inner join dropped them.
     """
     use_text = cfg.use_text_col
+    positions = cfg.positions
     shard_size, n_buckets, block_size = cfg.shard_size, cfg.n_buckets, cfg.block_size
 
     def _gen(batches):
@@ -496,6 +506,7 @@ def stage1_partial_runs(
                     const(-1, np.int64), const(-1, np.int64), const(-1, np.int64),
                     const(-1, np.int64), pa.nulls(nrows, pa.binary()),
                     pa.nulls(nrows, pa.binary()), pa.nulls(nrows, pa.binary()),
+                    pa.nulls(nrows, pa.binary()),
                 ],
                 schema=schema,
             )
@@ -522,9 +533,26 @@ def stage1_partial_runs(
             key = doc_local * nvocab + codes
             if nrows * nvocab < 2**31:
                 key = key.astype(np.int32)
-            ks = np.sort(key)
+            if positions:
+                # token index within its doc (over kept tokens) — the
+                # positional payload; stable argsort keeps positions
+                # ascending inside each (doc, term) entry
+                off_doc = np.cumsum(lens) - lens
+                pos_in_doc = (np.arange(doc_local.size, dtype=np.int64)
+                              - off_doc[doc_local])
+                perm = np.argsort(key, kind="stable")
+                ks = key[perm]
+                pos_sorted = pos_in_doc[perm]
+            else:
+                ks = np.sort(key)
             starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
             tfs = np.diff(np.append(starts, ks.size)).astype(np.int64)
+            if positions:
+                # per-entry delta coding (first value absolute): entries
+                # stay self-contained so any later reorder is a gather
+                pos_deltas = pos_sorted.copy()
+                pos_deltas[1:] -= pos_sorted[:-1]
+                pos_deltas[starts] = pos_sorted[starts]
             ukey = ks[starts]
             udoc_idx = ukey // nvocab
             ucode = (ukey % nvocab).astype(np.int64)
@@ -534,6 +562,9 @@ def stage1_partial_runs(
             # doc-sorted runs per (shard, term): one int lexsort, then one
             # grouped encode over all contiguous (shard, term) slices
             order = np.lexsort((docs, ucode, shards))
+            if positions:
+                pos_stream = gather_entry_slices(pos_deltas, starts, tfs, order)
+                pos_sizes = tfs[order]
             docs, tfs, dls, ucode, shards = (
                 docs[order], tfs[order], dls[order], ucode[order], shards[order])
             newgrp = np.concatenate(
@@ -549,6 +580,8 @@ def stage1_partial_runs(
                 docs, tfs, dls, group_starts, shards_g * shard_size, block_size)
             gid = enc["gid"]
             nb = gid.size
+            pos_arr = (encode_pos_blocks(pa, pos_stream, pos_sizes, enc["n"])
+                       if positions else pa.nulls(nb, pa.binary()))
             yield pa.RecordBatch.from_arrays(
                 [
                     const(1, np.int32, nb), const(-1, np.int64, nb),
@@ -561,7 +594,7 @@ def stage1_partial_runs(
                     pa.array(enc["first_doc"]), pa.array(enc["last_doc"]),
                     pa.array(enc["max_tf"]), pa.array(enc["min_dl"]),
                     pa.array(enc["group_sum_tf"][gid]),
-                    enc["gaps_vb"], enc["tfs_vb"], enc["dls_vb"],
+                    enc["gaps_vb"], enc["tfs_vb"], enc["dls_vb"], pos_arr,
                 ],
                 schema=schema,
             )
@@ -584,7 +617,8 @@ def stage1_partial_runs(
 
 # --------------------------------------------------------------------- stage 2
 
-def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str, codec: str = "varbyte"):
+def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str,
+                   codec: str = "varbyte", positions: bool = False):
     """Fully vectorized run merge — zero per-term Python.
 
     Within a run the per-block gap streams chain (block b's first gap is
@@ -614,7 +648,7 @@ def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str, codec: str = 
 
     def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
         t_group = time.monotonic()
-        merged = _merge_group(key, pdf, shard_size, block_size, codec)
+        merged = _merge_group(key, pdf, shard_size, block_size, codec, positions)
         if merged is None:
             return pd.DataFrame(columns=metrics_cols)
         shard, bucket, uniq_terms, enc, gid, seg_bytes = merged
@@ -651,7 +685,7 @@ def _merge_runs_fn(shard_size: int, block_size: int, seg_dir: str, codec: str = 
 
 
 def _merge_group(key, pdf: pd.DataFrame, shard_size: int, block_size: int,
-                 codec: str = "varbyte"):
+                 codec: str = "varbyte", positions: bool = False):
     """The transport-independent merge body (see _merge_runs_fn for the
     algorithm). Returns (shard, bucket, uniq_terms, enc, gid, seg_bytes)
     or None for an empty group. Input runs are always varbyte
@@ -669,6 +703,11 @@ def _merge_group(key, pdf: pd.DataFrame, shard_size: int, block_size: int,
     gaps = vb_decode(b"".join(pdf["gaps_vb"])).astype(np.int64)
     tfs = vb_decode(b"".join(pdf["tfs_vb"])).astype(np.int64)
     dls = vb_decode(b"".join(pdf["dls_vb"])).astype(np.int64)
+    if positions:
+        # per-posting self-contained delta streams: the concatenated
+        # run order equals the posting order of the arrays above, so
+        # the doc-sort below is a pure slice gather — no re-basing
+        pos_deltas = vb_decode(b"".join(pdf["pos_vb"])).astype(np.int64)
 
     # run = maximal (term, salt) span of block rows; gap chains reset there
     new_run = np.concatenate(([True], (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])))
@@ -686,14 +725,26 @@ def _merge_group(key, pdf: pd.DataFrame, shard_size: int, block_size: int,
     uniq_terms = run_terms[new_term]
 
     order = np.lexsort((docs, tid))
+    if positions:
+        entry_starts = np.cumsum(tfs) - tfs
+        pos_stream = gather_entry_slices(pos_deltas, entry_starts, tfs, order)
+        pos_sizes = tfs[order]
     docs, tfs, dls, tid = docs[order], tfs[order], dls[order], tid[order]
     group_starts = np.flatnonzero(np.concatenate(([True], tid[1:] != tid[:-1])))
     enc = encode_blocks_grouped(
         docs, tfs, dls, group_starts,
         np.full(group_starts.size, base, dtype=np.int64), block_size,
         codec=codec)
+    import pyarrow as pa
+
+    if positions:
+        enc["pos_vb"] = encode_pos_blocks(pa, pos_stream, pos_sizes, enc["n"])
+    else:
+        enc["pos_vb"] = pa.nulls(int(enc["gid"].size), pa.binary())
     seg_bytes = sum(
         len(enc[c].buffers()[2]) for c in ("gaps_vb", "tfs_vb", "dls_vb"))
+    if positions:
+        seg_bytes += len(enc["pos_vb"].buffers()[2])
     return shard, bucket, uniq_terms, enc, enc["gid"], seg_bytes
 
 
@@ -711,6 +762,7 @@ def _block_columns(pa, uniq_terms, enc, gid):
         ("gaps_vb", enc["gaps_vb"]),
         ("tfs_vb", enc["tfs_vb"]),
         ("dls_vb", enc["dls_vb"]),
+        ("pos_vb", enc["pos_vb"]),
     ]
 
 
@@ -723,10 +775,12 @@ def _segment_rows_arrow_schema():
         ("first_doc", pa.int64()), ("last_doc", pa.int64()),
         ("max_tf", pa.int64()), ("min_dl", pa.int64()), ("sum_tf", pa.int64()),
         ("gaps_vb", pa.binary()), ("tfs_vb", pa.binary()), ("dls_vb", pa.binary()),
+        ("pos_vb", pa.binary()),
     ])
 
 
-def _merge_rows_fn(shard_size: int, block_size: int, codec: str = "varbyte"):
+def _merge_rows_fn(shard_size: int, block_size: int, codec: str = "varbyte",
+                   positions: bool = False):
     """Committed-transport merge: identical merge body, but instead of
     writing files from the task, the merged block rows are RETURNED to
     Spark (applyInArrow — no pandas object round-trip on the output)
@@ -746,7 +800,8 @@ def _merge_rows_fn(shard_size: int, block_size: int, codec: str = "varbyte"):
 
         t_group = time.monotonic()
         schema = _segment_rows_arrow_schema()
-        merged = _merge_group(key, tbl.to_pandas(), shard_size, block_size, codec)
+        merged = _merge_group(key, tbl.to_pandas(), shard_size, block_size,
+                              codec, positions)
         if merged is None:
             return schema.empty_table()
         shard, bucket, uniq_terms, enc, gid, seg_bytes = merged
@@ -775,6 +830,7 @@ def _merge_rows_fn(shard_size: int, block_size: int, codec: str = "varbyte"):
                 "gaps_vb": pa.array([None], type=pa.binary()),
                 "tfs_vb": pa.array([None], type=pa.binary()),
                 "dls_vb": pa.array([None], type=pa.binary()),
+                "pos_vb": pa.array([None], type=pa.binary()),
             },
             schema=schema,
         )
@@ -858,8 +914,10 @@ def build_index(
     if meta_path.exists() and (doc_map_dir / "_SUCCESS").exists():
         meta = json.loads(meta_path.read_text())
         assert meta["shard_size"] == cfg.shard_size, "config mismatch vs existing index"
-        # committed waves pin the segment codec; a resume must not mix
+        # committed waves pin the segment codec and position layout;
+        # a resume must not mix
         cfg.codec = meta.get("codec", "varbyte")
+        cfg.positions = bool(meta.get("positions", cfg.positions))
         meta.setdefault("epochs", [{"doc_lo": 0, "doc_hi": meta["n_docs"], "dir": "doc_map"}])
         meta.setdefault("id_hw", meta["n_docs"])
     else:
@@ -900,6 +958,7 @@ def extend_index(spark: SparkSession, pages_df: DataFrame, index_dir: str) -> di
     cfg.executor_shared_fs = bool(meta.get("executor_shared_fs", False))
     cfg.segment_transport = meta.get("segment_transport", "auto")
     cfg.codec = meta.get("codec", "varbyte")
+    cfg.positions = bool(meta.get("positions", False))
     _resolve_transport(spark, cfg)
     known = None
     for ep in meta["epochs"]:
@@ -1013,7 +1072,7 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
                 for r in runs.groupBy("shard", "term_bucket")
                 .applyInPandas(
                     _merge_runs_fn(cfg.shard_size, cfg.block_size, str(seg_dir),
-                                   cfg.codec),
+                                   cfg.codec, cfg.positions),
                     schema=MERGE_METRICS_SCHEMA,
                 )
                 .collect()
@@ -1026,7 +1085,8 @@ def _build_one_wave(spark, pages_df, doc_map_dir: str, dm_meta: dict, id_base: i
             (
                 runs.groupBy("shard", "term_bucket")
                 .applyInArrow(
-                    _merge_rows_fn(cfg.shard_size, cfg.block_size, cfg.codec),
+                    _merge_rows_fn(cfg.shard_size, cfg.block_size, cfg.codec,
+                                   cfg.positions),
                     schema=SEGMENT_ROWS_SCHEMA,
                 )
                 .write.mode("overwrite")

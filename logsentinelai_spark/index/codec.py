@@ -455,3 +455,64 @@ def _field(r, name):
     if isinstance(r, dict):
         return r[name]
     return getattr(r, name)
+
+
+# --------------------------------------------------------- positions (phrase)
+
+# Positional postings (Lucene .prx-style, public format family): for
+# each posting (doc, term) the token positions of the term in the doc,
+# delta-coded PER POSTING (first value absolute, then gaps — entries
+# are self-contained, so doc-disjoint runs merge by pure slice
+# reordering, no chain re-basing). Positions are always varbyte
+# regardless of the segment codec: position streams are long and
+# low-value-per-byte, and the FoR block win measured negative for them
+# (cf. BENCH/BASELINE.md codec section for the doc-gap case).
+
+
+def encode_pos_blocks(pa, deltas: np.ndarray, entry_sizes: np.ndarray,
+                      block_ns: np.ndarray):
+    """One varbyte blob per block row over the ordered per-entry
+    position-delta stream. ``entry_sizes`` are the value counts of the
+    ordered entries (= tf per posting); block b owns the contiguous
+    entry slice [cum(block_ns)[b], cum(block_ns)[b+1]) — exactly how
+    encode_blocks_grouped tiles ordered postings into blocks. Returns
+    a zero-copy pyarrow BinaryArray."""
+    buf, lens = vb_encode_with_lens(np.asarray(deltas, dtype=np.uint64))
+    val_cum = np.concatenate(([0], np.cumsum(entry_sizes)))
+    ent_bnd = np.concatenate(([0], np.cumsum(block_ns)))
+    byte_cum = np.concatenate(([0], np.cumsum(lens)))
+    offsets = byte_cum[val_cum[ent_bnd]]
+    if offsets.size and offsets[-1] >= 2**31:
+        raise ValueError(
+            "encoded position stream >= 2 GiB in one group; raise "
+            "n_buckets (same bound as the posting streams)")
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), int(block_ns.size),
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()),
+         pa.py_buffer(buf.tobytes())],
+    )
+
+
+def decode_positions(blobs, tfs: np.ndarray) -> np.ndarray:
+    """Decode concatenated pos_vb blobs (block rows in block order)
+    back to ABSOLUTE positions, aligned with the posting value stream:
+    posting k owns tfs[k] consecutive values. Vectorized segmented
+    cumsum (no per-posting loop)."""
+    deltas = vb_decode(b"".join(blobs)).astype(np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.cumsum(tfs) - tfs
+    prefix = np.concatenate(([0], np.cumsum(deltas)))
+    return np.cumsum(deltas) - np.repeat(prefix[starts], tfs)
+
+
+def gather_entry_slices(values: np.ndarray, entry_starts: np.ndarray,
+                        entry_sizes: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Concatenate per-entry slices of ``values`` in ``order`` order —
+    the position-stream companion of a posting reorder (one gather, no
+    Python loop)."""
+    sel_starts = entry_starts[order]
+    sel_sizes = entry_sizes[order]
+    total = int(sel_sizes.sum())
+    out_off = np.cumsum(sel_sizes) - sel_sizes
+    idx = np.repeat(sel_starts - out_off, sel_sizes) + np.arange(total, dtype=np.int64)
+    return values[idx]

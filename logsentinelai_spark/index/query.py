@@ -500,3 +500,138 @@ def topk_local(
         urls = reader.doc_urls_local([d for d, _ in top])
         return [(d, s, urls.get(d)) for d, s in top]
     return top
+
+
+# ----------------------------------------------------------------- phrase search
+
+# local-doc position keys: key = local_doc * 2^32 + token_position.
+# Positions are bounded by dl < 2^32 (a single document with 4B+
+# tokens is not a document) and local docs by shard_size, so the key
+# fits int64 with no overlap — the shard-local twin of the global-id
+# discipline everywhere else.
+_POS_SHIFT = np.int64(1) << np.int64(32)
+
+
+def _decode_term_positions(g: pd.DataFrame, codec: str):
+    """Decode one shard's posting blocks per distinct term INCLUDING
+    the positional payload. Returns {term: (docs, dls, doc_rep, pos)}
+    where docs/dls align per posting (shard-local doc ids) and
+    doc_rep/pos align per token occurrence (np.repeat(docs, tfs))."""
+    from .codec import decode_positions
+
+    g = g.sort_values(["term", "block_id"], kind="mergesort", ignore_index=True)
+    terms = g["term"].to_numpy()
+    gaps_a = g["gaps_vb"].to_numpy()
+    tfs_a = g["tfs_vb"].to_numpy()
+    dls_a = g["dls_vb"].to_numpy()
+    pos_a = g["pos_vb"].to_numpy()
+    tb = np.append(
+        np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1]))), len(terms))
+    out = {}
+    for s, e in zip(tb[:-1], tb[1:]):
+        gaps = decode_stream(gaps_a[s:e], codec).astype(np.int64)
+        docs = np.cumsum(gaps)
+        tfs = decode_stream(tfs_a[s:e], codec).astype(np.int64)
+        dls = decode_stream(dls_a[s:e], codec).astype(np.int64)
+        pos = decode_positions(pos_a[s:e], tfs)
+        out[terms[s]] = (docs, dls, np.repeat(docs, tfs), pos)
+    return out
+
+
+def _phrase_hits_shard(
+    decoded: dict, phrase_terms: list[str]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Positional intersection for ONE phrase in ONE shard: term j
+    contributes the sorted-unique key set {doc * 2^32 + (pos - j)};
+    the running np.intersect1d leaves exactly the phrase START
+    positions, so overlapping occurrences count — match_phrase
+    semantics, identical to the naive in-row scan
+    (entry_queries._ptf_expr, pytest-pinned). Returns shard-local
+    (docs, ptf, dl) or None when any term is absent."""
+    keys = None
+    for j, t in enumerate(phrase_terms):
+        dec = decoded.get(t)
+        if dec is None:
+            return None
+        _, _, doc_rep, pos = dec
+        if j == 0:
+            kj = doc_rep * _POS_SHIFT + pos
+        else:
+            m = pos >= j
+            kj = doc_rep[m] * _POS_SHIFT + (pos[m] - j)
+        keys = kj if keys is None else np.intersect1d(keys, kj, assume_unique=True)
+        if keys.size == 0:
+            return None
+    hit_docs = keys // _POS_SHIFT
+    udoc, ptf = np.unique(hit_docs, return_counts=True)
+    docs0, dls0, _, _ = decoded[phrase_terms[0]]
+    dl = dls0[np.searchsorted(docs0, udoc)]
+    return udoc, ptf.astype(np.int64), dl
+
+
+def phrase_match_local(
+    reader: IndexReader, phrase_texts: list[str]
+) -> list[list[tuple[int, int, int]]]:
+    """Exact-phrase candidate scan over the positional index (driver-
+    local, the phrase twin of topk_many_local): ONE pruned pyarrow
+    read of the union terms WITH pos_vb, shared per-term decode per
+    shard, per-phrase positional intersection. Returns, per phrase,
+    ALL matching docs as [(doc_id, phrase_tf, dl)] — candidates are
+    bounded by min(df of the phrase terms), which is what makes
+    phrases cheap: selectivity compounds.
+
+    This is the reference's ES match_phrase analog
+    (INSTALL-and-USAGE.md query examples); Lucene answers it from the
+    .prx positions exactly this way (doc-at-a-time position
+    intersection)."""
+    if not reader.positions:
+        raise ValueError(
+            "index was built with positions=False; phrase queries need "
+            "the positional payload (rebuild with IndexConfig(positions=True))")
+    phrase_terms_list = [tokenize(p) for p in phrase_texts]
+    all_terms = sorted({t for pt in phrase_terms_list for t in pt})
+    out: list[list[tuple[int, int, int]]] = [[] for _ in phrase_texts]
+    if not all_terms:
+        return out
+    pdf = reader.postings_blocks_local(all_terms, with_positions=True)
+    pdf = pdf[pdf["block_id"] >= 0]
+    if pdf.empty:
+        return out
+    shard_size = reader.cfg.shard_size
+    for shard, g in pdf.groupby("shard", sort=False):
+        decoded = _decode_term_positions(g, reader.codec)
+        base = int(shard) * shard_size
+        for pi, pterms in enumerate(phrase_terms_list):
+            if not pterms:
+                continue
+            hits = _phrase_hits_shard(decoded, pterms)
+            if hits is None:
+                continue
+            udoc, ptf, dl = hits
+            out[pi] += [
+                (int(d) + base, int(c), int(l))
+                for d, c, l in zip(udoc, ptf, dl)
+            ]
+    return out
+
+
+def phrase_topk_local(
+    reader: IndexReader, phrase_text: str, k: int = 10
+) -> list[tuple[int, int, float]]:
+    """BM25-scored exact-phrase top-k from the positional index: the
+    phrase scores as ONE pseudo-term (tf = phrase start count, df =
+    docs containing the phrase) — ES match_phrase scoring. Returns
+    [(doc_id, phrase_tf, score)] under the pinned (-score, doc_id)
+    tie-break; rank-identical to the naive Catalyst scorer
+    entry_queries.q_phrase_topk (pytest-pinned)."""
+    cands = phrase_match_local(reader, [phrase_text])[0]
+    if not cands:
+        return []
+    N, avgdl = reader.global_stats()
+    w = idf_fn(N, len(cands))
+    scored = [
+        (d, ptf, w * ptf / (ptf + K1 * (1 - B + B * dl / avgdl)))
+        for d, ptf, dl in cands
+    ]
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:k]

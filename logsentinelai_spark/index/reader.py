@@ -29,9 +29,11 @@ class IndexReader:
         self.meta = json.loads((self.dir / "_meta.json").read_text())
         self.cfg = IndexConfig(**{k: self.meta[k] for k in (
             "shard_size", "n_buckets", "block_size",
-            "wave_shards", "use_text_col") if k in self.meta})
+            "wave_shards", "use_text_col", "positions") if k in self.meta})
         # segment block codec (format versioning): scorers dispatch on it
         self.codec = self.meta.get("codec", "varbyte")
+        # positional payloads present? (phrase queries require them)
+        self.positions = bool(self.meta.get("positions", False))
         self.waves = committed_waves(index_dir)
         if not self.waves:
             raise FileNotFoundError(f"no committed waves in {index_dir}")
@@ -59,27 +61,42 @@ class IndexReader:
         return {r.term: r.df for r in df.collect()}
 
     # ---- posting blocks for query terms (partition- and predicate-pruned)
-    def postings_blocks(self, terms: list[str]) -> DataFrame:
+    def postings_blocks(self, terms: list[str],
+                        with_positions: bool = False) -> DataFrame:
         buckets = sorted({term_bucket_py(t, self.cfg.n_buckets) for t in terms})
         root = self.dir / "postings"
         paths = [str(root / f"wave={w}") for w in sorted(self.waves)]
         df = self.spark.read.option("basePath", str(root)).parquet(*paths)
-        return df.filter(
+        df = df.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(list(terms))
         )
+        if not with_positions and "pos_vb" in df.columns:
+            # BM25 never reads positions: drop pos_vb BEFORE the scan
+            # plans so parquet column pruning skips the widest column
+            # (ReadSchema excludes pos_vb — plan-pinned in tests)
+            df = df.drop("pos_vb")
+        return df
 
     # ---- driver-local reads: same files, same pruning, no Spark job.
     # Query serving at low latency reads the (heavily pruned) posting
     # blocks straight off storage with pyarrow — a search head does not
     # need a cluster for one query's ~dozens of row groups; Spark jobs
     # are for the build and for batch/scale-out query workloads.
-    def postings_blocks_local(self, terms: list[str]):
+    def postings_blocks_local(self, terms: list[str],
+                              with_positions: bool = False):
         import pyarrow.dataset as pads
 
         buckets = sorted({term_bucket_py(t, self.cfg.n_buckets) for t in terms})
         dataset = self._postings_dataset()
         filt = pads.field("term_bucket").isin(buckets) & pads.field("term").isin(list(terms))
-        return dataset.to_table(filter=filt).to_pandas()
+        # BM25 serving never reads positions: project the position-free
+        # column list so the (widest) pos_vb column is never read off
+        # storage for non-phrase queries — parquet column pruning at
+        # the pyarrow scan, the local twin of postings_blocks's drop
+        cols = dataset.schema.names
+        if not with_positions and "pos_vb" in cols:
+            cols = [c for c in cols if c != "pos_vb"]
+        return dataset.to_table(filter=filt, columns=cols).to_pandas()
 
     def _postings_dataset(self):
         """Cached pyarrow dataset over the committed waves — file
