@@ -635,3 +635,71 @@ def phrase_topk_local(
     ]
     scored.sort(key=lambda r: (-r[2], r[0]))
     return scored[:k]
+
+
+def phrase_topk(
+    reader: IndexReader, phrase_text: str, k: int = 10,
+    with_urls: bool = False,
+) -> list[tuple]:
+    """Distributed BM25 phrase top-k — the batch/scale-out twin of
+    :func:`phrase_topk_local` (rank-identical, pytest-pinned).
+
+    Plan shape mirrors :func:`topk`: ONE pruned posting scan (bucket
+    partitions + term predicate pushed down, pos_vb read ONLY here) ->
+    groupBy(shard).applyInPandas positional intersection, so the
+    per-token position work happens in executors against shard-local
+    arrays and only (doc_id, phrase_tf, dl) candidate rows leave the
+    tasks. df(phrase) is a count over the candidate frame and the
+    final top-k is TakeOrderedAndProject — candidates never
+    concentrate on the driver, which is what a million-hit phrase on
+    a 10^12-doc corpus needs."""
+    if not reader.positions:
+        raise ValueError(
+            "index was built with positions=False; phrase queries need "
+            "the positional payload (rebuild with IndexConfig(positions=True))")
+    pterms = tokenize(phrase_text)
+    if not pterms:
+        return []
+    blocks = reader.postings_blocks(sorted(set(pterms)), with_positions=True)
+    shard_size = reader.cfg.shard_size
+    codec = reader.codec
+
+    def _per_shard(key, pdf):
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "ptf": pd.Series(dtype="int64"),
+                              "dl": pd.Series(dtype="int64")})
+        pdf = pdf[pdf["block_id"] >= 0]
+        if pdf.empty:
+            return empty
+        hits = _phrase_hits_shard(_decode_term_positions(pdf, codec), pterms)
+        if hits is None:
+            return empty
+        udoc, ptf, dl = hits
+        return pd.DataFrame({"doc_id": udoc + int(key[0]) * shard_size,
+                             "ptf": ptf, "dl": dl})
+
+    cands = blocks.groupBy("shard").applyInPandas(
+        _per_shard, schema="doc_id long, ptf long, dl long")
+    cands.persist()
+    try:
+        df_phrase = cands.count()
+        if df_phrase == 0:
+            return []
+        N, avgdl = reader.global_stats()
+        w = idf_fn(N, df_phrase)
+        scored = cands.withColumn(
+            "score",
+            F.lit(w) * F.col("ptf") / (
+                F.col("ptf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl))),
+        )
+        rows = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .select("doc_id", "ptf", "score").collect()
+        )
+    finally:
+        cands.unpersist()
+    top = [(r.doc_id, r.ptf, r.score) for r in rows]
+    if with_urls:
+        urls = reader.doc_urls([d for d, _, _ in top])
+        return [(d, p, s, urls.get(d)) for d, p, s in top]
+    return top

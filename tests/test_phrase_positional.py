@@ -108,7 +108,8 @@ def test_gather_entry_slices_matches_loop():
     "alpha alpha",       # overlap semantics (doc b: ptf 2)
     "x x",               # overlap inside "x x x" -> ptf 2
     "beta gamma alpha",  # trigram crossing block boundaries in doc c
-    "alpha beta gamma",  # trigram with zero hits
+    "alpha beta gamma",  # trigram hitting docs a and e (doc e twice)
+    "solo solo",         # zero hits
     "solo",              # single-term phrase
     "missing term",      # term absent from the vocabulary
 ])
@@ -195,3 +196,18 @@ def test_gate_naive_vs_positional_index(spark):
     a = sorted(map(tuple, q_phrase_topk(spark, sf).collect()))
     b = sorted(map(tuple, q_phrase_topk_idx(spark, sf).collect()))
     assert a == b
+
+
+def test_phrase_topk_spark_rank_identical_to_local(spark, built):
+    from logsentinelai_spark.index.query import phrase_topk
+
+    r = IndexReader(spark, built)
+    for phrase in ("alpha beta", "alpha alpha", "beta gamma alpha", "solo"):
+        local = phrase_topk_local(r, phrase, k=5)
+        dist = phrase_topk(r, phrase, k=5)
+        assert [(d, p) for d, p, _ in dist] == [(d, p) for d, p, _ in local]
+        for (_, _, a), (_, _, b) in zip(dist, local):
+            assert abs(a - b) <= 1e-9
+    assert phrase_topk(r, "solo solo", k=5) == []
+    with_urls = phrase_topk(r, "alpha beta", k=2, with_urls=True)
+    assert all(isinstance(u, str) for *_, u in with_urls)
