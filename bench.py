@@ -63,6 +63,19 @@ def main() -> None:
         build_sec = time.monotonic() - t0
         docs_per_sec = BENCH_DOCS / build_sec
 
+        # positions (pos_vb, round-5 default) change the build's work
+        # per doc — measure the positions-off twin on the same corpus
+        # so the docs/s movement vs prior rounds is attributable
+        # in-artifact, not guessed.
+        nopos_dir = tempfile.mkdtemp(prefix="bench_idx_nopos_")
+        try:
+            from dataclasses import replace as _dc_replace
+            t0 = time.monotonic()
+            build_index(spark, pages, nopos_dir, _dc_replace(cfg, positions=False))
+            nopos_sec = time.monotonic() - t0
+        finally:
+            shutil.rmtree(nopos_dir, ignore_errors=True)
+
         # (c) query latency over the built index (warm session).
         # Each (query, mode) is timed LAT_REPEATS times so the summary
         # can report spread — a 15% median drift round-over-round is
@@ -119,6 +132,16 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     qcold: dict[str, float] = {}
     qruns: dict[str, list[float]] = {}
+
+    # fts positional-index build over the documents fixture — the
+    # one-off ingest pass phrase_topk_idx amortizes. Timing the cache
+    # fill here (instead of letting it land inside the gate's cold
+    # run) keeps the gate's cold/warm numbers query-only AND
+    # discloses the build's cost explicitly, like ann_build below.
+    t0 = time.monotonic()
+    entry_queries._index_dir_for(spark, SF_DIR)
+    fts_build = {"wall_sec": round(time.monotonic() - t0, 3)}
+
     for name, fn in entry_queries.QUERIES.items():
         runs = []
         for _ in range(2):
@@ -179,6 +202,10 @@ def main() -> None:
         "docs_per_sec": round(docs_per_sec, 1),
         "corpus_prep_sec": round(corpus_prep_sec, 3),
         "cpus": CPUS,
+        "positions": True,
+        "nopos_wall_sec": round(nopos_sec, 3),
+        "nopos_docs_per_sec": round(BENCH_DOCS / nopos_sec, 1),
+        "positions_overhead_pct": round(100.0 * (build_sec - nopos_sec) / nopos_sec, 1),
     }
 
     # full detail -> bench_summary.json (survives any tail-capture
@@ -236,6 +263,7 @@ def main() -> None:
         "delta_vs_prev_warm": delta,
         "index_build": index_build,
         "ann_build": ann_build,
+        "fts_build": fts_build,
         "bm25_latency_ms": lat_stats,
         "batched_serving": batched,
         "wand_crossover": _wand_crossover_point(),
@@ -256,6 +284,7 @@ def main() -> None:
         "queries_cold": qcold,
         "index_build": index_build,
         "ann_build": ann_build,
+        "fts_build": fts_build,
         "bm25_latency_ms_median": {m: s["median"] for m, s in lat_stats.items()},
         "summary_file": "bench_summary.json",
     }

@@ -338,6 +338,63 @@ def q_phrase_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- proximity (span_near analog)
+
+# (term_a, term_b, window): docs where the terms occur within `window`
+# token positions of each other, strength = ordered pair count
+SPAN_NEAR_PAIRS = [("hash", "join", 3), ("data", "index", 5)]
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near analog served from the positional index
+    (index/query.py::span_near_local): for each fixed (term_a, term_b,
+    window) pair, every doc where the terms co-occur within the window
+    and the pair count |{(p_a, p_b): |p_a - p_b| <= w}| — the
+    proximity-strength statistic span scoring builds on. The DuckDB
+    oracle recounts via a positions cross-join over list_filter
+    subscripts — an independent method on the raw text. Complete
+    deterministic result set (no limit), so the hash gate covers every
+    matching doc."""
+    from .index.query import span_near_local
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    res = span_near_local(reader, SPAN_NEAR_PAIRS)
+    ids = sorted({d for lst in res for d, _ in lst})
+    urls = reader.doc_urls_local(ids)
+    rows = [
+        (f"{a} {b} ~{w}", int(urls[d][3:]), n)
+        for (a, b, w), lst in zip(SPAN_NEAR_PAIRS, res)
+        for d, n in lst
+    ]
+    schema = "pair string, doc_id long, n_pairs long"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_span_near() -> str:
+    def one(a: str, b: str, w: int) -> str:
+        return f"""
+  SELECT '{a} {b} ~{w}' AS pair, pa.doc_id, count(*) AS n_pairs
+  FROM (SELECT doc_id, unnest(list_filter(range(len(t)), i -> t[i+1] = '{a}')) AS p
+        FROM base) pa
+  JOIN (SELECT doc_id, unnest(list_filter(range(len(t)), i -> t[i+1] = '{b}')) AS p
+        FROM base) pb USING (doc_id)
+  WHERE abs(pa.p - pb.p) <= {w}
+  GROUP BY 1, 2"""
+
+    unions = "\n  UNION ALL\n".join(one(a, b, w) for a, b, w in SPAN_NEAR_PAIRS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS t
+  FROM documents
+)
+SELECT pair, doc_id, CAST(n_pairs AS BIGINT) AS n_pairs FROM (
+{unions}
+)
+"""
+
+
 # ---------------------------------------------------------------- dashboard analogs (SURVEY §2.8)
 
 def q_events_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,6 +510,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "phrase_topk": q_phrase_topk,
     "phrase_topk_idx": q_phrase_topk_idx,
+    "span_near": q_span_near,
     # dashboard analogs (SURVEY §2.8 Q1-Q6)
     "events_terms": q_events_terms_topk,
     "events_date_histogram": q_events_date_histogram,
@@ -508,6 +566,7 @@ ORACLES = {
     # the positional-index path must reproduce the naive recount
     # exactly — same oracle, independent third method
     "phrase_topk_idx": sql_phrase_topk(),
+    "span_near": sql_span_near(),
     "events_terms": sql_events_terms_topk(),
     "events_date_histogram": sql_events_date_histogram(),
     "events_formula": sql_events_formula(),

@@ -703,3 +703,57 @@ def phrase_topk(
         urls = reader.doc_urls([d for d, _, _ in top])
         return [(d, p, s, urls.get(d)) for d, p, s in top]
     return top
+
+
+def span_near_local(
+    reader: IndexReader, pairs: list[tuple[str, str, int]]
+) -> list[list[tuple[int, int]]]:
+    """ES ``span_near`` analog over the positional payload: for each
+    (term_a, term_b, window) return every doc containing the terms
+    within ``window`` token positions of each other (either order),
+    with the PAIR COUNT — |{(p_a, p_b) : |p_a - p_b| <= window}| — as
+    the proximity strength. Driver-local like phrase_match_local; one
+    pruned pyarrow read for the union of the pairs' terms.
+
+    Per shard the count is one vectorized two-sided searchsorted over
+    the (doc, pos) key arrays (window < 2^32 keeps a doc's key range
+    disjoint from its neighbors', so clamping the low bound at the
+    doc's base is the only boundary care needed) — no per-doc loop.
+
+    Returns, per pair, [(doc_id, n_pairs)] with n_pairs > 0."""
+    if not reader.positions:
+        raise ValueError(
+            "index was built with positions=False; span_near needs "
+            "the positional payload (rebuild with IndexConfig(positions=True))")
+    all_terms = sorted({t for a, b, _ in pairs for t in (a, b)})
+    out: list[list[tuple[int, int]]] = [[] for _ in pairs]
+    if not all_terms:
+        return out
+    pdf = reader.postings_blocks_local(all_terms, with_positions=True)
+    pdf = pdf[pdf["block_id"] >= 0]
+    if pdf.empty:
+        return out
+    shard_size = reader.cfg.shard_size
+    for shard, g in pdf.groupby("shard", sort=False):
+        decoded = _decode_term_positions(g, reader.codec)
+        base = int(shard) * shard_size
+        for pi, (ta, tb, w) in enumerate(pairs):
+            da, db = decoded.get(ta), decoded.get(tb)
+            if da is None or db is None:
+                continue
+            _, _, rep_a, pos_a = da
+            _, _, rep_b, pos_b = db
+            ka = rep_a * _POS_SHIFT + pos_a
+            kb = rep_b * _POS_SHIFT + pos_b
+            lo = np.maximum(ka - w, rep_a * _POS_SHIFT)
+            counts = (np.searchsorted(kb, ka + w, side="right")
+                      - np.searchsorted(kb, lo, side="left"))
+            m = counts > 0
+            if not m.any():
+                continue
+            udoc, inv = np.unique(rep_a[m], return_inverse=True)
+            npairs = np.bincount(inv, weights=counts[m]).astype(np.int64)
+            out[pi] += [
+                (int(d) + base, int(c)) for d, c in zip(udoc, npairs)
+            ]
+    return out

@@ -245,7 +245,13 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row projection. Exact copies (+200000, doc_id%7==0) are
     injected identically in both engines so the duplicate rule is
     non-trivial."""
-    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    raw = _docs(spark, sf_dir)
+    if "source" not in raw.columns:
+        # corpora without provenance (e.g. intermediate pipeline
+        # snapshots) still filter: null source -> null domain, so the
+        # domain-blocklist rule simply cannot fire
+        raw = raw.withColumn("source", F.lit(None).cast("string"))
+    d = raw.select("doc_id", "text", "lang", "source")
     aug = d.unionAll(
         d.filter(F.col("doc_id") % 7 == 0).select(
             (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang",

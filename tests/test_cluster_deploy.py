@@ -77,10 +77,12 @@ def test_local_cluster_ann_build(spark, tmp_path):
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["n_vectors"] == 500
 
-    # committed layout: Spark-committer-named files + _SUCCESS
+    # committed layout: Spark-committer-named files + _SUCCESS (per
+    # epoch dir since the transactional-extend change — each epoch is
+    # its own overwrite-idempotent commit unit)
     files = list(Path(out, "ivfpq_lists").rglob("part-*.parquet"))
     assert files and all(".c000." in p.name for p in files), files[:3]
-    assert (Path(out) / "ivfpq_lists" / "_SUCCESS").exists()
+    assert (Path(out) / "ivfpq_lists" / "epoch=0" / "_SUCCESS").exists()
 
     # value identity vs an in-process build on the same fixture
     emb = spark.read.parquet(emb_path).select("vec_id", "embedding")

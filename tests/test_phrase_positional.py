@@ -211,3 +211,22 @@ def test_phrase_topk_spark_rank_identical_to_local(spark, built):
     assert phrase_topk(r, "solo solo", k=5) == []
     with_urls = phrase_topk(r, "alpha beta", k=2, with_urls=True)
     assert all(isinstance(u, str) for *_, u in with_urls)
+
+
+def test_span_near_identical_to_naive(spark, built):
+    from logsentinelai_spark.index.query import span_near_local
+
+    r = IndexReader(spark, built)
+    pairs = [("alpha", "beta", 2), ("beta", "gamma", 1),
+             ("gamma", "delta", 4), ("solo", "alpha", 3)]
+    got = span_near_local(r, pairs)
+    for (a, b, w), lst in zip(pairs, got):
+        exp = {}
+        for i, u in enumerate(sorted(_TEXTS)):
+            toks = tokens(_TEXTS[u])
+            pa = [j for j, t in enumerate(toks) if t == a]
+            pb = [j for j, t in enumerate(toks) if t == b]
+            n = sum(1 for x in pa for y in pb if abs(x - y) <= w)
+            if n:
+                exp[i] = n
+        assert dict(lst) == exp, (a, b, w)
