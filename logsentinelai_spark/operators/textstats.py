@@ -880,20 +880,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decon_gram_keys(docs.filter(eval_cond))
         .select(F.explode("grams").alias("gram")).distinct()
     )
-    corpus_grams = _decon_gram_keys(corpus)
-    matches = (
-        corpus_grams.select("doc_id", F.explode("grams").alias("gram"))
-        .join(F.broadcast(eval_grams), "gram")
-        .groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
+    # ONE pass over the (expensive) per-doc gram arrays: n_grams rides
+    # the explode as a carried column and the hit flag comes from a
+    # LEFT broadcast join, so the gram expression is evaluated once per
+    # doc instead of once per output branch (was 2x the whole query's
+    # cost) and no persist is needed at any corpus size. explode_outer
+    # keeps sub-13-token docs (null gram -> 0 overlap).
+    exploded = _decon_gram_keys(corpus).select(
+        "doc_id", F.size("grams").cast("long").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
     )
+    hit = F.coalesce("__hit", F.lit(0))
     return (
-        corpus_grams.select(
-            "doc_id", F.size("grams").cast("long").alias("n_grams"))
-        .join(matches, "doc_id", "left")
+        exploded.join(
+            F.broadcast(eval_grams.withColumn("__hit", F.lit(1))), "gram", "left")
+        .groupBy("doc_id", "n_grams").agg(F.sum(hit).alias("n_overlap"))
         .select(
-            "doc_id", "n_grams",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+            "doc_id", "n_grams", "n_overlap",
+            (F.col("n_overlap") > 0).alias("contaminated"),
         )
     )
 
