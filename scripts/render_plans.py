@@ -67,6 +67,27 @@ set prunes in a single pass) and ONE BroadcastHashJoin on
 above it has partial functions = map-side combine); the dup-keeper
 join is a BroadcastHashJoin against the md5-group keeper table. No
 second pass over text, no nested-loop operators.""",
+    "phrase_topk_idx": """Phrase serving from the physical index: the posting scan shows
+PushedFilters on the phrase's terms and bucket (only those terms'
+blocks are read) with ReadSchema INCLUDING pos_vb — while the
+bm25_topk plan over the same segments never reads pos_vb (pinned by
+test_bm25_scan_never_reads_pos_vb): the positional payload costs
+non-phrase queries nothing. Positional intersection happens
+executor-side per shard; only per-shard top-k candidate rows reach
+the driver merge.""",
+    "line_dedup": """The keeper aggregate exchanges on xxhash64(line) — the
+HashAggregate keys and the Exchange hashpartitioning show the LONG
+hash column, not the line string — so the corpus-wide shuffle
+carries 8-byte keys plus counts, never text (pinned by
+test_dedup_shuffles_carry_hash_keys_not_text). Reconstruction is an
+in-row sort of the surviving (line_idx, line) pairs.""",
+    "decontaminate": """The corpus side never exchanges on content: per-doc 13-gram hash
+arrays are built in-row in ONE gram pass (n_grams rides the explode
+as a carried column), and the contamination test is a LEFT
+BroadcastHashJoin against the eval-set shingle table — broadcast-
+small BY DEFINITION (benchmarks are MBs against a 100 TB corpus).
+The only exchange re-aggregates the rare surviving matches by
+doc_id.""",
 }
 
 
