@@ -395,6 +395,104 @@ SELECT pair, doc_id, CAST(n_pairs AS BIGINT) AS n_pairs FROM (
 """
 
 
+# ------------------------------------------------------ bool query (ES bool)
+
+# the flagship ES `bool` query: {"bool": {"must": data, merge,
+# "should": query, vector, "must_not": dup}} — must gates matching,
+# should lifts ranking, must_not excludes (Lucene BooleanQuery
+# scoring; the reference's backend serves exactly this query shape)
+BOOL_MUST = "data merge"
+BOOL_SHOULD = "query vector"
+BOOL_MUST_NOT = "dup"
+
+
+def q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bool`` query, BM25-scored top-10 (SURVEY §2.8 Q8d): docs
+    containing ALL must terms and NO must_not term, scored by the
+    BM25 sum over the distinct must+should terms they contain —
+    must_not never contributes to the score, should affects only
+    ranking. Naive Catalyst twin of the index-served path
+    (index/query.py::bool_topk): one postings pass computes
+    contributions and the per-doc distinct-must count together; the
+    exclusion is a left-anti join against the must_not posting docs.
+    Tie-break pinned on doc_id, so the LIMIT is deterministic."""
+    from .index.naive import bm25_score_expr
+
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    must = sorted(set(BOOL_MUST.split()))
+    scoring = sorted(set(must) | set(BOOL_SHOULD.split()))
+    sc = (
+        postings.filter(F.col("term").isin(scoring))
+        .join(tstats, "term")
+        .join(dstats, "doc_id")
+        .crossJoin(gstats)
+        .withColumn("contrib", bm25_score_expr())
+    )
+    per_doc = sc.groupBy("doc_id").agg(
+        F.sum("contrib").alias("s"),
+        F.countDistinct(
+            F.when(F.col("term").isin(must), F.col("term"))).alias("n_must"),
+    )
+    excl = (postings.filter(F.col("term").isin(BOOL_MUST_NOT.split()))
+            .select("doc_id").distinct())
+    return (
+        per_doc.filter(F.col("n_must") == len(must))
+        .join(excl, "doc_id", "left_anti")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def q_bool_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME bool query served from the physical index
+    (index/query.py::bool_topk_local): pruned pyarrow block read over
+    must+should+must_not terms, per-shard vectorized accumulator with
+    the bool gate applied inside the scorer (distinct-must bincount +
+    sorted exclusion probe), driver top-k merge. Index doc ids are
+    rank(url) over doc%012d urls, so the doc_id tie-break order is
+    identical to the fixture's and the gate is hash-exact against the
+    same DuckDB oracle as the naive twin."""
+    from .index.query import bool_topk_local
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    res = bool_topk_local(reader, BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, k=10)
+    urls = reader.doc_urls_local([d for d, _ in res])
+    rows = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
+    schema = "doc_id long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_bool_topk() -> str:
+    must = sorted(set(BOOL_MUST.split()))
+    scoring = sorted(set(must) | set(BOOL_SHOULD.split()))
+    terms = ", ".join(f"('{t}')" for t in scoring)
+    must_in = ", ".join(f"'{t}'" for t in must)
+    not_in = ", ".join(f"'{t}'" for t in BOOL_MUST_NOT.split())
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {terms}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s,
+         count(DISTINCT CASE WHEN tf.term IN ({must_in}) THEN tf.term END) AS n_must
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scored
+WHERE n_must = {len(must)}
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({not_in}))
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- dashboard analogs (SURVEY §2.8)
 
 def q_events_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,6 +609,8 @@ QUERIES = {
     "phrase_topk": q_phrase_topk,
     "phrase_topk_idx": q_phrase_topk_idx,
     "span_near": q_span_near,
+    "bool_topk": q_bool_topk,
+    "bool_topk_idx": q_bool_topk_idx,
     # dashboard analogs (SURVEY §2.8 Q1-Q6)
     "events_terms": q_events_terms_topk,
     "events_date_histogram": q_events_date_histogram,
@@ -567,6 +667,10 @@ ORACLES = {
     # exactly — same oracle, independent third method
     "phrase_topk_idx": sql_phrase_topk(),
     "span_near": sql_span_near(),
+    "bool_topk": sql_bool_topk(),
+    # index-served path must reproduce the naive bool result exactly —
+    # same oracle, independent third method
+    "bool_topk_idx": sql_bool_topk(),
     "events_terms": sql_events_terms_topk(),
     "events_date_histogram": sql_events_date_histogram(),
     "events_formula": sql_events_formula(),

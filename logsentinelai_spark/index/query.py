@@ -757,3 +757,163 @@ def span_near_local(
                 (int(d) + base, int(c)) for d, c in zip(udoc, npairs)
             ]
     return out
+
+
+# ----------------------------------------------------------------- bool queries
+
+def _score_shard_bool(
+    pdf: pd.DataFrame,
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    base: int,
+    must: frozenset,
+    must_not: frozenset,
+    codec: str = "varbyte",
+):
+    """Accumulator scorer with ES ``bool`` gating. ``idfs`` holds the
+    SCORING terms (must + should); ``must_not`` terms appear in the
+    shard's blocks only as exclusion sources. A doc survives iff it
+    carries every ``must`` term and no ``must_not`` term; its score is
+    the plain BM25 sum over the scoring terms it contains — exactly
+    Lucene's BooleanQuery scoring (must_not never contributes, should
+    affects only the score).
+
+    The must gate is a bincount over each scoring doc's count of
+    distinct must terms (per-(term,shard) doc streams are unique, so
+    count == membership); exclusion is one sorted-side searchsorted
+    membership probe. Everything stays vectorized numpy — the bool
+    gate adds no decode work beyond the extra must_not postings."""
+    pdf = pdf.sort_values(["term", "block_id"], kind="mergesort", ignore_index=True)
+    terms = pdf["term"].to_numpy()
+    gaps_a = pdf["gaps_vb"].to_numpy()
+    tfs_a = pdf["tfs_vb"].to_numpy()
+    dls_a = pdf["dls_vb"].to_numpy()
+    tb = np.append(
+        np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1]))), len(terms))
+    docs_all, contribs, must_all, excl_all = [], [], [], []
+    for s, e in zip(tb[:-1], tb[1:]):
+        t = terms[s]
+        g = decode_stream(gaps_a[s:e], codec).astype(np.int64)
+        d = np.cumsum(g) + base
+        if t in must_not:
+            excl_all.append(d)
+            continue
+        w = idfs.get(t)
+        if w is None:
+            continue
+        tf = decode_stream(tfs_a[s:e], codec).astype(np.float64)
+        dl = decode_stream(dls_a[s:e], codec).astype(np.float64)
+        docs_all.append(d)
+        contribs.append(_contrib(tf, dl, w, avgdl))
+        if t in must:
+            must_all.append(d)
+    if not docs_all:
+        return []
+    docs = np.concatenate(docs_all)
+    con = np.concatenate(contribs)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    sums = np.bincount(inv, weights=con)
+    mask = np.ones(len(uniq), dtype=bool)
+    if must:
+        mdocs = np.concatenate(must_all) if must_all else np.empty(0, np.int64)
+        # every must doc is also a scoring doc, so searchsorted hits exactly
+        cnt = np.bincount(np.searchsorted(uniq, mdocs), minlength=len(uniq))
+        mask &= cnt == len(must)
+    if excl_all:
+        excl = np.unique(np.concatenate(excl_all))
+        mask &= ~np.isin(uniq, excl, assume_unique=True)
+    if not mask.any():
+        return []
+    uniq, sums = uniq[mask], sums[mask]
+    order = np.lexsort((uniq, -sums))[:k]
+    return [(int(uniq[i]), float(sums[i])) for i in order]
+
+
+def _bool_terms(must_text: str, should_text: str, must_not_text: str):
+    must = frozenset(tokenize(must_text))
+    should = frozenset(tokenize(should_text))
+    must_not = frozenset(tokenize(must_not_text))
+    if must & must_not:
+        # a term required and forbidden at once can match nothing
+        return None
+    return must, should - must_not, must_not
+
+
+def bool_topk(
+    reader: IndexReader,
+    must: str,
+    should: str = "",
+    must_not: str = "",
+    k: int = 10,
+) -> list[tuple[int, float]]:
+    """Distributed ES ``bool`` query (Lucene BooleanQuery semantics):
+    docs matching ALL ``must`` terms and NO ``must_not`` term, scored
+    by the BM25 sum over the distinct must+should terms they contain,
+    ties broken by doc_id. One pruned block scan covers scoring AND
+    exclusion terms; the bool gate runs inside the same per-shard
+    vectorized scorer as :func:`topk`, so the driver merge still sees
+    at most shards x k rows."""
+    parsed = _bool_terms(must, should, must_not)
+    if parsed is None:
+        return []
+    mset, sset, nset = parsed
+    scoring = sorted(mset | sset)
+    if not scoring:
+        return []
+    all_terms = sorted(mset | sset | nset)
+    blocks = reader.postings_blocks(all_terms)
+    blocks.persist()
+    try:
+        dfs = {r.term: r.df for r in blocks.groupBy("term").agg(F.sum("n").alias("df")).collect()}
+        if any(not dfs.get(t) for t in mset):
+            return []  # a required term absent from the corpus matches nothing
+        N, avgdl = reader.global_stats()
+        idfs = {t: idf_fn(N, dfs[t]) for t in scoring if dfs.get(t)}
+        shard_size = reader.cfg.shard_size
+        codec = reader.codec
+
+        def _per_shard(key, pdf):
+            res = _score_shard_bool(
+                pdf, idfs, avgdl, k, base=int(key[0]) * shard_size,
+                must=mset, must_not=nset, codec=codec)
+            return pd.DataFrame({"doc_id": [d for d, _ in res], "score": [s for _, s in res]})
+
+        per_shard = blocks.groupBy("shard").applyInPandas(_per_shard, schema="doc_id long, score double")
+        pairs = [(r.doc_id, r.score) for r in per_shard.collect()]
+    finally:
+        blocks.unpersist()
+    return _topk_merge(pairs, k)
+
+
+def bool_topk_local(
+    reader: IndexReader,
+    must: str,
+    should: str = "",
+    must_not: str = "",
+    k: int = 10,
+) -> list[tuple[int, float]]:
+    """Driver-local twin of :func:`bool_topk` (pyarrow pruned read,
+    no Spark job) — the serving path for interactive bool queries."""
+    parsed = _bool_terms(must, should, must_not)
+    if parsed is None:
+        return []
+    mset, sset, nset = parsed
+    scoring = sorted(mset | sset)
+    if not scoring:
+        return []
+    pdf = reader.postings_blocks_local(sorted(mset | sset | nset))
+    pdf = pdf[pdf["block_id"] >= 0]
+    if pdf.empty:
+        return []
+    dfs = pdf.groupby("term", sort=False)["n"].sum().to_dict()
+    if any(not dfs.get(t) for t in mset):
+        return []
+    N, avgdl = reader.global_stats()
+    idfs = {t: idf_fn(N, int(dfs[t])) for t in scoring if dfs.get(t)}
+    pairs: list[tuple[int, float]] = []
+    for shard, g in pdf.groupby("shard", sort=False):
+        pairs += _score_shard_bool(
+            g, idfs, avgdl, k, base=int(shard) * reader.cfg.shard_size,
+            must=mset, must_not=nset, codec=reader.codec)
+    return _topk_merge(pairs, k)
