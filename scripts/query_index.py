@@ -7,6 +7,11 @@
 or a TSV batch: --queries q.tsv (query_id<TAB>query_text).
 --batched serves the whole TSV through ONE pruned scan (topk_many)
 instead of one job per query.
+
+ES bool queries (must/should/must_not, Lucene BooleanQuery scoring):
+
+    ... query_index.py --index /data/index_db \
+        --must "web ranking" [--should "fast"] [--must-not "spam"]
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from logsentinelai_spark.index.query import (  # noqa: E402
-    topk, topk_local, topk_many, topk_many_local,
+    bool_topk, bool_topk_local, topk, topk_local, topk_many, topk_many_local,
 )
 from logsentinelai_spark.index.reader import IndexReader  # noqa: E402
 from logsentinelai_spark.session import get_spark  # noqa: E402
@@ -31,6 +36,11 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query")
     ap.add_argument("--queries", help="TSV file: query_id\\tquery_text")
+    ap.add_argument("--must", help="bool query: every term required")
+    ap.add_argument("--should", default="",
+                    help="bool query: optional terms, lift ranking only")
+    ap.add_argument("--must-not", default="", dest="must_not",
+                    help="bool query: docs with any of these are excluded")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["auto", "wand", "acc"], default="auto")
     ap.add_argument("--local", action="store_true",
@@ -43,6 +53,16 @@ def main() -> None:
 
     spark = get_spark("query_index", cpus=args.cpus)
     reader = IndexReader(spark, args.index)
+    if args.must or args.must_not:
+        fn = bool_topk_local if args.local else bool_topk
+        t0 = time.monotonic()
+        res = fn(reader, args.must or "", args.should, args.must_not, k=args.k)
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "bool": {"must": args.must or "", "should": args.should,
+                     "must_not": args.must_not},
+            "ms": round(ms, 1), "hits": [list(r) for r in res]}))
+        return
     batch = []
     if args.query:
         batch.append(("q1", args.query))
