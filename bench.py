@@ -246,13 +246,18 @@ def main() -> None:
                     # genuine regression (or improvement)
                     t0 = time.monotonic()
                     entry_queries.QUERIES[name](spark, SF_DIR).collect()
-                    qruns[name].append(round(time.monotonic() - t0, 3))
-                    best = min(qruns[name])
-                    qtimes[name] = best
+                    run3 = round(time.monotonic() - t0, 3)
+                    best = min(qruns[name] + [run3])
+                    # headline qtimes stays the UNIFORM 2-run min for
+                    # every query (round-5 ADVICE: asymmetric sampling
+                    # depth would bias flagged queries toward 'noise'
+                    # and skew next round's prev baseline); the third
+                    # run informs only the verdict inside this record
                     still = (abs(best - p) >= 0.15
                              and abs(best - p) / p >= 0.15)
                     delta[name] = {
-                        "prev": p, "now": best, "runs": qruns[name],
+                        "prev": p, "now": best, "headline": qtimes[name],
+                        "runs": qruns[name] + [run3],
                         "pct": round(100.0 * (best - p) / p, 1),
                         "verdict": ("regression" if still and best > p
                                     else "improvement" if still

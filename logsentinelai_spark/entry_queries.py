@@ -257,12 +257,18 @@ _IDX_CACHE: dict[tuple, str] = {}
 
 
 def _documents_fingerprint(sf_dir: str) -> tuple:
-    """Invalidate the session index cache if the fixture file changes
-    (same discipline as similarity._emb_fingerprint)."""
+    """Invalidate the session index cache if the fixture changes (same
+    discipline as similarity._emb_fingerprint): a Spark-written fixture
+    is a DIRECTORY whose own stat does not track content, so fingerprint
+    the sorted (name, mtime_ns, size) of its *.parquet parts."""
     import os
+    from pathlib import Path
 
-    st = os.stat(f"{sf_dir}/documents.parquet")
-    return (st.st_mtime_ns, st.st_size)
+    p = Path(sf_dir) / "documents.parquet"
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    return tuple(
+        (str(f), os.stat(f).st_mtime_ns, os.stat(f).st_size) for f in files
+    )
 
 
 def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:

@@ -89,7 +89,7 @@ from .codec import (
     encode_blocks_grouped, encode_pos_blocks, gather_entry_slices, vb_decode,
 )
 from .docids import doc_map_df, read_doc_map_meta, wave_url_bounds, write_doc_map
-from .lineage import StageTimer, commit_wave, committed_waves
+from .lineage import StageTimer, commit_wave, committed_waves, resolve_index_dir
 
 
 @dataclass
@@ -209,6 +209,10 @@ def _bucket_np(terms: np.ndarray, n_buckets: int) -> np.ndarray:
 # if each worker copied and re-sorted the map). The cache below holds
 # the mmap'd views; workers process one wave at a time.
 _IDMAP_CACHE: dict = {}
+
+# positional packing bound shared with index/query.py (span_near packs
+# (doc << 32) | pos into one int64); enforced at encode time in stage 1
+_POS_LIMIT = 1 << 32
 
 
 def _load_idmap(idmap_dir: str):
@@ -540,6 +544,14 @@ def stage1_partial_runs(
                 off_doc = np.cumsum(lens) - lens
                 pos_in_doc = (np.arange(doc_local.size, dtype=np.int64)
                               - off_doc[doc_local])
+                # enforce the span_near packing invariant WHERE the
+                # positions are created (query.py packs doc<<32|pos):
+                # a >=2^32-token document would corrupt proximity keys
+                if lens.size and int(lens.max()) >= _POS_LIMIT:
+                    raise ValueError(
+                        f"document with {int(lens.max())} tokens exceeds "
+                        f"the positional packing limit 2^32 "
+                        f"(index/query.py span_near_local _POS_SHIFT)")
                 perm = np.argsort(key, kind="stable")
                 ks = key[perm]
                 pos_sorted = pos_in_doc[perm]
@@ -902,7 +914,10 @@ def build_index(
     if cfg.codec not in CODECS:
         raise ValueError(f"unknown codec {cfg.codec!r}; expected one of {CODECS}")
     _resolve_transport(spark, cfg)  # fail fast on a bad transport/fs combo
-    out = Path(index_dir)
+    # a compacted index lives in its committed generation dir — build
+    # (resume) and extend both operate there (compact.compact_index)
+    out = resolve_index_dir(index_dir)
+    index_dir = str(out)
     out.mkdir(parents=True, exist_ok=True)
     meta_path = out / "_meta.json"
 
@@ -917,7 +932,10 @@ def build_index(
         # committed waves pin the segment codec and position layout;
         # a resume must not mix
         cfg.codec = meta.get("codec", "varbyte")
-        cfg.positions = bool(meta.get("positions", cfg.positions))
+        # legacy (pre-positions) index => resume WITHOUT positions,
+        # matching extend_index: new waves must not add a column
+        # committed waves lack
+        cfg.positions = bool(meta.get("positions", False))
         meta.setdefault("epochs", [{"doc_lo": 0, "doc_hi": meta["n_docs"], "dir": "doc_map"}])
         meta.setdefault("id_hw", meta["n_docs"])
     else:
@@ -951,7 +969,8 @@ def extend_index(spark: SparkSession, pages_df: DataFrame, index_dir: str) -> di
     committed, new waves cover only the new id range, and N / avgdl /
     df at query time already aggregate across all committed waves.
     """
-    out = Path(index_dir)
+    out = resolve_index_dir(index_dir)
+    index_dir = str(out)
     meta = json.loads((out / "_meta.json").read_text())
     cfg = IndexConfig(**{k: meta[k] for k in (
         "shard_size", "n_buckets", "block_size", "wave_shards", "use_text_col")})
@@ -980,16 +999,26 @@ def extend_index(spark: SparkSession, pages_df: DataFrame, index_dir: str) -> di
                 new_docs=dm_meta["n_docs"])
 
 
-def _enumerate_waves(cfg: IndexConfig, epochs: list[dict]) -> list[tuple[int, int, int, int]]:
+def _enumerate_waves(cfg: IndexConfig, epochs: list[dict],
+                     compacted_through: int = 0,
+                     wave_base: int = 0) -> list[tuple[int, int, int, int]]:
     """[(wave_idx, doc_lo, doc_hi, epoch_idx)] — each epoch split into
     wave_docs chunks; boundaries stay shard-aligned because epoch
-    doc_lo is shard-aligned and wave_docs is a shard multiple."""
+    doc_lo is shard-aligned and wave_docs is a shard multiple.
+
+    A compacted generation (compact.compact_index) covers every doc id
+    below ``compacted_through`` with its single committed wave, so
+    those epoch ranges are not re-enumerated; fresh waves (epochs
+    appended by extend_index after the compaction) number from
+    ``wave_base`` to stay clear of the compact wave's number."""
     waves = []
     for ei, ep in enumerate(epochs):
-        lo = ep["doc_lo"]
+        if ep["doc_hi"] <= compacted_through:
+            continue  # fully inside the compacted generation's wave
+        lo = max(ep["doc_lo"], compacted_through)
         while lo < ep["doc_hi"]:
             hi = min(lo + cfg.wave_docs, ep["doc_hi"])
-            waves.append((len(waves), lo, hi, ei))
+            waves.append((wave_base + len(waves), lo, hi, ei))
             lo = hi
     return waves
 
@@ -997,8 +1026,13 @@ def _enumerate_waves(cfg: IndexConfig, epochs: list[dict]) -> list[tuple[int, in
 def _run_waves(spark, pages_df, index_dir, cfg: IndexConfig, meta: dict, fail_after_wave):
     out = Path(index_dir)
     epochs = meta["epochs"]
-    ep_metas = {ep["dir"]: read_doc_map_meta(str(out / ep["dir"])) for ep in epochs}
-    waves = _enumerate_waves(cfg, epochs)
+    compacted_through = int(meta.get("compacted_through", 0))
+    ep_metas = {
+        ep["dir"]: read_doc_map_meta(str(out / ep["dir"]))
+        for ep in epochs if ep["doc_hi"] > compacted_through
+    }
+    waves = _enumerate_waves(cfg, epochs, compacted_through,
+                             int(meta.get("wave_base", 0)))
     done = committed_waves(index_dir)
     summary = {"n_docs": meta["n_docs"], "n_waves": len(waves),
                "skipped_waves": sorted(done), "built_waves": []}

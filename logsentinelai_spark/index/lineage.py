@@ -72,3 +72,21 @@ class StageTimer:
                 timer.stages[name] = round(time.monotonic() - self.t0, 3)
 
         return _Ctx()
+
+
+def resolve_index_dir(index_dir: str) -> Path:
+    """Follow the ``_generation.json`` pointer written by
+    compact.compact_index: when present, the CURRENT generation's
+    subdirectory is the live index (readers, extends, deletes all
+    operate there); otherwise the root is. One level only — a
+    generation dir never contains another pointer (compact always
+    writes siblings at the root)."""
+    root = Path(index_dir)
+    p = root / "_generation.json"
+    if p.exists():
+        try:
+            g = json.loads(p.read_text())
+        except json.JSONDecodeError:
+            return root  # torn pointer write = previous generation (root)
+        return root / g["dir"]
+    return root

@@ -29,9 +29,21 @@ from pyspark.sql import functions as F
 from ..functions.tokenizer import tokens as tokenize
 from .bm25 import B, K1, idf as idf_fn
 from .codec import block_upper_bound, decode_single_block, decode_stream
+from .deletes import shard_slice
 from .reader import IndexReader
 
 _UB_MARGIN = 1.0 + 1e-12  # float-safety margin on upper bounds
+
+
+def _mask_deleted(uniq: np.ndarray, sums: np.ndarray, excl):
+    """Drop tombstoned docs from a scored (uniq docs, sums) pair —
+    one sorted-membership probe (deletes.py; same shape as the bool
+    query's must_not exclusion). excl is the shard's tombstone slice
+    (global ids) or None."""
+    if excl is None or not len(uniq):
+        return uniq, sums
+    m = ~np.isin(uniq, excl, assume_unique=True)
+    return uniq[m], sums[m]
 
 
 def _contrib(tfs: np.ndarray, dls: np.ndarray, w: float, avgdl: float) -> np.ndarray:
@@ -44,11 +56,12 @@ def _topk_merge(pairs: list[tuple[int, float]], k: int) -> list[tuple[int, float
 
 # ----------------------------------------------------------------- shard scorers
 
-def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int, codec: str = "varbyte"):
+def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int, codec: str = "varbyte", excl=None):
     """Whole-run decode per term (one decode_stream over the term's
     blobs — block gap streams chain within a term's segment; varbyte
     decodes the concatenation in one pass, packed batches same-width
-    blocks)."""
+    blocks). ``excl``: the shard's tombstone slice, masked before
+    top-k selection."""
     pdf = pdf.sort_values(["term", "block_id"], kind="mergesort", ignore_index=True)
     terms = pdf["term"].to_numpy()
     gaps_a = pdf["gaps_vb"].to_numpy()
@@ -71,6 +84,7 @@ def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k:
     con = np.concatenate(contribs)
     uniq, inv = np.unique(docs, return_inverse=True)
     sums = np.bincount(inv, weights=con)
+    uniq, sums = _mask_deleted(uniq, sums, excl)
     order = np.lexsort((uniq, -sums))[:k]
     return [(int(uniq[i]), float(sums[i])) for i in order]
 
@@ -181,7 +195,7 @@ class _TopK:
         return sorted(self.items, key=lambda p: (-p[1], p[0]))[: self.k]
 
 
-def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int = 0, codec: str = "varbyte"):
+def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int = 0, codec: str = "varbyte", excl=None):
     """Windowed block-max WAND: classic WAND pivoting (term-UB prefix
     sums over cur-sorted cursors) + block-max pruning, but instead of
     scoring one pivot doc per iteration, every surviving iteration
@@ -203,6 +217,13 @@ def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k
     # before the heap fills. One vectorized pass over one term's run.
     theta_floor = -1.0
     seed = max(cursors, key=lambda c: c.term_ub, default=None)
+    # with tombstones the warm-start is skipped: the seed's k-th best
+    # single-term contribution could come from deleted docs, making the
+    # floor exceed the true k-th live score — an UNSOUND prune. Deletes
+    # are transient (compaction clears them), so the lost warm-start is
+    # the cheap, always-correct choice.
+    if excl is not None:
+        seed = None
     if seed is not None and sum(r.n for r in seed.rows) >= k:
         tfs = decode_stream([r.tfs_vb for r in seed.rows], codec).astype(np.float64)
         dls = decode_stream([r.dls_vb for r in seed.rows], codec).astype(np.float64)
@@ -244,7 +265,9 @@ def _score_shard_wand(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k
             docs = np.concatenate([p[0] for p in parts])
             con = np.concatenate([p[1] for p in parts])
             uniq, inv = np.unique(docs, return_inverse=True)
-            heap.push_many(uniq, np.bincount(inv, weights=con))
+            uniq, sums = _mask_deleted(
+                uniq, np.bincount(inv, weights=con), excl)
+            heap.push_many(uniq, sums)
         # advance every window cursor past the (scored or pruned) window
         for c in prefix:
             c.seek(w_hi + 1)
@@ -304,7 +327,21 @@ def topk(
     total > ~450x the non-longest lists — where skipping whole blocks
     beats exhaustive decode by 3-6x), the vectorized accumulator
     everywhere else (dense terms: acc wins at any size)."""
-    qterms = sorted(set(tokenize(query_text)))
+    return topk_terms(reader, sorted(set(tokenize(query_text))), k, mode,
+                      with_urls)
+
+
+def topk_terms(
+    reader: IndexReader,
+    qterms: list[str],
+    k: int = 10,
+    mode: str = "auto",
+    with_urls: bool = False,
+) -> list[tuple]:
+    """:func:`topk` over an explicit term list — the disjunctive
+    scoring core shared by plain text queries and dictionary-expanded
+    prefix queries (termdict.prefix_topk)."""
+    qterms = sorted(set(qterms))
     if not qterms:
         return []
     # ONE pruned block scan, cached: df(t) aggregation + scoring both
@@ -321,9 +358,12 @@ def topk(
         score_fn = _pick_scorer(mode, (dfs[t] for t in qterms))
         shard_size = reader.cfg.shard_size
         codec = reader.codec
+        dels = reader.deletes()
 
         def _per_shard(key, pdf):
-            res = score_fn(pdf, idfs, avgdl, k, base=int(key[0]) * shard_size, codec=codec)
+            base = int(key[0]) * shard_size
+            res = score_fn(pdf, idfs, avgdl, k, base=base, codec=codec,
+                           excl=shard_slice(dels, base, shard_size))
             return pd.DataFrame({"doc_id": [d for d, _ in res], "score": [s for _, s in res]})
 
         per_shard = blocks.groupBy("shard").applyInPandas(_per_shard, schema="doc_id long, score double")
@@ -345,6 +385,7 @@ def _score_shard_acc_many(
     k: int,
     base: int,
     codec: str = "varbyte",
+    excl=None,
 ):
     """Batched accumulate scorer: decode every query term's postings
     ONCE per shard, then score all queries against the shared decoded
@@ -377,6 +418,7 @@ def _score_shard_acc_many(
         con = np.concatenate([p[1] for p in parts])
         uniq, inv = np.unique(docs, return_inverse=True)
         sums = np.bincount(inv, weights=con)
+        uniq, sums = _mask_deleted(uniq, sums, excl)
         order = np.lexsort((uniq, -sums))[:k]
         out += [(qi, int(uniq[i]), float(sums[i])) for i in order]
     return out
@@ -413,11 +455,14 @@ def topk_many(
         idfs = {t: idf_fn(N, dfs[t]) for t in all_terms if dfs.get(t)}
         shard_size = reader.cfg.shard_size
         codec = reader.codec
+        dels = reader.deletes()
 
         def _per_shard(key, pdf):
+            base = int(key[0]) * shard_size
             rows = _score_shard_acc_many(
                 pdf, qterms_list, idfs, avgdl, k,
-                base=int(key[0]) * shard_size, codec=codec)
+                base=base, codec=codec,
+                excl=shard_slice(dels, base, shard_size))
             return pd.DataFrame(
                 {"query_id": [q for q, _, _ in rows],
                  "doc_id": [d for _, d, _ in rows],
@@ -457,10 +502,13 @@ def topk_many_local(
     N, avgdl = reader.global_stats()
     idfs = {t: idf_fn(N, int(df)) for t, df in dfs.items() if df}
     by_q: dict[int, list[tuple[int, float]]] = {}
+    dels = reader.deletes()
     for shard, g in pdf.groupby("shard", sort=False):
+        base = int(shard) * reader.cfg.shard_size
         for qi, d, s in _score_shard_acc_many(
             g, qterms_list, idfs, avgdl, k,
-            base=int(shard) * reader.cfg.shard_size, codec=reader.codec
+            base=base, codec=reader.codec,
+            excl=shard_slice(dels, base, reader.cfg.shard_size),
         ):
             by_q.setdefault(qi, []).append((d, s))
     return [_topk_merge(by_q.get(qi, []), k) for qi in range(len(query_texts))]
@@ -479,7 +527,19 @@ def topk_local(
     per-query latency is file-read-bound (ms) instead of
     job-scheduling-bound. This is the query-serving path; the Spark
     path remains for batch query workloads over huge indexes."""
-    qterms = sorted(set(tokenize(query_text)))
+    return topk_local_terms(reader, sorted(set(tokenize(query_text))), k,
+                            mode, with_urls)
+
+
+def topk_local_terms(
+    reader: IndexReader,
+    qterms: list[str],
+    k: int = 10,
+    mode: str = "auto",
+    with_urls: bool = False,
+) -> list[tuple]:
+    """:func:`topk_local` over an explicit term list (see topk_terms)."""
+    qterms = sorted(set(qterms))
     if not qterms:
         return []
     pdf = reader.postings_blocks_local(qterms)
@@ -491,10 +551,11 @@ def topk_local(
     idfs = {t: idf_fn(N, int(df)) for t, df in dfs.items() if df}
     score_fn = _pick_scorer(mode, (int(v) for v in dfs.values()))
     pairs: list[tuple[int, float]] = []
+    dels = reader.deletes()
     for shard, g in pdf.groupby("shard", sort=False):
-        pairs += score_fn(g, idfs, avgdl, k,
-                          base=int(shard) * reader.cfg.shard_size,
-                          codec=reader.codec)
+        base = int(shard) * reader.cfg.shard_size
+        pairs += score_fn(g, idfs, avgdl, k, base=base, codec=reader.codec,
+                          excl=shard_slice(dels, base, reader.cfg.shard_size))
     top = _topk_merge(pairs, k)
     if with_urls:
         urls = reader.doc_urls_local([d for d, _ in top])
@@ -598,9 +659,11 @@ def phrase_match_local(
     if pdf.empty:
         return out
     shard_size = reader.cfg.shard_size
+    dels = reader.deletes()
     for shard, g in pdf.groupby("shard", sort=False):
         decoded = _decode_term_positions(g, reader.codec)
         base = int(shard) * shard_size
+        excl = shard_slice(dels, base, shard_size)
         for pi, pterms in enumerate(phrase_terms_list):
             if not pterms:
                 continue
@@ -608,6 +671,12 @@ def phrase_match_local(
             if hits is None:
                 continue
             udoc, ptf, dl = hits
+            if excl is not None:
+                # tombstone mask on the (global) candidate ids; the
+                # phrase pseudo-term df downstream therefore counts
+                # only live matches (both phrase paths agree)
+                m = ~np.isin(udoc + base, excl, assume_unique=True)
+                udoc, ptf, dl = udoc[m], ptf[m], dl[m]
             out[pi] += [
                 (int(d) + base, int(c), int(l))
                 for d, c, l in zip(udoc, ptf, dl)
@@ -663,6 +732,7 @@ def phrase_topk(
     blocks = reader.postings_blocks(sorted(set(pterms)), with_positions=True)
     shard_size = reader.cfg.shard_size
     codec = reader.codec
+    dels = reader.deletes()
 
     def _per_shard(key, pdf):
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
@@ -675,8 +745,13 @@ def phrase_topk(
         if hits is None:
             return empty
         udoc, ptf, dl = hits
-        return pd.DataFrame({"doc_id": udoc + int(key[0]) * shard_size,
-                             "ptf": ptf, "dl": dl})
+        base = int(key[0]) * shard_size
+        gdoc = udoc + base
+        excl = shard_slice(dels, base, shard_size)
+        if excl is not None:
+            m = ~np.isin(gdoc, excl, assume_unique=True)
+            gdoc, ptf, dl = gdoc[m], ptf[m], dl[m]
+        return pd.DataFrame({"doc_id": gdoc, "ptf": ptf, "dl": dl})
 
     cands = blocks.groupBy("shard").applyInPandas(
         _per_shard, schema="doc_id long, ptf long, dl long")
@@ -734,9 +809,11 @@ def span_near_local(
     if pdf.empty:
         return out
     shard_size = reader.cfg.shard_size
+    dels = reader.deletes()
     for shard, g in pdf.groupby("shard", sort=False):
         decoded = _decode_term_positions(g, reader.codec)
         base = int(shard) * shard_size
+        excl = shard_slice(dels, base, shard_size)
         for pi, (ta, tb, w) in enumerate(pairs):
             da, db = decoded.get(ta), decoded.get(tb)
             if da is None or db is None:
@@ -753,8 +830,12 @@ def span_near_local(
                 continue
             udoc, inv = np.unique(rep_a[m], return_inverse=True)
             npairs = np.bincount(inv, weights=counts[m]).astype(np.int64)
+            gdoc = udoc + base
+            if excl is not None:
+                keep = ~np.isin(gdoc, excl, assume_unique=True)
+                gdoc, npairs = gdoc[keep], npairs[keep]
             out[pi] += [
-                (int(d) + base, int(c)) for d, c in zip(udoc, npairs)
+                (int(d), int(c)) for d, c in zip(gdoc, npairs)
             ]
     return out
 
@@ -770,6 +851,7 @@ def _score_shard_bool(
     must: frozenset,
     must_not: frozenset,
     codec: str = "varbyte",
+    excl=None,
 ):
     """Accumulator scorer with ES ``bool`` gating. ``idfs`` holds the
     SCORING terms (must + should); ``must_not`` terms appear in the
@@ -791,7 +873,9 @@ def _score_shard_bool(
     dls_a = pdf["dls_vb"].to_numpy()
     tb = np.append(
         np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1]))), len(terms))
-    docs_all, contribs, must_all, excl_all = [], [], [], []
+    docs_all, contribs, must_all = [], [], []
+    # tombstones join the must_not exclusion stream — one shared probe
+    excl_all = [] if excl is None else [np.asarray(excl, dtype=np.int64)]
     for s, e in zip(tb[:-1], tb[1:]):
         t = terms[s]
         g = decode_stream(gaps_a[s:e], codec).astype(np.int64)
@@ -872,11 +956,14 @@ def bool_topk(
         idfs = {t: idf_fn(N, dfs[t]) for t in scoring if dfs.get(t)}
         shard_size = reader.cfg.shard_size
         codec = reader.codec
+        dels = reader.deletes()
 
         def _per_shard(key, pdf):
+            base = int(key[0]) * shard_size
             res = _score_shard_bool(
-                pdf, idfs, avgdl, k, base=int(key[0]) * shard_size,
-                must=mset, must_not=nset, codec=codec)
+                pdf, idfs, avgdl, k, base=base,
+                must=mset, must_not=nset, codec=codec,
+                excl=shard_slice(dels, base, shard_size))
             return pd.DataFrame({"doc_id": [d for d, _ in res], "score": [s for _, s in res]})
 
         per_shard = blocks.groupBy("shard").applyInPandas(_per_shard, schema="doc_id long, score double")
@@ -884,6 +971,90 @@ def bool_topk(
     finally:
         blocks.unpersist()
     return _topk_merge(pairs, k)
+
+
+def _match_shard_bool(pdf: pd.DataFrame, must: frozenset, should: frozenset,
+                      must_not: frozenset, base: int, codec: str, excl):
+    """Filter-context bool matching for one shard: doc ids carrying
+    every must term (or, with no must, any should term) and no
+    must_not term — NO scores, NO top-k truncation, and only the gap
+    streams decode (tf/dl are never touched, the cheapest possible
+    pass over the blocks). Returns a sorted np.int64 array of global
+    doc ids."""
+    empty = np.empty(0, dtype=np.int64)
+    pdf = pdf.sort_values(["term", "block_id"], kind="mergesort",
+                          ignore_index=True)
+    terms = pdf["term"].to_numpy()
+    gaps_a = pdf["gaps_vb"].to_numpy()
+    tb = np.append(np.flatnonzero(
+        np.concatenate(([True], terms[1:] != terms[:-1]))), len(terms))
+    must_parts, should_parts, excl_parts = [], [], []
+    for s, e in zip(tb[:-1], tb[1:]):
+        t = terms[s]
+        d = np.cumsum(
+            decode_stream(gaps_a[s:e], codec).astype(np.int64)) + base
+        if t in must_not:
+            excl_parts.append(d)
+        elif t in must:
+            must_parts.append(d)
+        elif not must and t in should:
+            should_parts.append(d)
+    if must:
+        if len(must_parts) < len(must):
+            return empty  # a required term absent from this shard
+        uniq, cnt = np.unique(np.concatenate(must_parts), return_counts=True)
+        matched = uniq[cnt == len(must)]
+    else:
+        if not should_parts:
+            return empty
+        matched = np.unique(np.concatenate(should_parts))
+    if excl_parts:
+        bad = np.unique(np.concatenate(excl_parts))
+        matched = matched[~np.isin(matched, bad, assume_unique=True)]
+    if excl is not None and matched.size:
+        matched = matched[~np.isin(matched, excl, assume_unique=True)]
+    return matched
+
+
+def bool_match_ids(
+    reader: IndexReader,
+    must: str,
+    should: str = "",
+    must_not: str = "",
+):
+    """Distributed bool MATCH SET — the ``query`` half of an ES
+    ``_search`` body with ``aggs`` (every Kibana panel): ALL doc ids
+    matching the bool filter, as a DataFrame[doc_id] that downstream
+    aggregations join against. Unlike :func:`bool_topk` there is no
+    top-k and no scoring — filter-context semantics (ES skips scoring
+    there too), so only the gap streams decode.
+
+    Scale shape: the match set never concentrates on the driver — it
+    flows task-to-task into the aggregation join (AQE converts that
+    join to broadcast at runtime when the match set turns out small,
+    the common dashboard-filter case)."""
+    spark = reader.spark
+    schema = "doc_id long"
+    parsed = _bool_terms(must, should, must_not)
+    if parsed is None:
+        return spark.createDataFrame([], schema)
+    mset, sset, nset = parsed
+    match_terms = sorted(mset) if mset else sorted(sset)
+    if not match_terms:
+        return spark.createDataFrame([], schema)
+    blocks = reader.postings_blocks(sorted(set(match_terms) | nset))
+    shard_size = reader.cfg.shard_size
+    codec = reader.codec
+    dels = reader.deletes()
+
+    def _per_shard(key, pdf):
+        base = int(key[0]) * shard_size
+        matched = _match_shard_bool(
+            pdf[pdf["block_id"] >= 0], mset, sset, nset, base, codec,
+            shard_slice(dels, base, shard_size))
+        return pd.DataFrame({"doc_id": matched})
+
+    return blocks.groupBy("shard").applyInPandas(_per_shard, schema=schema)
 
 
 def bool_topk_local(
@@ -912,8 +1083,11 @@ def bool_topk_local(
     N, avgdl = reader.global_stats()
     idfs = {t: idf_fn(N, int(dfs[t])) for t in scoring if dfs.get(t)}
     pairs: list[tuple[int, float]] = []
+    dels = reader.deletes()
     for shard, g in pdf.groupby("shard", sort=False):
+        base = int(shard) * reader.cfg.shard_size
         pairs += _score_shard_bool(
-            g, idfs, avgdl, k, base=int(shard) * reader.cfg.shard_size,
-            must=mset, must_not=nset, codec=reader.codec)
+            g, idfs, avgdl, k, base=base,
+            must=mset, must_not=nset, codec=reader.codec,
+            excl=shard_slice(dels, base, reader.cfg.shard_size))
     return _topk_merge(pairs, k)

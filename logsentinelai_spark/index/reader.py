@@ -19,13 +19,14 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .build import IndexConfig, term_bucket_py
-from .lineage import committed_waves
+from .lineage import committed_waves, resolve_index_dir
 
 
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
-        self.dir = Path(index_dir)
+        # a compacted index serves from its committed generation dir
+        self.dir = resolve_index_dir(index_dir)
         self.meta = json.loads((self.dir / "_meta.json").read_text())
         self.cfg = IndexConfig(**{k: self.meta[k] for k in (
             "shard_size", "n_buckets", "block_size",
@@ -34,9 +35,20 @@ class IndexReader:
         self.codec = self.meta.get("codec", "varbyte")
         # positional payloads present? (phrase queries require them)
         self.positions = bool(self.meta.get("positions", False))
-        self.waves = committed_waves(index_dir)
+        self.waves = committed_waves(str(self.dir))
         if not self.waves:
-            raise FileNotFoundError(f"no committed waves in {index_dir}")
+            raise FileNotFoundError(f"no committed waves in {self.dir}")
+
+    # ---- tombstones (deletes.py): loaded once per reader, honored by
+    # every scorer. Stats below deliberately KEEP counting deleted docs
+    # until compaction — Lucene's behavior for an index with deletes.
+    def deletes(self):
+        if not hasattr(self, "_dels"):
+            from .deletes import read_deletes
+
+            arr = read_deletes(self.dir)
+            self._dels = arr if arr.size else None
+        return self._dels
 
     # ---- driver-side stats (from manifests; no Spark job)
     def global_stats(self) -> tuple[int, float]:

@@ -167,10 +167,36 @@ def _sql_token_count() -> str:
     precomputed per-word expected column (bpe_merges.json "vocab") —
     the model-replay check; the pytest separately pins segment()
     against the learner, so the gate verifies the DISTRIBUTED
-    application of the frozen model."""
-    from ..functions.bpe import load_model
+    application of the frozen model.
 
-    vocab = load_model()["vocab"]
+    The VALUES table is the committed vocab EXTENDED with segment() of
+    every distinct term found in the standard gate fixtures (round-5
+    ADVICE: an inner join against the 31-word learn vocab silently
+    dropped out-of-vocab terms from the oracle while Spark segments
+    every term — the gate was only valid while the fixture vocabulary
+    stayed a subset of the learn vocab). Fixture reads are best-effort:
+    absent/unreadable dirs fall back to the committed vocab alone."""
+    from ..functions.bpe import load_model, segment
+
+    vocab = dict(load_model()["vocab"])
+    try:
+        import glob as _glob
+
+        import duckdb as _dk
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            if not _glob.glob(f"{sf}/documents.parquet*"):
+                continue
+            rows = _dk.sql(
+                "SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
+                f"'{SQL_TOKEN_PATTERN}')) AS t FROM "
+                f"read_parquet('{sf}/documents.parquet*')"
+            ).fetchall()
+            for (t,) in rows:
+                if t not in vocab:
+                    vocab[t] = len(segment(t))
+    except Exception:
+        pass
     values = ", ".join(f"('{w}', {n})" for w, n in sorted(vocab.items()))
     return f"""
 WITH tok AS (
@@ -232,11 +258,15 @@ _REGDOM_SPARK = (
 )
 
 
-def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_filter(spark: SparkSession, sf_dir: str,
+                    block_domains=None) -> DataFrame:
     """C4/CCNet-style keep/drop decision per document — the composed
     filter a training-data pipeline actually ships: exact-dup keeper
     (md5 groups, min-id wins), domain blocklist (registered domain vs
-    BLOCK_DOMAINS — the C4 blocklist lever, fed by q_domain_stats),
+    ``block_domains`` — the C4 blocklist lever; accepts a list of
+    domains or a DataFrame with a ``domain`` column, e.g. a slice of
+    q_domain_stats output; defaults to the pinned BLOCK_DOMAINS
+    fixture so the driver gate is unchanged),
     language allowlist (stored lang), token floor, quality floor, with
     the FIRST failing rule recorded as drop_reason (the drop-reason
     distribution is the pipeline's observability surface). One
@@ -245,6 +275,14 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row projection. Exact copies (+200000, doc_id%7==0) are
     injected identically in both engines so the duplicate rule is
     non-trivial."""
+    if block_domains is None:
+        block_domains = BLOCK_DOMAINS
+    if isinstance(block_domains, DataFrame):
+        # data-driven lever: collect is bounded (a blocklist is
+        # curation output — thousands of domains, not corpus-sized)
+        block_domains = [r["domain"] for r in
+                         block_domains.select("domain").distinct().collect()]
+    block_domains = list(block_domains)
     raw = _docs(spark, sf_dir)
     if "source" not in raw.columns:
         # corpora without provenance (e.g. intermediate pipeline
@@ -285,7 +323,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = base.withColumn("quality", quality)
     reason = (
         F.when(F.col("doc_id") != F.col("keeper_id"), "duplicate")
-        .when(F.col("domain").isin(BLOCK_DOMAINS), "domain_blocked")
+        .when(F.col("domain").isin(block_domains), "domain_blocked")
         .when(~F.col("lang").isin(KEEP_LANGS), "lang")
         .when(F.col("n_tokens") < MIN_TOKENS, "too_short")
         .when(F.col("quality") < MIN_QUALITY, "low_quality")
