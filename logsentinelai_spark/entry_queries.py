@@ -499,6 +499,250 @@ ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+# ------------------------------------------- search + aggs composition (ES _search query+aggs)
+
+# every Kibana panel in the reference issues ONE ES _search with BOTH a
+# query (the query bar / filter state) AND aggs — the aggregations run
+# over the query's MATCH SET, not the whole index (reference
+# INSTALL-and-USAGE.md:451-459 data view + dashboard panels). These
+# gates are that composition: a bool filter's full match set feeding a
+# date_histogram x terms aggregation.
+SEARCH_MUST = "table value"
+SEARCH_MUST_NOT = "dup"
+# the documents fixture has no timestamp column, so the histogram date
+# is synthesized deterministically from doc_id with the SAME expression
+# in both engines (precedent: URL_SYNTH_SQL, geo.IP_SYNTH_SQL)
+DAY_SYNTH_SPARK = "date_add(DATE'2025-01-01', CAST(doc_id % 90 AS INT))"
+DAY_SYNTH_DUCK = "DATE '2025-01-01' + CAST(doc_id % 90 AS INT)"
+
+
+def _search_aggs(d: DataFrame, matched: DataFrame) -> DataFrame:
+    """The aggs half: date_histogram (day) with a terms sub-agg (lang),
+    doc count + sum(n_chars) metrics — the canonical stacked-bar
+    Kibana panel, computed over the match set only."""
+    return (
+        d.join(matched, "doc_id")
+        .groupBy(F.expr(DAY_SYNTH_SPARK).alias("day"), "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def q_search_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _search composition, naive Catalyst twin: the bool filter's
+    match set (ALL matching docs — filter context, no scores, no
+    top-k) feeds the aggregations. One token pass computes the
+    must-count and must_not flag together."""
+    must = sorted(set(SEARCH_MUST.split()))
+    tok = tokenized_documents(spark, sf_dir)
+    flags = (
+        tok.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("term").isin(must), F.col("term"))).alias("n_must"),
+            F.max(F.when(F.col("term").isin(SEARCH_MUST_NOT.split()), 1)
+                  .otherwise(0)).alias("has_not"),
+        )
+    )
+    matched = flags.filter(
+        (F.col("n_must") == len(must)) & (F.col("has_not") == 0)
+    ).select("doc_id")
+    return _search_aggs(load(spark, sf_dir, "documents"), matched)
+
+
+def q_search_agg_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME composition served from the physical index
+    (index/query.py::bool_match_ids): the match set comes from a
+    bucket-pruned posting scan with filter-context matching inside the
+    per-shard vectorized kernel (gap streams only — no tf/dl decode),
+    then joins the documents scan for the aggs. The match set flows
+    task-to-task (never through the driver); AQE broadcast-converts
+    the join when the filter is selective. Gate = same DuckDB oracle
+    as the naive twin — three independent methods agree."""
+    from .index.query import bool_match_ids
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    # index doc ids are rank(url) over doc%012d urls == fixture doc_ids
+    matched = bool_match_ids(reader, SEARCH_MUST, "", SEARCH_MUST_NOT)
+    return _search_aggs(load(spark, sf_dir, "documents"), matched)
+
+
+def sql_search_agg() -> str:
+    must = sorted(set(SEARCH_MUST.split()))
+    must_in = ", ".join(f"'{t}'" for t in must)
+    not_in = ", ".join(f"'{t}'" for t in SEARCH_MUST_NOT.split())
+    return f"""
+WITH {_TOK_CTE},
+m AS (
+  SELECT doc_id FROM tok GROUP BY doc_id
+  HAVING count(DISTINCT CASE WHEN term IN ({must_in}) THEN term END) = {len(must)}
+     AND sum(CASE WHEN term IN ({not_in}) THEN 1 ELSE 0 END) = 0)
+SELECT {DAY_SYNTH_DUCK} AS day, d.lang,
+       count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN m USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- prefix query (ES prefix / autocomplete)
+
+PREFIX_Q = "s"  # expands to scan/slow/small/sort/spark/stream on the fixture
+
+
+def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``prefix`` query, naive Catalyst twin: disjunctive BM25 over
+    every vocabulary term starting with the prefix (each term scores
+    with its own idf — Lucene ``top_terms_N`` blended rewrite), pinned
+    tie-break."""
+    from .index.naive import bm25_score_expr
+
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    sc = (
+        postings.filter(F.col("term").startswith(PREFIX_Q))
+        .join(tstats, "term")
+        .join(dstats, "doc_id")
+        .crossJoin(gstats)
+        .withColumn("contrib", bm25_score_expr())
+    )
+    return (
+        sc.groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def q_prefix_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME prefix query served from the physical index: the
+    sorted term-dictionary sidecar (index/termdict.py) expands the
+    prefix with one pruned range read, then the existing disjunctive
+    scorer runs bucket-pruned on the expanded terms. Same DuckDB
+    oracle as the naive twin."""
+    from .index.reader import IndexReader
+    from .index.termdict import ensure_term_dict, prefix_topk_local
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    ensure_term_dict(spark, reader)
+    res = prefix_topk_local(reader, PREFIX_Q, k=10)
+    urls = reader.doc_urls_local([d for d, _ in res])
+    rows = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
+    schema = "doc_id long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_prefix_topk() -> str:
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term LIKE '{PREFIX_Q}%'
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+# --------------------------------------------- multi_match (BM25F-lite, ES most_fields)
+
+# field split: title = first 8 tokens, body = rest — deterministic in
+# both engines (the fixture text is single-line, so a literal
+# first-line split would be the whole doc). ES most_fields scoring:
+# per-field BM25 with per-field (df, dl, avgdl), weighted sum.
+MM_QUERY = "data merge"
+MM_TITLE_LEN = 8
+MM_W_TITLE = 2.0
+MM_W_BODY = 1.0
+
+
+def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match`` (most_fields) analog: title^2 + body, each
+    field scored as its own BM25 (field-local df/dl/avgdl, global N),
+    summed with field weights — Lucene's per-field scoring composed
+    exactly. One token pass feeds both fields via stack()."""
+    qterms = sorted(set(MM_QUERY.split()))
+    tok = tokenized_documents(spark, sf_dir)
+    fields = tok.select(
+        "doc_id",
+        F.expr(
+            f"stack(2, 'title', slice(tokens, 1, {MM_TITLE_LEN}), "
+            f"'body', slice(tokens, {MM_TITLE_LEN + 1}, "
+            f"greatest(size(tokens) - {MM_TITLE_LEN}, 0)))"
+        ).alias("field", "ftoks"),
+    )
+    long = fields.select("doc_id", "field", F.explode("ftoks").alias("term"))
+    dls = fields.select(
+        "doc_id", "field", F.size("ftoks").cast("long").alias("dl"))
+    n_docs = tok.select(F.count("*").alias("n_docs"))
+    avgdls = dls.groupBy("field").agg(F.avg("dl").alias("avgdl"))
+    tf = (long.filter(F.col("term").isin(qterms))
+          .groupBy("doc_id", "field", "term").agg(F.count("*").alias("tf")))
+    dfs = (long.filter(F.col("term").isin(qterms))
+           .select("doc_id", "field", "term").distinct()
+           .groupBy("field", "term").agg(F.count("*").alias("df")))
+    w = F.when(F.col("field") == "title", MM_W_TITLE).otherwise(MM_W_BODY)
+    contrib = (
+        w
+        * F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf")
+        / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dfs, ["field", "term"])
+        .join(dls, ["doc_id", "field"])
+        .join(F.broadcast(avgdls), "field")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("contrib", contrib)
+    )
+    return (
+        scored.groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def sql_multi_match() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in sorted(set(MM_QUERY.split())))
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS toks
+  FROM documents),
+fields AS (
+  SELECT doc_id, 'title' AS field, toks[1:{MM_TITLE_LEN}] AS ftoks FROM base
+  UNION ALL
+  SELECT doc_id, 'body', toks[{MM_TITLE_LEN + 1}:] FROM base),
+long AS (SELECT doc_id, field, unnest(ftoks) AS term FROM fields),
+dl AS (SELECT doc_id, field, len(ftoks) AS dl FROM fields),
+g AS (SELECT count(*) AS n_docs FROM base),
+av AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY 1),
+tf AS (SELECT doc_id, field, term, count(*) AS tf FROM long
+       WHERE term IN ({terms_in}) GROUP BY 1, 2, 3),
+dfs AS (SELECT field, term, count(DISTINCT doc_id) AS df FROM long
+        WHERE term IN ({terms_in}) GROUP BY 1, 2),
+scored AS (
+  SELECT tf.doc_id,
+         sum( (CASE WHEN tf.field = 'title' THEN {MM_W_TITLE} ELSE {MM_W_BODY} END)
+              * ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / av.avgdl)) ) AS s
+  FROM tf JOIN dfs USING (field, term) JOIN dl USING (doc_id, field)
+  JOIN av USING (field) CROSS JOIN g
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- dashboard analogs (SURVEY §2.8)
 
 def q_events_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,6 +861,11 @@ QUERIES = {
     "span_near": q_span_near,
     "bool_topk": q_bool_topk,
     "bool_topk_idx": q_bool_topk_idx,
+    "search_agg": q_search_agg,
+    "search_agg_idx": q_search_agg_idx,
+    "prefix_topk": q_prefix_topk,
+    "prefix_topk_idx": q_prefix_topk_idx,
+    "multi_match": q_multi_match,
     # dashboard analogs (SURVEY §2.8 Q1-Q6)
     "events_terms": q_events_terms_topk,
     "events_date_histogram": q_events_date_histogram,
@@ -677,6 +926,12 @@ ORACLES = {
     # index-served path must reproduce the naive bool result exactly —
     # same oracle, independent third method
     "bool_topk_idx": sql_bool_topk(),
+    "search_agg": sql_search_agg(),
+    # index-served match set, same oracle — third independent method
+    "search_agg_idx": sql_search_agg(),
+    "prefix_topk": sql_prefix_topk(),
+    "prefix_topk_idx": sql_prefix_topk(),
+    "multi_match": sql_multi_match(),
     "events_terms": sql_events_terms_topk(),
     "events_date_histogram": sql_events_date_histogram(),
     "events_formula": sql_events_formula(),

@@ -413,6 +413,7 @@ def ann_search(
     n_probe: int = 2,
     multiprobe: int = 0,
     exclude_self: bool = False,
+    rerank: int = 0,
 ) -> DataFrame:
     """Serve ANN top-k for ARBITRARY query vectors against a built
     index — the production API the fixture-bound gated queries
@@ -436,7 +437,15 @@ def ann_search(
     Returns (query_id, rank, neighbor_id, score); scores rounded to 6
     decimals before ranking (summation-order robustness), ties to the
     lower neighbor_id. ``exclude_self`` drops neighbor_id == query_id
-    rows (for corpus-resident queries)."""
+    rows (for corpus-resident queries).
+
+    ``rerank=R`` (ivfpq only) adds an EXACT re-ranking stage — the
+    standard IVFADC recall recovery (Jégou et al. TPAMI'11 §V):
+    take the top R·k ADC candidates per query, re-score them with
+    exact cosine from the probed ``ivf_lists`` embeddings (a bounded
+    second pruned read: R·k rows per query, never the corpus), return
+    the exact top-k. Quantization error then affects only which R·k
+    candidates surface, not their final order."""
     from pyspark.sql import Window
 
     meta = read_ann_meta(ann_dir)
@@ -446,14 +455,14 @@ def ann_search(
     k_pq = meta["k_pq"]
     sub_dim = meta["sub_dim"]
 
-    def _rank(scored, score_col):
+    def _rank(scored, score_col, keep=None):
         if exclude_self:
             scored = scored.filter(F.col("vec_id") != F.col("query_id"))
         w = Window.partitionBy("query_id").orderBy(
             F.desc(score_col), F.asc("vec_id"))
         return (
             scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+            .filter(F.col("rank") <= (keep or k))
             .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"),
                     F.col(score_col).alias("score"))
         )
@@ -501,7 +510,24 @@ def ann_search(
             for m in range(m_sub))
         scored = lists.join(F.broadcast(probes), "list_id").select(
             "query_id", "vec_id", F.round(F.expr(adc), 6).alias("score"))
-        return _rank(scored, "score")
+        if not rerank:
+            return _rank(scored, "score")
+        # exact re-rank: R*k ADC candidates -> exact cosine from the
+        # probed flat lists (bounded second read; see docstring)
+        probed = sorted({lid for _, lid, _, _ in probe_rows})
+        cand = _rank(scored, "score", keep=k * rerank).select(
+            "query_id", F.col("neighbor_id").alias("vec_id"))
+        qdf = spark.createDataFrame(
+            [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+            "query_id long, qe array<double>")
+        exact = (
+            read_ivf_lists(spark, ann_dir, probed)
+            .join(F.broadcast(cand), "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select("query_id", "vec_id",
+                    F.round(F.expr(COS_EXPR), 6).alias("score"))
+        )
+        return _rank(exact, "score")
 
     if method == "ivf":
         probe_pairs, q_rows = [], []

@@ -215,6 +215,15 @@ _IDMAP_CACHE: dict = {}
 _POS_LIMIT = 1 << 32
 
 
+def _check_pos_limit(max_dl: int) -> None:
+    """Raise if a document's token count breaks the positional packing
+    invariant (pytest-pinned; see the span_near docstring note)."""
+    if max_dl >= _POS_LIMIT:
+        raise ValueError(
+            f"document with {max_dl} tokens exceeds the positional "
+            f"packing limit 2^32 (index/query.py span_near _POS_SHIFT)")
+
+
 def _load_idmap(idmap_dir: str):
     import pyarrow as pa
 
@@ -547,11 +556,8 @@ def stage1_partial_runs(
                 # enforce the span_near packing invariant WHERE the
                 # positions are created (query.py packs doc<<32|pos):
                 # a >=2^32-token document would corrupt proximity keys
-                if lens.size and int(lens.max()) >= _POS_LIMIT:
-                    raise ValueError(
-                        f"document with {int(lens.max())} tokens exceeds "
-                        f"the positional packing limit 2^32 "
-                        f"(index/query.py span_near_local _POS_SHIFT)")
+                if lens.size:
+                    _check_pos_limit(int(lens.max()))
                 perm = np.argsort(key, kind="stable")
                 ks = key[perm]
                 pos_sorted = pos_in_doc[perm]

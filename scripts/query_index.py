@@ -12,6 +12,11 @@ ES bool queries (must/should/must_not, Lucene BooleanQuery scoring):
 
     ... query_index.py --index /data/index_db \
         --must "web ranking" [--should "fast"] [--must-not "spam"]
+
+ES prefix queries (term-dictionary expansion; builds the sidecar on
+first use):
+
+    ... query_index.py --index /data/index_db --prefix "ran"
 """
 
 from __future__ import annotations
@@ -41,6 +46,10 @@ def main() -> None:
                     help="bool query: optional terms, lift ranking only")
     ap.add_argument("--must-not", default="", dest="must_not",
                     help="bool query: docs with any of these are excluded")
+    ap.add_argument("--prefix", help="ES prefix query (autocomplete)")
+    ap.add_argument("--max-expansions", type=int, default=50,
+                    dest="max_expansions",
+                    help="prefix expansion cap (highest-df kept)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["auto", "wand", "acc"], default="auto")
     ap.add_argument("--local", action="store_true",
@@ -53,6 +62,23 @@ def main() -> None:
 
     spark = get_spark("query_index", cpus=args.cpus)
     reader = IndexReader(spark, args.index)
+    if args.prefix:
+        from logsentinelai_spark.index.termdict import (
+            ensure_term_dict, expand_prefix, prefix_topk, prefix_topk_local)
+
+        ensure_term_dict(spark, reader)
+        terms, truncated = expand_prefix(
+            reader, args.prefix, args.max_expansions)
+        fn = prefix_topk_local if args.local else prefix_topk
+        t0 = time.monotonic()
+        res = fn(reader, args.prefix, k=args.k,
+                 max_terms=args.max_expansions, mode=args.mode)
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "prefix": args.prefix, "expanded_terms": terms,
+            "truncated_at": args.max_expansions if truncated else None,
+            "ms": round(ms, 1), "hits": [list(r) for r in res]}))
+        return
     if args.must or args.must_not:
         fn = bool_topk_local if args.local else bool_topk
         t0 = time.monotonic()

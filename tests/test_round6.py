@@ -1,0 +1,476 @@
+"""Round-6 features: tombstone deletes honored by every query path,
+generation compaction (rank-identity + physical tombstone drop), sorted
+term dictionary + prefix queries, filter-context bool match sets,
+exact ANN re-rank, data-driven domain blocklist, position-bound guard.
+
+ES/Lucene parity targets: delete-by-query tombstones + force-merge
+(reference runs ES 9.x — call518/LogSentinelAI docker-compose), prefix
+queries (Kibana query bar), _search query+aggs composition.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from logsentinelai_spark.corpus import _VOCAB, gen_pages_df
+from logsentinelai_spark.functions.tokenizer import tokens
+from logsentinelai_spark.index.build import IndexConfig, build_index, extend_index
+from logsentinelai_spark.index.compact import compact_index
+from logsentinelai_spark.index.deletes import delete_docs, read_deletes
+from logsentinelai_spark.index.query import (
+    bool_match_ids, bool_topk_local, phrase_topk_local, span_near_local,
+    topk, topk_local, topk_local_terms, topk_many_local,
+)
+from logsentinelai_spark.index.reader import IndexReader
+from logsentinelai_spark.index.termdict import (
+    build_term_dict, ensure_term_dict, expand_prefix, prefix_topk,
+    prefix_topk_local,
+)
+
+N_DOCS = 600
+CFG = IndexConfig(
+    shard_size=128,
+    wave_shards=2,   # 256 docs/wave -> 3 waves
+    n_buckets=4,
+    block_size=32,
+    positions=True,
+)
+# query terms drawn from the pages-corpus vocabulary (English
+# frequency list) — mid-frequency so every fixture query matches
+Q = f"{_VOCAB[30]} {_VOCAB[45]}"
+T1, T2, T3 = _VOCAB[25], _VOCAB[40], _VOCAB[60]
+
+
+@pytest.fixture(scope="module")
+def built6(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("r6")
+    idx = str(root / "db")
+    pages = gen_pages_df(spark, N_DOCS, partitions=8)
+    build_index(spark, pages, idx, CFG)
+    by_url = sorted((r.url, r.text) for r in pages.select("url", "text").collect())
+    doc_tokens = {i: tokens(t) for i, (_, t) in enumerate(by_url)}
+    return dict(idx=idx, pages=pages, doc_tokens=doc_tokens)
+
+
+def _fresh_copy(built6, tmp_path, name="db_copy"):
+    """Deletes/compaction mutate the index — tests that write get their
+    own copy so the module fixture stays pristine."""
+    dst = str(tmp_path / name)
+    shutil.copytree(built6["idx"], dst)
+    return dst
+
+
+# ------------------------------------------------------------- deletes
+
+def test_delete_docs_masks_every_query_path(spark, built6, tmp_path):
+    idx = _fresh_copy(built6, tmp_path)
+    r0 = IndexReader(spark, idx)
+    before = topk_local(r0, Q, k=10, mode="acc")
+    assert before, "fixture query must match"
+    victims = [before[0][0], before[2][0]]
+    delete_docs(idx, victims)
+
+    r = IndexReader(spark, idx)  # tombstones load per-reader
+    # stats unchanged until compaction (Lucene semantics): surviving
+    # docs keep their exact scores, so expected = old list minus victims
+    want = [(d, s) for d, s in topk_local(r0, Q, k=10 + len(victims), mode="acc")
+            if d not in victims][:10]
+    def _eq(got):
+        assert [d for d, _ in got] == [d for d, _ in want]
+        assert [s for _, s in got] == pytest.approx([s for _, s in want])
+
+    for mode in ("acc", "wand"):
+        _eq(topk_local(r, Q, k=10, mode=mode))
+    _eq(topk(r, Q, k=10, mode="acc"))
+    _eq(topk_many_local(r, [Q], k=10)[0])
+    # bool path: same victims must vanish
+    got_bool = bool_topk_local(r, must=Q, k=10)
+    assert not set(victims) & {d for d, _ in got_bool}
+    # match set: filter context honors tombstones too
+    ids = {row.doc_id for row in bool_match_ids(r, Q).collect()}
+    assert not set(victims) & ids
+    assert all(d in ids for d, _ in want if d not in victims)
+
+
+def test_delete_docs_masks_phrase_and_span(spark, built6, tmp_path):
+    idx = _fresh_copy(built6, tmp_path)
+    r0 = IndexReader(spark, idx)
+    # find a doc with an adjacent bigram to use as the phrase
+    phrase = None
+    for d, toks in built6["doc_tokens"].items():
+        if len(toks) >= 2:
+            phrase = f"{toks[0]} {toks[1]}"
+            break
+    hits0 = phrase_topk_local(r0, phrase, k=5)
+    assert hits0
+    victim = hits0[0][0]
+    delete_docs(idx, [victim])
+    r = IndexReader(spark, idx)
+    assert victim not in {d for d, _, _ in phrase_topk_local(r, phrase, k=5)}
+    a, b = phrase.split()
+    span0 = {d for d, _ in span_near_local(r0, [(a, b, 3)])[0]}
+    assert victim in span0
+    span1 = {d for d, _ in span_near_local(r, [(a, b, 3)])[0]}
+    assert span1 == span0 - {victim}
+
+
+def test_delete_versioning_unions_and_commits_last(spark, built6, tmp_path):
+    idx = _fresh_copy(built6, tmp_path)
+    s1 = delete_docs(idx, [5, 3])
+    s2 = delete_docs(idx, [3, 9])
+    assert (s1["version"], s2["version"]) == (1, 2)
+    assert read_deletes(idx).tolist() == [3, 5, 9]
+    # torn pointer = previous version served (write-then-flip contract)
+    assert s2["n_deleted"] == 3 and s2["newly_deleted"] == 1
+
+
+def test_dedup_drop_list_deletes_duplicates_without_rebuild(spark, tmp_path):
+    """Close the pipeline loop: exact-dedup drop list -> delete_docs ->
+    duplicates gone from BM25 serving, no rebuild."""
+    from pyspark.sql import functions as F
+
+    pages = gen_pages_df(spark, 300, partitions=4)
+    # inject exact duplicates: clone 20 docs under fresh urls
+    clones = pages.orderBy("url").limit(20).select(
+        F.concat(F.lit("zzz-dup-"), "url").alias("url"),
+        "warc_ts", "html", "text", "lang")
+    snapshot = pages.unionByName(clones)
+    idx = str(tmp_path / "db_dup")
+    build_index(spark, snapshot, idx, CFG)
+    r0 = IndexReader(spark, idx)
+    ds = r0.doc_stats_df().select("doc_id", "url")
+    texts = spark.createDataFrame(
+        [(u, t) for u, t in ((row.url, row.text)
+                             for row in snapshot.select("url", "text").collect())],
+        "url string, text string")
+    keyed = ds.join(texts, "url").select(
+        "doc_id", F.md5(F.encode("text", "utf-8")).alias("k"))
+    keepers = keyed.groupBy("k").agg(F.min("doc_id").alias("keeper"))
+    drop = keyed.join(keepers, "k").filter(
+        F.col("doc_id") != F.col("keeper")).select("doc_id")
+    n_drop = drop.count()
+    # >= : the base corpus may carry natural exact duplicates too
+    assert n_drop >= 20
+    delete_docs(idx, drop)
+    r = IndexReader(spark, idx)
+    dropped = set(read_deletes(idx).tolist())
+    for q in (Q, f"{T1} {T2}", f"{T2} {T3}"):
+        got = {d for d, _ in topk_local(r, q, k=50)}
+        assert not got & dropped, q
+
+
+# ------------------------------------------------------------ compaction
+
+def _derived_phrase(doc_tokens_or_pages, spark=None):
+    """First adjacent bigram of the lexicographically first doc —
+    deterministic, guaranteed present."""
+    if isinstance(doc_tokens_or_pages, dict):
+        for _, toks in sorted(doc_tokens_or_pages.items()):
+            if len(toks) >= 2:
+                return f"{toks[0]} {toks[1]}"
+    row = doc_tokens_or_pages.orderBy("url").limit(1).collect()[0]
+    toks = tokens(row.text)
+    return f"{toks[0]} {toks[1]}"
+
+
+def _rank_probes(spark, idx, phrase):
+    r = IndexReader(spark, idx)
+    return {
+        "topk": topk_local(r, Q, k=10, mode="acc"),
+        "phrase": phrase_topk_local(r, phrase, k=10),
+        "bool": bool_topk_local(r, must=T1, should=T2, must_not=T3, k=10),
+    }
+
+
+def _assert_probes_equal(a, b):
+    assert a.keys() == b.keys()
+    for key in a:
+        ra, rb = a[key], b[key]
+        assert [t[:-1] for t in ra] == [t[:-1] for t in rb], key  # ids (+ptf)
+        assert [t[-1] for t in ra] == pytest.approx([t[-1] for t in rb]), key
+
+
+def test_compact_rank_identity_files_and_old_gen_removable(spark, built6, tmp_path):
+    """build -> extend x2 -> compact: results identical pre/post, file
+    count drops, the pre-compaction files are removable."""
+    idx = str(tmp_path / "db_ext")
+    pages_all = gen_pages_df(spark, N_DOCS, partitions=8)
+    urls_sorted = sorted(r.url for r in pages_all.select("url").collect())
+    v1 = set(urls_sorted[:300])
+    v2 = set(urls_sorted[:450])
+    build_index(spark, pages_all.filter(pages_all.url.isin(list(v1))), idx, CFG)
+    extend_index(spark, pages_all.filter(pages_all.url.isin(list(v2))), idx)
+    extend_index(spark, pages_all, idx)
+    phrase = _derived_phrase(pages_all)
+    before = _rank_probes(spark, idx, phrase)
+    files_before = sum(1 for _ in (Path(idx) / "postings").rglob("*.parquet"))
+
+    s = compact_index(spark, idx)  # default: 4x re-shard merge
+    assert s["generation"] == 1 and s["dropped_docs"] == 0
+    assert s["shard_size"] == 4 * CFG.shard_size
+    after = _rank_probes(spark, idx, phrase)
+    _assert_probes_equal(after, before)
+    # the re-shard folds partial epoch-boundary shards: files coalesce
+    assert s["files_after"] < files_before
+    # stats preserved exactly (no deletes)
+    N, avgdl = IndexReader(spark, idx).global_stats()
+    assert N == N_DOCS
+    # old generation removable: only the pointer + gen dir needed
+    for sub in ("postings", "store", "manifest", "doc_map"):
+        p = Path(idx) / sub
+        if p.exists():
+            shutil.rmtree(p)
+    _assert_probes_equal(_rank_probes(spark, idx, phrase), before)
+    # ... and a layout-preserving second compaction (same shard_size =
+    # the pure-copy fast path) still serves identically
+    s2 = compact_index(spark, idx, shard_size=s["shard_size"])
+    assert s2["generation"] == 2 and s2["shard_size"] == s["shard_size"]
+    _assert_probes_equal(_rank_probes(spark, idx, phrase), before)
+    # non-multiple re-shard is rejected (ids are shard arithmetic)
+    with pytest.raises(ValueError, match="multiple"):
+        compact_index(spark, idx, shard_size=s["shard_size"] + 1)
+
+
+def test_compact_extend_after_compaction(spark, tmp_path):
+    """extend_index on a compacted index lands new waves inside the
+    live generation and serves the union."""
+    pages_all = gen_pages_df(spark, N_DOCS, partitions=8)
+    urls_sorted = sorted(r.url for r in pages_all.select("url").collect())
+    v1 = set(urls_sorted[:384])
+    idx = str(tmp_path / "db_cx")
+    build_index(spark, pages_all.filter(pages_all.url.isin(list(v1))), idx, CFG)
+    compact_index(spark, idx)
+    s = extend_index(spark, pages_all, idx)
+    assert s["new_docs"] == N_DOCS - 384
+    r = IndexReader(spark, idx)
+    N, _ = r.global_stats()
+    assert N == N_DOCS
+    # oracle over the union corpus with read-back ids
+    from logsentinelai_spark.index.bm25 import bm25_oracle_topk
+
+    text_by_url = {row.url: row.text
+                   for row in pages_all.select("url", "text").collect()}
+    id_url = {row.doc_id: row.url
+              for row in r.doc_stats_df().select("doc_id", "url").collect()}
+    doc_tokens = {d: tokens(text_by_url[u]) for d, u in id_url.items()}
+    want = bm25_oracle_topk(doc_tokens, tokens(Q), k=10)
+    got = topk_local(r, Q, k=10, mode="acc")
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_compact_drops_tombstones_physically(spark, built6, tmp_path):
+    idx = _fresh_copy(built6, tmp_path)
+    r0 = IndexReader(spark, idx)
+    N0, _ = r0.global_stats()
+    victims = [d for d, _ in topk_local(r0, Q, k=3)]
+    delete_docs(idx, victims)
+    s = compact_index(spark, idx)
+    assert s["dropped_docs"] == len(victims)
+    assert s["live_docs"] == N0 - len(victims)
+    r = IndexReader(spark, idx)
+    assert r.deletes() is None  # the new generation starts clean
+    N1, _ = r.global_stats()
+    assert N1 == N0 - len(victims)  # stats now exclude them (post-merge)
+    assert not set(victims) & {d for d, _ in topk_local(r, Q, k=50)}
+    # positional payload survived the rewrite and still serves phrases
+    ph = _derived_phrase(built6["doc_tokens"])
+    surv = phrase_topk_local(r, ph, k=5)
+    assert all(d not in set(victims) for d, _, _ in surv)
+    # doc rows physically gone
+    ids = {row.doc_id for row in r.doc_stats_df().select("doc_id").collect()}
+    assert not set(victims) & ids and len(ids) == N1
+
+
+# ------------------------------------------------- term dictionary / prefix
+
+def test_term_dict_expansion_and_prefix_rank_identity(spark, built6):
+    idx = built6["idx"]
+    build_term_dict(spark, idx)
+    r = IndexReader(spark, idx)
+    vocab = {t for toks in built6["doc_tokens"].values() for t in toks}
+    for prefix in ("s", "da", "q"):
+        want = sorted(t for t in vocab if t.startswith(prefix))
+        got, truncated = expand_prefix(r, prefix, max_terms=10_000)
+        assert sorted(got) == want and not truncated, prefix
+    # cap keeps the HIGHEST-df terms and reports truncation
+    full, _ = expand_prefix(r, "s", max_terms=10_000)
+    capped, truncated = expand_prefix(r, "s", max_terms=2)
+    assert truncated and capped == full[:2]
+    # prefix scoring == disjunctive scorer over the same terms,
+    # local == distributed
+    terms, _ = expand_prefix(r, "s", max_terms=10_000)
+    want_rank = topk_local_terms(r, terms, k=10, mode="acc")
+
+    def _eq(got):
+        assert [d for d, _ in got] == [d for d, _ in want_rank]
+        assert [s for _, s in got] == pytest.approx([s for _, s in want_rank])
+
+    _eq(prefix_topk_local(r, "s", k=10, max_terms=10_000))
+    _eq(prefix_topk(r, "s", k=10, max_terms=10_000))
+
+
+def test_term_dict_staleness_rebuild(spark, tmp_path):
+    pages = gen_pages_df(spark, N_DOCS, partitions=8)
+    urls_sorted = sorted(r.url for r in pages.select("url").collect())
+    v1 = set(urls_sorted[:256])
+    idx = str(tmp_path / "db_td")
+    build_index(spark, pages.filter(pages.url.isin(list(v1))), idx, CFG)
+    r1 = IndexReader(spark, idx)
+    ensure_term_dict(spark, r1)
+    t1, _ = expand_prefix(r1, "s", max_terms=10_000)
+    extend_index(spark, pages, idx)
+    r2 = IndexReader(spark, idx)
+    ensure_term_dict(spark, r2)  # wave set changed -> rebuild
+    t2, _ = expand_prefix(r2, "s", max_terms=10_000)
+    vocab = set()
+    for row in pages.select("text").collect():
+        vocab |= set(tokens(row.text))
+    assert sorted(t2) == sorted(t for t in vocab if t.startswith("s"))
+    assert set(t1) <= set(t2)
+
+
+# ---------------------------------------------------- bool match set
+
+def test_bool_match_ids_equals_python_oracle(spark, built6):
+    r = IndexReader(spark, built6["idx"])
+    got = sorted(row.doc_id for row in
+                 bool_match_ids(r, f"{T1} {T2}", Q, T3).collect())
+    want = sorted(
+        d for d, toks in built6["doc_tokens"].items()
+        if {T1, T2} <= set(toks) and T3 not in toks)
+    assert got == want and got
+    # no must: any should term matches
+    got2 = sorted(row.doc_id for row in
+                  bool_match_ids(r, "", T2, T3).collect())
+    want2 = sorted(
+        d for d, toks in built6["doc_tokens"].items()
+        if T2 in set(toks) and T3 not in toks)
+    assert got2 == want2 and got2
+
+
+# ------------------------------------------------------- ANN re-rank
+
+def test_ann_rerank_exact_and_recall(spark, tmp_path):
+    """rerank=R: (a) with every list probed and R covering the probed
+    rows, results == the exact ivf method's; (b) recall@10 vs brute
+    force >= plain ivfpq on the fixture."""
+    from logsentinelai_spark.operators.similarity import _ann_dir_for
+    from logsentinelai_spark.index.ann import ann_search, read_ann_meta
+
+    sf = "/root/testdata/sf0.001"
+    ann_dir = _ann_dir_for(spark, sf)
+    meta = read_ann_meta(ann_dir)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qrows = emb.orderBy("vec_id").limit(4).collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+    n_lists = len(meta["centroids"])
+
+    exact = ann_search(spark, ann_dir, queries, method="ivf",
+                       n_probe=n_lists, k=10).collect()
+    rer = ann_search(spark, ann_dir, queries, method="ivfpq",
+                     n_probe=n_lists, k=10, rerank=1000).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, round(r.score, 6))
+                              for r in rows)
+    assert key(rer) == key(exact)
+
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    plain = ann_search(spark, ann_dir, queries, method="ivfpq",
+                       n_probe=2, k=10).collect()
+    rer2 = ann_search(spark, ann_dir, queries, method="ivfpq",
+                      n_probe=2, k=10, rerank=5).collect()
+    recall = lambda rows: len({(r.query_id, r.neighbor_id) for r in rows} & truth)
+    assert recall(rer2) >= recall(plain)
+
+
+# -------------------------------------------- data-driven domain blocklist
+
+def test_corpus_filter_accepts_stats_derived_blocklist(spark):
+    from pyspark.sql import functions as F
+
+    from logsentinelai_spark.operators.textstats import (
+        BLOCK_DOMAINS, q_corpus_filter, q_domain_stats)
+
+    sf = "/root/testdata/sf0.001"
+    # default == pinned fixture list (gate unchanged)
+    base = q_corpus_filter(spark, sf)
+    explicit = q_corpus_filter(spark, sf, block_domains=BLOCK_DOMAINS)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, explicit.collect()))
+    # curation loop: q_domain_stats output slice drives the rule
+    stats = q_domain_stats(spark, sf)
+    top = stats.orderBy(F.desc("n_docs"), "domain").limit(2).select("domain")
+    top_domains = {r.domain for r in top.collect()}
+    out = q_corpus_filter(spark, sf, block_domains=top)
+    blocked = {r.domain for r in
+               out.filter(out.drop_reason == "domain_blocked").collect()}
+    assert blocked <= top_domains and blocked
+    # docs in those domains either blocked or dropped by an EARLIER rule
+    leaked = out.filter(
+        out.domain.isin(list(top_domains))
+        & (out.drop_reason == "kept")).count()
+    assert leaked == 0
+
+
+# ------------------------------------------------------ position bound
+
+def test_position_packing_limit_enforced():
+    from logsentinelai_spark.index.build import _check_pos_limit
+
+    _check_pos_limit((1 << 32) - 1)  # largest legal dl
+    with pytest.raises(ValueError, match="positional packing limit"):
+        _check_pos_limit(1 << 32)
+
+
+# ----------------------------------------------------- search_agg plan pin
+
+def test_search_agg_idx_match_set_joins_broadcast(spark):
+    """The composition's plan contract: the index-served match set is
+    JOINED to the documents scan (no full-corpus rescan of postings),
+    and AQE broadcast-converts the join for a selective filter —
+    pinned on the executed (adaptive-final) plan."""
+    from logsentinelai_spark.entry_queries import q_search_agg_idx
+
+    df = q_search_agg_idx(spark, "/root/testdata/sf0.001")
+    df.collect()  # AQE finalizes join strategy at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------- legacy (pre-positions) resume
+
+def test_resume_legacy_index_never_mixes_position_layouts(spark, tmp_path):
+    """Round-5 ADVICE: resuming an index whose committed waves lack the
+    positional payload must NOT start writing pos_vb in new waves (wave
+    schemas would drift). Simulated legacy index = meta without a
+    'positions' key; the resume caller passes the modern default
+    (positions=True) and must be overridden to False."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    idx = str(tmp_path / "db_legacy")
+    pages = gen_pages_df(spark, 256, partitions=4)
+    legacy = IndexConfig(shard_size=64, wave_shards=1, n_buckets=2,
+                         block_size=32, positions=False)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, pages, idx, legacy, fail_after_wave=0)
+    meta_p = Path(idx) / "_meta.json"
+    meta = _json.loads(meta_p.read_text())
+    meta.pop("positions")  # pre-positions layout has no such key
+    meta_p.write_text(_json.dumps(meta))
+    build_index(spark, pages, idx, IndexConfig(
+        shard_size=64, wave_shards=1, n_buckets=2, block_size=32,
+        positions=True))
+    r = IndexReader(spark, idx)
+    assert r.positions is False
+    assert len(r.waves) == 4
+    for w in r.waves:  # EVERY wave (committed + resumed) position-free
+        for f in (Path(idx) / "postings" / f"wave={w}").rglob("*.parquet"):
+            col = _pq.read_table(str(f), columns=["pos_vb"]).column("pos_vb")
+            assert col.null_count == len(col), f
+    with pytest.raises(ValueError, match="positions"):
+        phrase_topk_local(r, "the of", k=3)
