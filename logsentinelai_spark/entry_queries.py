@@ -653,6 +653,181 @@ ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+# --------------------------------- match_phrase_prefix (phrase autocomplete)
+
+# ES match_phrase_prefix: the LAST token is a prefix (Lucene
+# MultiPhraseQuery — fixed positions + a dictionary expansion at the
+# final slot). Fixture: "fast s" -> fixed=["fast"], prefix "s"
+# (expands to scan/slow/small/sort/spark/stream on the documents table)
+MPP_QUERY = "fast s"
+
+
+def _ptf_prefix_expr(fixed: list[str], prefix: str) -> str:
+    """In-row match_phrase_prefix tf: count start positions i where
+    tokens[i..i+L-2] equal the fixed terms and tokens[i+L-1] carries
+    the prefix — the naive twin of the positional-index MultiPhrase
+    intersection (index/query.py::_phrase_prefix_hits_shard)."""
+    L = len(fixed) + 1
+    conds = " AND ".join(
+        f"element_at(tokens, CAST(i AS INT) + {j}) = '{t}'"
+        for j, t in enumerate(fixed))
+    conds += (f" AND startswith(element_at(tokens, CAST(i AS INT) + {L - 1}),"
+              f" '{prefix}')")
+    return (
+        f"CASE WHEN size(tokens) >= {L} THEN"
+        f" size(filter(sequence(1, size(tokens) - {L - 1}), i -> {conds}))"
+        " ELSE 0 END"
+    )
+
+
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix, naive Catalyst twin: pseudo-term scoring
+    exactly like q_phrase_topk (tf = start-position count, df = docs
+    matching), with the final slot a prefix test instead of an
+    equality."""
+    toks = MPP_QUERY.split()
+    fixed, prefix = toks[:-1], toks[-1]
+    base = tokenized_documents(spark, sf_dir).select(
+        "doc_id", "tokens", F.size("tokens").cast("long").alias("dl"))
+    hits = base.select(
+        "doc_id", "dl",
+        F.expr(_ptf_prefix_expr(fixed, prefix)).cast("long").alias("ptf"),
+    ).filter(F.col("ptf") > 0)
+    g = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfs = hits.agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("ptf") / (
+        F.col("ptf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+    return (
+        hits.crossJoin(F.broadcast(dfs)).crossJoin(F.broadcast(g))
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.col("ptf").alias("phrase_tf"),
+                F.round("s", 6).alias("score"))
+    )
+
+
+def q_phrase_prefix_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME match_phrase_prefix served from the physical index:
+    term-dictionary expansion of the final slot + positional
+    intersection (index/query.py::phrase_prefix_topk_local). Same
+    DuckDB oracle as the naive twin — three methods agree."""
+    from .index.query import phrase_prefix_topk_local
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    res = phrase_prefix_topk_local(reader, MPP_QUERY, k=10, max_terms=50)
+    urls = reader.doc_urls_local([d for d, _, _ in res])
+    rows = [(int(urls[d][3:]), int(p), round(s, 6)) for d, p, s in res]
+    schema = "doc_id long, phrase_tf long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_phrase_prefix() -> str:
+    toks = MPP_QUERY.split()
+    fixed, prefix = toks[:-1], toks[-1]
+    L = len(fixed) + 1
+    conds = " AND ".join(
+        f"t[i + {j + 1}] = '{w}'" for j, w in enumerate(fixed))
+    conds += f" AND t[i + {L}] LIKE '{prefix}%'"
+    ptf = (f"len(list_filter(range(greatest(len(t) - {L - 1}, 0)),"
+           f" i -> {conds}))")
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS t,
+         len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS dl
+  FROM documents
+),
+hits AS (SELECT doc_id, dl, {ptf} AS ptf FROM base),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+dfs AS (SELECT count(*) AS df FROM hits WHERE ptf > 0)
+SELECT doc_id, CAST(ptf AS BIGINT) AS phrase_tf,
+       round( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * ptf / (ptf + {K1} * ({round(1 - B, 2)} + {B} * dl / g.avgdl)), 6) AS score
+FROM hits CROSS JOIN g CROSS JOIN dfs
+WHERE ptf > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# -------------------------------------- significant_terms (ES JLH aggregation)
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_terms``: which terms are unusually frequent in
+    the docs matching the dashboard filter (same bool filter as
+    search_agg) vs the whole corpus — JLH score (fg% − bg%)·(fg%/bg%),
+    terms more frequent in the foreground only, top 10 (jlh desc,
+    term asc). Naive Catalyst twin of the index-served aggregation."""
+    must = sorted(set(SEARCH_MUST.split()))
+    tok = tokenized_documents(spark, sf_dir)
+    long = tok.select("doc_id", F.explode("tokens").alias("term")).distinct()
+    flags = long.groupBy("doc_id").agg(
+        F.countDistinct(
+            F.when(F.col("term").isin(must), F.col("term"))).alias("n_must"),
+        F.max(F.when(F.col("term").isin(SEARCH_MUST_NOT.split()), 1)
+              .otherwise(0)).alias("has_not"),
+    )
+    matched = flags.filter(
+        (F.col("n_must") == len(must)) & (F.col("has_not") == 0)
+    ).select("doc_id")
+    n_fg = F.lit(float(matched.count()))
+    n_all = F.lit(float(tok.count()))
+    fg = (long.join(matched, "doc_id")
+          .groupBy("term").agg(F.count("*").alias("fg_df")))
+    bg = long.groupBy("term").agg(F.count("*").alias("bg_df"))
+    fg_pct = F.col("fg_df") / n_fg
+    bg_pct = F.col("bg_df") / n_all
+    return (
+        fg.join(bg, "term")
+        .withColumn("jlh", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6))
+        .filter(fg_pct > bg_pct)
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(10)
+    )
+
+
+def q_significant_terms_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME aggregation served from the physical index
+    (index/query.py::significant_terms): the match set comes from
+    bool_match_ids and is CO-GROUPED with the posting blocks on the
+    shard key — each shard task probes its decoded doc streams against
+    its own match slice, only (term, fg_df, df) partials re-aggregate.
+    Index doc ids == fixture doc_ids (doc%012d url ranks), so the same
+    DuckDB oracle gates all three methods."""
+    from .index.query import bool_match_ids, significant_terms
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    matched = bool_match_ids(reader, SEARCH_MUST, "", SEARCH_MUST_NOT)
+    return significant_terms(reader, matched, top_n=10)
+
+
+def sql_significant_terms() -> str:
+    must = sorted(set(SEARCH_MUST.split()))
+    must_in = ", ".join(f"'{t}'" for t in must)
+    not_in = ", ".join(f"'{t}'" for t in SEARCH_MUST_NOT.split())
+    return f"""
+WITH {_TOK_CTE},
+long AS (SELECT DISTINCT doc_id, term FROM tok),
+m AS (
+  SELECT doc_id FROM long GROUP BY doc_id
+  HAVING count(DISTINCT CASE WHEN term IN ({must_in}) THEN term END) = {len(must)}
+     AND sum(CASE WHEN term IN ({not_in}) THEN 1 ELSE 0 END) = 0),
+g AS (SELECT (SELECT count(*) FROM m) AS n_fg,
+             (SELECT count(*) FROM documents) AS n_all),
+fg AS (SELECT term, count(*) AS fg_df FROM long JOIN m USING (doc_id) GROUP BY 1),
+bg AS (SELECT term, count(*) AS bg_df FROM long GROUP BY 1)
+SELECT term, fg_df, bg_df,
+       round((fg_df * 1.0 / g.n_fg - bg_df * 1.0 / g.n_all)
+             * ((fg_df * 1.0 / g.n_fg) / (bg_df * 1.0 / g.n_all)), 6) AS jlh
+FROM fg JOIN bg USING (term) CROSS JOIN g
+WHERE fg_df * 1.0 / g.n_fg > bg_df * 1.0 / g.n_all
+ORDER BY jlh DESC, term LIMIT 10
+"""
+
+
 # --------------------------------------------- multi_match (BM25F-lite, ES most_fields)
 
 # field split: title = first 8 tokens, body = rest — deterministic in
@@ -865,6 +1040,10 @@ QUERIES = {
     "search_agg_idx": q_search_agg_idx,
     "prefix_topk": q_prefix_topk,
     "prefix_topk_idx": q_prefix_topk_idx,
+    "phrase_prefix": q_phrase_prefix,
+    "phrase_prefix_idx": q_phrase_prefix_idx,
+    "significant_terms": q_significant_terms,
+    "significant_terms_idx": q_significant_terms_idx,
     "multi_match": q_multi_match,
     # dashboard analogs (SURVEY §2.8 Q1-Q6)
     "events_terms": q_events_terms_topk,
@@ -931,6 +1110,10 @@ ORACLES = {
     "search_agg_idx": sql_search_agg(),
     "prefix_topk": sql_prefix_topk(),
     "prefix_topk_idx": sql_prefix_topk(),
+    "phrase_prefix": sql_phrase_prefix(),
+    "phrase_prefix_idx": sql_phrase_prefix(),
+    "significant_terms": sql_significant_terms(),
+    "significant_terms_idx": sql_significant_terms(),
     "multi_match": sql_multi_match(),
     "events_terms": sql_events_terms_topk(),
     "events_date_histogram": sql_events_date_histogram(),

@@ -780,6 +780,201 @@ def phrase_topk(
     return top
 
 
+def _phrase_prefix_hits_shard(
+    decoded: dict, fixed_terms: list[str], exp_terms: list[str]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Positional intersection for ONE match_phrase_prefix in ONE
+    shard: the fixed terms intersect exactly like _phrase_hits_shard;
+    the final slot (offset L = len(fixed_terms)) matches the UNION of
+    the prefix's dictionary expansions — Lucene's MultiPhraseQuery
+    position matching. Returns shard-local (docs, ptf, dl) or None."""
+    L = len(fixed_terms)
+    keys = None
+    for j, t in enumerate(fixed_terms):
+        dec = decoded.get(t)
+        if dec is None:
+            return None
+        _, _, doc_rep, pos = dec
+        if j == 0:
+            kj = doc_rep * _POS_SHIFT + pos
+        else:
+            m = pos >= j
+            kj = doc_rep[m] * _POS_SHIFT + (pos[m] - j)
+        keys = kj if keys is None else np.intersect1d(keys, kj, assume_unique=True)
+        if keys.size == 0:
+            return None
+    parts = []
+    for t in exp_terms:
+        dec = decoded.get(t)
+        if dec is None:
+            continue
+        _, _, doc_rep, pos = dec
+        m = pos >= L
+        parts.append(doc_rep[m] * _POS_SHIFT + (pos[m] - L))
+    if not parts:
+        return None
+    last = np.unique(np.concatenate(parts))
+    keys = np.intersect1d(keys, last, assume_unique=True)
+    if keys.size == 0:
+        return None
+    hit_docs = keys // _POS_SHIFT
+    udoc, ptf = np.unique(hit_docs, return_counts=True)
+    docs0, dls0, _, _ = decoded[fixed_terms[0]]
+    dl = dls0[np.searchsorted(docs0, udoc)]
+    return udoc, ptf.astype(np.int64), dl
+
+
+def phrase_prefix_topk_local(
+    reader: IndexReader, phrase_text: str, k: int = 10,
+    max_terms: int = 50,
+) -> list[tuple[int, int, float]]:
+    """ES ``match_phrase_prefix`` (query-bar autocomplete on a phrase):
+    the LAST token of ``phrase_text`` is a prefix, expanded through the
+    term-dictionary sidecar (termdict.expand_prefix, max_terms cap,
+    highest-df kept); the phrase then matches where the fixed tokens
+    are followed by ANY expansion at the next position (Lucene
+    MultiPhraseQuery). Scored as one pseudo-term like phrase_topk
+    (tf = start-position count, df = matching docs). Returns
+    [(doc_id, ptf, score)]; requires >= 2 tokens (a single prefix
+    token is a plain prefix query — use termdict.prefix_topk)."""
+    from .termdict import ensure_term_dict, expand_prefix
+
+    if not reader.positions:
+        raise ValueError(
+            "index was built with positions=False; match_phrase_prefix "
+            "needs the positional payload")
+    toks = tokenize(phrase_text)
+    if len(toks) < 2:
+        raise ValueError(
+            "match_phrase_prefix needs >= 2 tokens; use prefix_topk "
+            "for a single prefix term")
+    fixed, prefix = toks[:-1], toks[-1]
+    ensure_term_dict(reader.spark, reader)
+    exp_terms, _ = expand_prefix(reader, prefix, max_terms)
+    if not exp_terms:
+        return []
+    all_terms = sorted(set(fixed) | set(exp_terms))
+    pdf = reader.postings_blocks_local(all_terms, with_positions=True)
+    pdf = pdf[pdf["block_id"] >= 0]
+    if pdf.empty:
+        return []
+    shard_size = reader.cfg.shard_size
+    dels = reader.deletes()
+    cands: list[tuple[int, int, int]] = []
+    for shard, g in pdf.groupby("shard", sort=False):
+        decoded = _decode_term_positions(g, reader.codec)
+        base = int(shard) * shard_size
+        hits = _phrase_prefix_hits_shard(decoded, fixed, exp_terms)
+        if hits is None:
+            continue
+        udoc, ptf, dl = hits
+        gdoc = udoc + base
+        excl = shard_slice(dels, base, shard_size)
+        if excl is not None:
+            m = ~np.isin(gdoc, excl, assume_unique=True)
+            gdoc, ptf, dl = gdoc[m], ptf[m], dl[m]
+        cands += [(int(d), int(c), int(l)) for d, c, l in zip(gdoc, ptf, dl)]
+    if not cands:
+        return []
+    N, avgdl = reader.global_stats()
+    w = idf_fn(N, len(cands))
+    scored = [
+        (d, ptf, w * ptf / (ptf + K1 * (1 - B + B * dl / avgdl)))
+        for d, ptf, dl in cands
+    ]
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:k]
+
+
+# --------------------------------------------------- significant terms
+
+def significant_terms(
+    reader: IndexReader,
+    match_df,
+    top_n: int = 10,
+):
+    """ES ``significant_terms`` aggregation served from the index: for
+    every term, compare its document frequency INSIDE a match set
+    (foreground) against the whole index (background) with the JLH
+    score — (fg% − bg%) · (fg% / bg%), keeping terms more frequent in
+    the foreground (the ES definition; public ES docs). This is the
+    "what is unusual about these matching docs" Kibana panel.
+
+    Scale shape: the match set never passes through the driver — it is
+    CO-GROUPED with the posting blocks on the shard key (one shuffle of
+    (doc_id) rows + the block scan both engines already do), each shard
+    task probes its decoded doc streams against ITS OWN match slice
+    (sorted searchsorted membership), and only (term, fg_df, df)
+    partials re-aggregate. ES itself caps this cost with shard-level
+    sampling; at 10^12 docs you would bound match_df the same way.
+
+    Returns a DataFrame (term, fg_df, bg_df, jlh) of the top_n terms
+    by (jlh desc, term asc)."""
+    spark = reader.spark
+    shard_size = reader.cfg.shard_size
+    codec = reader.codec
+    n_fg = match_df.count()
+    if n_fg == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, jlh double")
+    N, _ = reader.global_stats()
+    # cogroup keys must agree in TYPE: the hive partition column reads
+    # back int32 while doc_id arithmetic is int64 — mismatched key
+    # types silently mispair the groups
+    blocks = reader.postings_blocks_all().withColumn(
+        "shard", F.col("shard").cast("long"))
+    match_sharded = match_df.withColumn(
+        "shard", (F.col("doc_id") / shard_size).cast("long"))
+
+    def _per_shard(key, pdf, mdf):
+        pdf = pdf[pdf["block_id"] >= 0]
+        if pdf.empty or mdf.empty:
+            return pd.DataFrame(
+                {"term": pd.Series(dtype="object"),
+                 "fg_df": pd.Series(dtype="int64"),
+                 "df_part": pd.Series(dtype="int64")})
+        base = int(key[0]) * shard_size
+        match_ids = np.sort(mdf["doc_id"].to_numpy(dtype=np.int64))
+        pdf = pdf.sort_values(["term", "block_id"], kind="mergesort",
+                              ignore_index=True)
+        terms = pdf["term"].to_numpy()
+        gaps_a = pdf["gaps_vb"].to_numpy()
+        tb = np.append(np.flatnonzero(
+            np.concatenate(([True], terms[1:] != terms[:-1]))), len(terms))
+        out_t, out_fg, out_df = [], [], []
+        for s, e in zip(tb[:-1], tb[1:]):
+            # background df deliberately counts tombstoned docs — like
+            # N (global_stats), stats include deletes until compaction
+            # (Lucene behavior); the FOREGROUND is tombstone-clean
+            # because the match set (bool_match_ids) already masks
+            d = np.cumsum(
+                decode_stream(gaps_a[s:e], codec).astype(np.int64)) + base
+            idx = np.searchsorted(match_ids, d)
+            idx[idx >= match_ids.size] = match_ids.size - 1
+            fg = int((match_ids[idx] == d).sum()) if match_ids.size else 0
+            out_t.append(terms[s])
+            out_fg.append(fg)
+            out_df.append(int(d.size))
+        return pd.DataFrame({"term": out_t, "fg_df": out_fg, "df_part": out_df})
+
+    partials = (
+        blocks.groupby("shard")
+        .cogroup(match_sharded.groupby("shard"))
+        .applyInPandas(_per_shard, schema="term string, fg_df long, df_part long")
+    )
+    agg = partials.groupBy("term").agg(
+        F.sum("fg_df").alias("fg_df"), F.sum("df_part").alias("bg_df"))
+    fg_pct = F.col("fg_df") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_df") / F.lit(float(N))
+    return (
+        agg.filter(F.col("fg_df") > 0)
+        .withColumn("jlh", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6))
+        .filter(fg_pct > bg_pct)
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
 def span_near_local(
     reader: IndexReader, pairs: list[tuple[str, str, int]]
 ) -> list[list[tuple[int, int]]]:

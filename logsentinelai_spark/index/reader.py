@@ -89,6 +89,19 @@ class IndexReader:
             df = df.drop("pos_vb")
         return df
 
+    def postings_blocks_all(self) -> DataFrame:
+        """EVERY committed posting block (no term pruning) — the
+        full-index scans behind vocabulary-wide analytics
+        (significant_terms, term dictionary build). pos_vb is always
+        dropped before the scan plans (column pruning): these ops read
+        doc streams, never positions."""
+        root = self.dir / "postings"
+        paths = [str(root / f"wave={w}") for w in sorted(self.waves)]
+        df = self.spark.read.option("basePath", str(root)).parquet(*paths)
+        if "pos_vb" in df.columns:
+            df = df.drop("pos_vb")
+        return df
+
     # ---- driver-local reads: same files, same pruning, no Spark job.
     # Query serving at low latency reads the (heavily pruned) posting
     # blocks straight off storage with pyarrow — a search head does not

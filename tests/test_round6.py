@@ -474,3 +474,52 @@ def test_resume_legacy_index_never_mixes_position_layouts(spark, tmp_path):
             assert col.null_count == len(col), f
     with pytest.raises(ValueError, match="positions"):
         phrase_topk_local(r, "the of", k=3)
+
+
+# -------------------------------- match_phrase_prefix / significant_terms
+
+def test_phrase_prefix_matches_python_oracle(spark, built6):
+    from logsentinelai_spark.index.query import phrase_prefix_topk_local
+
+    r = IndexReader(spark, built6["idx"])
+    build_term_dict(spark, built6["idx"])
+    query = f"{T1} s"
+    got = phrase_prefix_topk_local(r, query, k=10_000, max_terms=10_000)
+    want = {}
+    for d, toks in built6["doc_tokens"].items():
+        c = sum(1 for i in range(len(toks) - 1)
+                if toks[i] == T1 and toks[i + 1].startswith("s"))
+        if c:
+            want[d] = c
+    assert {d: p for d, p, _ in got} == want
+    # scores obey the pinned tie-break ordering
+    keys = [(-s, d) for d, _, s in got]
+    assert keys == sorted(keys)
+    # a single-token query routes to prefix_topk instead
+    with pytest.raises(ValueError, match="prefix_topk"):
+        phrase_prefix_topk_local(r, "s", k=5)
+
+
+def test_significant_terms_matches_python_oracle(spark, built6):
+    from logsentinelai_spark.index.query import bool_match_ids, significant_terms
+
+    r = IndexReader(spark, built6["idx"])
+    matched = bool_match_ids(r, T2)
+    got = significant_terms(r, matched, top_n=8).collect()
+    fg_docs = {d for d, toks in built6["doc_tokens"].items() if T2 in set(toks)}
+    n_fg, n_all = len(fg_docs), len(built6["doc_tokens"])
+    fg, bg = {}, {}
+    for d, toks in built6["doc_tokens"].items():
+        for t in set(toks):
+            bg[t] = bg.get(t, 0) + 1
+            if d in fg_docs:
+                fg[t] = fg.get(t, 0) + 1
+    scored = []
+    for t, f in fg.items():
+        fp, bp = f / n_fg, bg[t] / n_all
+        if fp > bp:
+            scored.append((round((fp - bp) * (fp / bp), 6), t))
+    want = sorted(scored, key=lambda x: (-x[0], x[1]))[:8]
+    assert [(row.term, row.fg_df, row.bg_df) for row in got] == [
+        (t, fg[t], bg[t]) for _, t in want]
+    assert [row.jlh for row in got] == pytest.approx([j for j, _ in want])
