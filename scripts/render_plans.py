@@ -88,6 +88,23 @@ BroadcastHashJoin against the eval-set shingle table — broadcast-
 small BY DEFINITION (benchmarks are MBs against a 100 TB corpus).
 The only exchange re-aggregates the rare surviving matches by
 doc_id.""",
+    "search_agg_idx": """The ES _search query+aggs composition: the match set comes out of
+the per-shard FlatMapGroupsInPandas over the BUCKET-PRUNED posting
+scan (PushedFilters on the bool query's terms; pos_vb absent from
+ReadSchema — filter context decodes gap streams only) and is JOINED
+to the documents scan for the aggregation. The join is a
+BroadcastHashJoin (AQE converts at runtime when the filter is
+selective — pinned on the executed plan by
+test_search_agg_idx_match_set_joins_broadcast); there is NO second
+scan of the postings and NO full-corpus rescan per panel.""",
+    "significant_terms_idx": """The foreground/background census: FlatMapCoGroupsInPandas pairs
+each shard's posting blocks with ITS slice of the match set (two
+Exchanges hashpartitioning on the 8-byte shard key — the match set
+never passes through the driver), and the only downstream exchange
+carries (term, fg_df, df_part) partials into the final aggregate.
+The block scan reads the FULL term stream by design (a
+vocabulary-wide aggregation) but still excludes pos_vb from
+ReadSchema.""",
 }
 
 
