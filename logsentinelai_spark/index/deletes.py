@@ -37,6 +37,8 @@ from pathlib import Path
 
 import numpy as np
 
+from .lineage import resolve_index_dir
+
 # refusal threshold: ~80 MB of int64 ids in every task closure. Lucene
 # triggers merges long before a comparable fraction of an index is
 # tombstoned; so should callers of this engine.
@@ -58,7 +60,10 @@ def _read_pointer(index_dir: str | Path) -> dict | None:
 def read_deletes(index_dir: str | Path) -> np.ndarray:
     """The committed tombstone set: sorted unique int64 doc ids
     (empty array when none). Reads only the version the pointer
-    commits to — uncommitted ``v=K`` dirs are invisible."""
+    commits to — uncommitted ``v=K`` dirs are invisible. The path
+    resolves through the generation pointer, so callers may pass the
+    index root even after a compaction."""
+    index_dir = resolve_index_dir(str(index_dir))
     ptr = _read_pointer(index_dir)
     if not ptr:
         return np.empty(0, dtype=np.int64)
@@ -81,6 +86,11 @@ def delete_docs(index_dir: str | Path, doc_ids) -> dict:
     large to serve, and the answer to both is compact_index."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    # tombstones belong to the LIVE generation: resolve the pointer so
+    # a root-path delete after a compaction is seen by readers (which
+    # resolve the same way) instead of landing in a dead directory
+    index_dir = resolve_index_dir(str(index_dir))
 
     if hasattr(doc_ids, "select"):  # Spark DataFrame duck-type
         rows = doc_ids.select("doc_id").limit(MAX_TOMBSTONES + 1).collect()

@@ -35,6 +35,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--cpus", type=int)
+    ap.add_argument("--master", help="Spark master override, e.g. local-cluster[2,2,1024]")
     sub = ap.add_subparsers(dest="cmd", required=True)
     d = sub.add_parser("delete")
     d.add_argument("--ids", help="comma-separated doc ids")
@@ -47,17 +48,17 @@ def main() -> None:
     if args.cmd == "delete":
         live = resolve_index_dir(args.index)
         if args.ids_parquet:
-            spark = get_spark("maintain_index", cpus=args.cpus)
+            spark = get_spark("maintain_index", cpus=args.cpus, master=args.master)
             out = delete_docs(live, spark.read.parquet(args.ids_parquet))
         elif args.ids:
             out = delete_docs(live, [int(x) for x in args.ids.split(",")])
         else:
             raise SystemExit("delete needs --ids or --ids-parquet")
     elif args.cmd == "compact":
-        spark = get_spark("maintain_index", cpus=args.cpus)
+        spark = get_spark("maintain_index", cpus=args.cpus, master=args.master)
         out = compact_index(spark, args.index)
     else:
-        spark = get_spark("maintain_index", cpus=args.cpus)
+        spark = get_spark("maintain_index", cpus=args.cpus, master=args.master)
         out = build_term_dict(spark, args.index)
     print(json.dumps(out))
 

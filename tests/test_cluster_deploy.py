@@ -96,3 +96,49 @@ def test_local_cluster_ann_build(spark, tmp_path):
                       .select("vec_id", "list_id", "code0").collect())) == \
         sorted(map(tuple, ann.read_ivfpq_lists(spark, d_local)
                    .select("vec_id", "list_id", "code0").collect()))
+
+
+def test_local_cluster_compaction(spark, tmp_path):
+    """Compaction ships the same way (separate executor JVMs, segment
+    rows through the task-commit writer): build on local-cluster,
+    compact on local-cluster (4x re-shard), then verify the flipped
+    generation is rank-identical to the numpy oracle and the old
+    layout is gone from the serving path."""
+    from logsentinelai_spark.corpus import gen_pages_df, gen_queries
+    from logsentinelai_spark.functions.tokenizer import tokens
+    from logsentinelai_spark.index.bm25 import bm25_oracle_topk
+    from logsentinelai_spark.index.query import topk_local
+    from logsentinelai_spark.index.reader import IndexReader
+
+    idx = str(tmp_path / "lc_cidx")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "build_index.py"),
+         "--synthetic", "2000", "--out", idx,
+         "--shard-size", "256", "--wave-shards", "2",
+         "--master", "local-cluster[2,2,1024]", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd=str(REPO),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    r2 = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "maintain_index.py"),
+         "--index", idx, "--master", "local-cluster[2,2,1024]",
+         "--cpus", "4", "compact"],
+        capture_output=True, text=True, timeout=300, cwd=str(REPO),
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    summary = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert summary["generation"] == 1
+    assert summary["shard_size"] == 1024
+    assert summary["files_after"] < summary["files_before"]
+    assert (Path(idx) / "_generation.json").exists()
+
+    rows = gen_pages_df(spark, 2000, partitions=4).select("url", "text").collect()
+    by_url = sorted((row.url, row.text) for row in rows)
+    doc_tokens = {i: tokens(t) for i, (_, t) in enumerate(by_url)}
+    reader = IndexReader(spark, idx)
+    assert str(reader.dir).endswith("gen_1")
+    assert reader.global_stats()[0] == 2000
+    for q in list(gen_queries().head(4).itertuples()):
+        want = bm25_oracle_topk(doc_tokens, tokens(q.query_text), k=q.k)
+        got = topk_local(reader, q.query_text, k=q.k, mode="acc")
+        assert [d for d, _ in got] == [d for d, _ in want], f"lcc q{q.query_id}"

@@ -523,3 +523,23 @@ def test_significant_terms_matches_python_oracle(spark, built6):
     assert [(row.term, row.fg_df, row.bg_df) for row in got] == [
         (t, fg[t], bg[t]) for _, t in want]
     assert [row.jlh for row in got] == pytest.approx([j for j, _ in want])
+
+
+def test_delete_after_compaction_targets_live_generation(spark, built6, tmp_path):
+    """Root-path deletes AFTER a compaction must land in (and be served
+    from) the live generation — the full lifecycle:
+    compact -> delete(root) -> masked -> compact again -> dropped."""
+    idx = _fresh_copy(built6, tmp_path, "db_gen_del")
+    compact_index(spark, idx)
+    r1 = IndexReader(spark, idx)
+    victim = topk_local(r1, Q, k=1)[0][0]
+    delete_docs(idx, [victim])  # root path, index lives in gen_1
+    assert read_deletes(idx).tolist() == [victim]
+    assert (Path(idx) / "gen_1" / "_deletes.json").exists()
+    r2 = IndexReader(spark, idx)
+    assert victim not in {d for d, _ in topk_local(r2, Q, k=10)}
+    s = compact_index(spark, idx)
+    assert s["dropped_docs"] == 1 and s["generation"] == 2
+    r3 = IndexReader(spark, idx)
+    assert r3.deletes() is None
+    assert victim not in {d for d, _ in topk_local(r3, Q, k=50)}
