@@ -329,7 +329,8 @@ def extend_ann(spark: SparkSession, emb_df: DataFrame, ann_dir: str) -> dict:
     invisible to readers (epoch filter) and the retry recomputes the
     SAME batch (the anti-join baseline is unchanged) into the SAME
     epoch dirs with overwrite — no silent omission, no duplicates."""
-    out = Path(ann_dir)
+    out = _resolve_ann(ann_dir)
+    ann_dir = str(out)
     meta = read_ann_meta(ann_dir)
     cents = [(int(c), v, float(nrm)) for c, v, nrm in meta["centroids"]]
     new_epoch = meta["committed_epoch"] + 1
@@ -349,8 +350,84 @@ def extend_ann(spark: SparkSession, emb_df: DataFrame, ann_dir: str) -> dict:
             "ann_dir": str(out)}
 
 
+def _resolve_ann(ann_dir: str) -> Path:
+    """ANN artifacts live in their committed generation dir after a
+    compact_ann (same _generation.json pointer discipline as the text
+    index — lineage.resolve_index_dir is artifact-agnostic)."""
+    from .lineage import resolve_index_dir
+
+    return resolve_index_dir(str(ann_dir))
+
+
+def compact_ann(spark: SparkSession, ann_dir: str) -> dict:
+    """Epoch compaction for the ANN artifacts — the extend_ann
+    counterpart of compact.compact_index: every committed epoch's rows
+    rewrite into ONE ``gen_K/.../epoch=0`` generation (per-list /
+    per-bucket files coalesce from one-per-epoch to one), and the root
+    ``_generation.json`` pointer flips LAST (atomic rename). Readers
+    resolve the pointer (:func:`_resolve_ann`), so a crash at any point
+    leaves the previous generation served; after the flip the old
+    artifact dirs at the root are removable. The frozen model is
+    carried unchanged — codes are only meaningful against the codebook
+    that produced them, so compaction never re-encodes, it re-lays-out
+    (Lucene's copy-merge, applied to ANN lists)."""
+    import os
+    import shutil
+
+    root = Path(ann_dir)
+    live = _resolve_ann(ann_dir)
+    meta = read_ann_meta(ann_dir)
+    gen = int(meta.get("generation", 0)) + 1
+    gen_dir = root / f"gen_{gen}"
+    if gen_dir.exists():
+        shutil.rmtree(gen_dir)  # uncommitted leftovers from a crash
+    gen_dir.mkdir(parents=True)
+
+    def _files(d: Path) -> int:
+        return sum(1 for _ in d.rglob("*.parquet")) if d.exists() else 0
+
+    files_before = sum(_files(live / a) for a in
+                       ("pq_codes", "ivf_lists", "ivfpq_lists", "lsh_lists"))
+    read_pq_codes(spark, str(live)).write.mode("overwrite").parquet(
+        str(gen_dir / "pq_codes" / "epoch=0"))
+    for name in ("ivf_lists", "ivfpq_lists"):
+        (
+            _read_partitioned_lists(spark, str(live), name, None)
+            .repartition("list_id")  # one file per list again
+            .write.mode("overwrite").partitionBy("list_id")
+            .parquet(str(gen_dir / name / "epoch=0"))
+        )
+    if (live / "lsh_lists").exists():
+        # per hash table, mirror _write_lsh_tables' layout exactly:
+        # lsh_lists/table=t/epoch=0/bucket=b, one file per bucket
+        for tdir in sorted((live / "lsh_lists").glob("table=*")):
+            d = str(tdir)
+            rows = (
+                spark.read.option("basePath", d).parquet(d)
+                .filter(F.col("epoch") <= _committed_epoch(str(live)))
+                .drop("epoch")
+            )
+            (
+                rows.repartition("bucket")
+                .write.mode("overwrite").partitionBy("bucket")
+                .parquet(str(gen_dir / "lsh_lists" / tdir.name / "epoch=0"))
+            )
+    gen_meta = dict(meta, generation=gen, committed_epoch=0,
+                    epochs=[meta["n_vectors"]])
+    (gen_dir / "_ann_meta.json").write_text(json.dumps(gen_meta))
+    ptmp = root / "._generation.json.tmp"
+    ptmp.write_text(json.dumps({"dir": f"gen_{gen}", "generation": gen}))
+    os.replace(ptmp, root / "_generation.json")
+    return {"generation": gen, "dir": str(gen_dir),
+            "n_vectors": meta["n_vectors"],
+            "files_before": files_before,
+            "files_after": sum(_files(gen_dir / a) for a in
+                               ("pq_codes", "ivf_lists", "ivfpq_lists",
+                                "lsh_lists"))}
+
+
 def read_ann_meta(ann_dir: str) -> dict:
-    return json.loads((Path(ann_dir) / "_ann_meta.json").read_text())
+    return json.loads((_resolve_ann(ann_dir) / "_ann_meta.json").read_text())
 
 
 def _committed_epoch(ann_dir: str) -> int:
@@ -361,7 +438,7 @@ def read_pq_codes(spark: SparkSession, ann_dir: str) -> DataFrame:
     """Committed PQ codes: epoch is a partition column, so the
     committed-epoch filter prunes uncommitted (crashed-batch) dirs at
     file-listing time."""
-    d = str(Path(ann_dir) / "pq_codes")
+    d = str(_resolve_ann(ann_dir) / "pq_codes")
     return (
         spark.read.option("basePath", d).parquet(d)
         .filter(F.col("epoch") <= _committed_epoch(ann_dir))
@@ -372,7 +449,7 @@ def read_pq_codes(spark: SparkSession, ann_dir: str) -> DataFrame:
 def _read_partitioned_lists(
     spark: SparkSession, ann_dir: str, name: str, list_ids: list[int] | None
 ) -> DataFrame:
-    d = str(Path(ann_dir) / name)
+    d = str(_resolve_ann(ann_dir) / name)
     df = (
         spark.read.option("basePath", d).parquet(d)
         # uncommitted epochs (a batch that crashed before its meta
@@ -594,7 +671,7 @@ def read_lsh_table(
     """One LSH hash table's bucket-partitioned rows (bucket, vec_id,
     embedding); with ``buckets`` the read is partition-pruned to the
     probed buckets."""
-    d = str(Path(ann_dir) / "lsh_lists" / f"table={table}")
+    d = str(_resolve_ann(ann_dir) / "lsh_lists" / f"table={table}")
     df = (
         spark.read.option("basePath", d).parquet(d)
         .filter(F.col("epoch") <= _committed_epoch(ann_dir))
@@ -617,7 +694,7 @@ def read_lsh_lists(
     the per-table read+join chain, whose per-job overhead dominated at
     fixture scale (measured ~2x the single-scan shape) and whose two
     passes are one too many at any scale."""
-    d = str(Path(ann_dir) / "lsh_lists")
+    d = str(_resolve_ann(ann_dir) / "lsh_lists")
     df = (
         spark.read.option("basePath", d).parquet(d)
         .filter(F.col("epoch") <= _committed_epoch(ann_dir))

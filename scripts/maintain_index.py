@@ -43,6 +43,8 @@ def main() -> None:
                    help="parquet path with a doc_id column")
     sub.add_parser("compact")
     sub.add_parser("term-dict")
+    ca = sub.add_parser("compact-ann")
+    ca.add_argument("--ann-dir", dest="ann_dir", required=True)
     args = ap.parse_args()
 
     if args.cmd == "delete":
@@ -57,6 +59,11 @@ def main() -> None:
     elif args.cmd == "compact":
         spark = get_spark("maintain_index", cpus=args.cpus, master=args.master)
         out = compact_index(spark, args.index)
+    elif args.cmd == "compact-ann":
+        from logsentinelai_spark.index.ann import compact_ann
+
+        spark = get_spark("maintain_index", cpus=args.cpus, master=args.master)
+        out = compact_ann(spark, args.ann_dir)
     else:
         spark = get_spark("maintain_index", cpus=args.cpus, master=args.master)
         out = build_term_dict(spark, args.index)

@@ -257,3 +257,51 @@ def test_extend_ann_crash_replay_is_exactly_once(spark, tmp_path):
     # partial leftovers instead of appending beside them
     pq = ann.read_pq_codes(spark, d)
     assert pq.select("vec_id").distinct().count() == emb.count()
+
+
+def test_compact_ann_rank_identity_files_and_extend_after(spark, tmp_path):
+    """ANN epoch compaction (the extend_ann counterpart of the text
+    index's compact_index): build -> extend x2 -> compact_ann ->
+    ann_search identical for every method pre/post, per-list files
+    coalesce, old root artifacts removable, and a further extend lands
+    in the live generation."""
+    import shutil
+    from pathlib import Path
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    third = emb.filter(F.col("vec_id") % 3 == 0)
+    two_thirds = emb.filter(F.col("vec_id") % 3 != 2)
+    d = str(tmp_path / "cann")
+    cents = sim._centroid_rows(spark, SF)
+    cbs = sim._pq_codebooks(spark, SF)
+    ann.build_ann(spark, third, d, cents, cbs, lsh_planes=_planes())
+    ann.extend_ann(spark, two_thirds, d)
+    ann.extend_ann(spark, emb, d)
+    qrows = emb.orderBy("vec_id").limit(3).collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+
+    def _probe():
+        out = {}
+        for method in ("pq", "ivfpq", "ivf", "lsh"):
+            rows = ann.ann_search(spark, d, queries, method=method,
+                                  k=5, n_probe=2, multiprobe=1).collect()
+            out[method] = sorted(
+                (r.query_id, r.rank, r.neighbor_id, round(r.score, 6))
+                for r in rows)
+        return out
+
+    before = _probe()
+    s = ann.compact_ann(spark, d)
+    assert s["generation"] == 1
+    assert s["n_vectors"] == emb.count()
+    assert s["files_after"] < s["files_before"]
+    assert _probe() == before
+    # old generation removable: the pointer + gen dir serve everything
+    for sub in ("pq_codes", "ivf_lists", "ivfpq_lists", "lsh_lists"):
+        shutil.rmtree(Path(d) / sub, ignore_errors=True)
+    Path(d, "_ann_meta.json").unlink()
+    assert _probe() == before
+    # extend after compaction: nothing new -> no-op; epochs live in gen
+    s2 = ann.extend_ann(spark, emb, d)
+    assert s2["new_vectors"] == 0
+    assert _probe() == before
