@@ -653,6 +653,152 @@ ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+# ------------------------------------------------- wildcard query (ES wildcard)
+
+# ES wildcard query: Lucene WildcardQuery automaton over the term
+# dictionary. Fixture "s*a*" expands to scan/small/spark/stream on the
+# documents vocabulary — a literal-prefix-prunable pattern (the scan
+# seeks to 's' first, the honest Lucene shape).
+WILDCARD_Q = "s*a*"
+_WILDCARD_LIKE = WILDCARD_Q.replace("*", "%").replace("?", "_")
+
+
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``wildcard`` query, naive Catalyst twin: disjunctive BM25
+    over every vocabulary term matching the pattern (SQL LIKE with
+    ``*``->``%``, ``?``->``_`` — same language), per-term idf (Lucene
+    ``top_terms_N`` blended rewrite), pinned tie-break."""
+    from .index.naive import bm25_score_expr
+
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    sc = (
+        postings.filter(F.col("term").like(_WILDCARD_LIKE))
+        .join(tstats, "term")
+        .join(dstats, "doc_id")
+        .crossJoin(gstats)
+        .withColumn("contrib", bm25_score_expr())
+    )
+    return (
+        sc.groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def q_wildcard_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME wildcard query served from the physical index: the
+    sorted term dictionary is range-pruned by the pattern's literal
+    prefix, the anchored-regex automaton matches the survivors, and
+    the existing disjunctive scorer runs bucket-pruned on the
+    expansion (index/termdict.py::expand_wildcard). Same DuckDB
+    oracle — three independent methods."""
+    from .index.reader import IndexReader
+    from .index.termdict import ensure_term_dict, wildcard_topk_local
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    ensure_term_dict(spark, reader)
+    res = wildcard_topk_local(reader, WILDCARD_Q, k=10)
+    urls = reader.doc_urls_local([d for d, _ in res])
+    rows = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
+    schema = "doc_id long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_wildcard_topk() -> str:
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.term LIKE '{_WILDCARD_LIKE}'
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+# ------------------------------------------------- fuzzy query (ES fuzzy)
+
+# ES fuzzy query: Lucene FuzzyQuery (Levenshtein automaton, fuzziness
+# <= 2). Fixture "grup" at fuzziness=2, prefix_length=0 expands to
+# group (df 934) and dup (df 29) — two matches with a 30x df contrast,
+# so the per-expansion idf blend is actually exercised.
+FUZZY_Q = "grup"
+FUZZINESS = 2
+
+
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``fuzzy`` query, naive Catalyst twin: disjunctive BM25 over
+    every vocabulary term within ``FUZZINESS`` edits of the query
+    (JVM ``levenshtein`` — codegen, no Python), per-term idf, pinned
+    tie-break."""
+    from .index.naive import bm25_score_expr
+
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    sc = (
+        postings
+        .filter(F.levenshtein(F.col("term"), F.lit(FUZZY_Q)) <= FUZZINESS)
+        .join(tstats, "term")
+        .join(dstats, "doc_id")
+        .crossJoin(gstats)
+        .withColumn("contrib", bm25_score_expr())
+    )
+    return (
+        sc.groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def q_fuzzy_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME fuzzy query served from the physical index: banded
+    Levenshtein over the term dictionary (Lucene's automaton walk,
+    same result set), then the disjunctive scorer bucket-pruned on the
+    expansion (index/termdict.py::expand_fuzzy). Same DuckDB oracle —
+    three independent methods."""
+    from .index.reader import IndexReader
+    from .index.termdict import ensure_term_dict, fuzzy_topk_local
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    ensure_term_dict(spark, reader)
+    res = fuzzy_topk_local(reader, FUZZY_Q, k=10, fuzziness=FUZZINESS)
+    urls = reader.doc_urls_local([d for d, _ in res])
+    rows = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
+    schema = "doc_id long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_fuzzy_topk() -> str:
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE levenshtein(tf.term, '{FUZZY_Q}') <= {FUZZINESS}
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
 # --------------------------------- match_phrase_prefix (phrase autocomplete)
 
 # ES match_phrase_prefix: the LAST token is a prefix (Lucene
@@ -977,6 +1123,37 @@ def sql_events_formula() -> str:
     )
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles`` aggregation analog: p50/p95/p99 of value per
+    event_type. ES serves these from a TDigest sketch; at gate scale
+    we use Spark's EXACT ``percentile`` (R-7 linear interpolation,
+    same as DuckDB ``quantile_cont``) so the result is hash-gateable.
+    The sketch path for 100 TB is ``percentile_approx`` — same plan
+    shape (one partial+final agg), swapped in by an argument, and
+    pytest-bounded against the exact result (tests/test_round6.py)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p95"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+        )
+    )
+
+
+def sql_events_percentiles() -> str:
+    return (
+        "SELECT event_type, "
+        "round(quantile_cont(value, 0.5), 6) AS p50, "
+        "round(quantile_cont(value, 0.95), 6) AS p95, "
+        "round(quantile_cont(value, 0.99), 6) AS p99 "
+        "FROM events GROUP BY event_type"
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1050,6 +1227,10 @@ QUERIES = {
     "search_agg_idx": q_search_agg_idx,
     "prefix_topk": q_prefix_topk,
     "prefix_topk_idx": q_prefix_topk_idx,
+    "wildcard_topk": q_wildcard_topk,
+    "wildcard_topk_idx": q_wildcard_topk_idx,
+    "fuzzy_topk": q_fuzzy_topk,
+    "fuzzy_topk_idx": q_fuzzy_topk_idx,
     "phrase_prefix": q_phrase_prefix,
     "phrase_prefix_idx": q_phrase_prefix_idx,
     "significant_terms": q_significant_terms,
@@ -1059,6 +1240,7 @@ QUERIES = {
     "events_terms": q_events_terms_topk,
     "events_date_histogram": q_events_date_histogram,
     "events_formula": q_events_formula,
+    "events_percentiles": q_events_percentiles,
     "events_props": q_events_props,
     "events_pivot": q_events_pivot,
     # geo enrichment + map aggregation (SURVEY §2 J1/Q7/F4/F5)
@@ -1120,6 +1302,10 @@ ORACLES = {
     "search_agg_idx": sql_search_agg(),
     "prefix_topk": sql_prefix_topk(),
     "prefix_topk_idx": sql_prefix_topk(),
+    "wildcard_topk": sql_wildcard_topk(),
+    "wildcard_topk_idx": sql_wildcard_topk(),
+    "fuzzy_topk": sql_fuzzy_topk(),
+    "fuzzy_topk_idx": sql_fuzzy_topk(),
     "phrase_prefix": sql_phrase_prefix(),
     "phrase_prefix_idx": sql_phrase_prefix(),
     "significant_terms": sql_significant_terms(),
@@ -1128,6 +1314,7 @@ ORACLES = {
     "events_terms": sql_events_terms_topk(),
     "events_date_histogram": sql_events_date_histogram(),
     "events_formula": sql_events_formula(),
+    "events_percentiles": sql_events_percentiles(),
     "events_props": sql_events_props(),
     "events_pivot": sql_events_pivot(),
     "geo_enrich": _geo.SQL_GEO_ENRICH,

@@ -128,6 +128,190 @@ def expand_prefix(reader, prefix: str, max_terms: int = 50
     return [p[0] for p in pairs[:max_terms]], truncated
 
 
+def _literal_prefix(pattern: str) -> str:
+    """Chars before the first wildcard metachar — the dictionary range
+    scan can prune by this literal (Lucene's term-index seek before the
+    automaton walk). Empty for leading-wildcard patterns, which is
+    exactly why ES warns about them: the scan degrades to full-dict."""
+    out = []
+    for ch in pattern:
+        if ch in "*?":
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def _wildcard_regex(pattern: str):
+    """ES/Lucene wildcard -> anchored regex: ``*`` = any run, ``?`` =
+    any single char, everything else literal."""
+    import re
+
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return re.compile("^" + "".join(parts) + "$")
+
+
+def _read_dict_range(reader, lo: str | None, columns=("term", "df")):
+    """One pruned pyarrow range read of the sorted sidecar: ``lo`` is a
+    literal prefix bound (None = full dictionary — disclosed by the
+    callers that need it). Row-group min/max stats on the term-sorted
+    files serve the prune."""
+    import pyarrow.dataset as pads
+
+    d = reader.dir / "term_dict"
+    if _pointer(reader.dir) is None:
+        raise FileNotFoundError(
+            f"no committed term_dict in {reader.dir}; run build_term_dict")
+    ds = pads.dataset(str(d), format="parquet")
+    flt = None
+    if lo:
+        flt = (pads.field("term") >= lo) & (pads.field("term") < lo + "{")
+    t = ds.to_table(filter=flt, columns=list(columns))
+    return t
+
+
+def _cap_by_df(pairs: list[tuple[str, int]], max_terms: int
+               ) -> tuple[list[str], bool]:
+    """ES ``top_terms_N`` blended-rewrite cap: keep the highest-df
+    expansions (ties: term asc — deterministic), report truncation."""
+    pairs = sorted(pairs, key=lambda p: (-p[1], p[0]))
+    truncated = len(pairs) > max_terms
+    return [p[0] for p in pairs[:max_terms]], truncated
+
+
+def expand_wildcard(reader, pattern: str, max_terms: int = 50
+                    ) -> tuple[list[str], bool]:
+    """ES ``wildcard`` query expansion: dictionary scan pruned by the
+    pattern's literal prefix (when one exists), anchored-regex match on
+    the surviving terms, capped like :func:`expand_prefix`. A
+    leading-wildcard pattern scans the whole dictionary — the honest
+    Lucene behavior (and ES's documented anti-pattern); the dictionary
+    is O(vocabulary) thin columns, not postings, so even that scan
+    never touches a posting blob."""
+    if not pattern.strip("*?"):
+        raise ValueError("wildcard pattern needs at least one literal char")
+    rx = _wildcard_regex(pattern)
+    t = _read_dict_range(reader, _literal_prefix(pattern) or None)
+    pairs = [(term, df) for term, df in
+             zip(t.column("term").to_pylist(), t.column("df").to_pylist())
+             if rx.match(term)]
+    return _cap_by_df(pairs, max_terms)
+
+
+def _lev_within(a: str, b: str, d: int) -> bool:
+    """Banded Levenshtein <= d (early exit when a whole DP row exceeds
+    the bound). O(len*band) per pair over a vocabulary-bounded
+    candidate list."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return False
+    inf = d + 1  # out-of-band sentinel: anything > d never recovers
+    prev = [j if j <= d else inf for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        cur = [inf] * (lb + 1)
+        cur[0] = i if i <= d else inf
+        lo = max(1, i - d)
+        hi = min(lb, i + d)
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]), inf)
+        if min(cur[lo:hi + 1], default=inf) > d and cur[0] > d:
+            return False
+        prev = cur
+    return prev[lb] <= d
+
+
+def expand_fuzzy(reader, term: str, fuzziness: int = 2,
+                 prefix_length: int = 0, max_terms: int = 50
+                 ) -> tuple[list[str], bool]:
+    """ES ``fuzzy`` query expansion: terms within ``fuzziness`` edits
+    (Levenshtein; Lucene walks an automaton, we band-DP the candidate
+    list — same result set). ``prefix_length`` > 0 pins the first chars
+    exact AND prunes the dictionary read to that literal range — ES's
+    own recommended lever for fuzzy cost. With prefix_length=0 the
+    candidate read is the full (thin, sorted) dictionary; at
+    web-vocabulary scale route that case through
+    :func:`expand_fuzzy_spark` instead of the driver."""
+    if fuzziness not in (0, 1, 2):
+        raise ValueError("fuzziness must be 0, 1 or 2 (ES AUTO max)")
+    pre = term[:prefix_length] if prefix_length > 0 else None
+    t = _read_dict_range(reader, pre)
+    pairs = [(cand, df) for cand, df in
+             zip(t.column("term").to_pylist(), t.column("df").to_pylist())
+             if _lev_within(term, cand, fuzziness)]
+    return _cap_by_df(pairs, max_terms)
+
+
+def expand_fuzzy_spark(spark: SparkSession, reader, term: str,
+                       fuzziness: int = 2, prefix_length: int = 0,
+                       max_terms: int = 50) -> tuple[list[str], bool]:
+    """Distributed twin of :func:`expand_fuzzy` for web-scale
+    vocabularies: ONE narrow Spark scan of the dictionary parquet with
+    ``F.levenshtein`` (JVM codegen, threshold-pruned by Catalyst's
+    levenshtein(max-distance) form) — the driver only collects the
+    capped expansion, never the vocabulary."""
+    dic = spark.read.parquet(str(reader.dir / "term_dict"))
+    if prefix_length > 0:
+        dic = dic.filter(F.col("term").startswith(term[:prefix_length]))
+    hits = (
+        dic.filter(F.levenshtein(F.col("term"), F.lit(term), fuzziness) >= 0)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_terms + 1)
+        .select("term", "df").collect()
+    )
+    return _cap_by_df([(r["term"], r["df"]) for r in hits], max_terms)
+
+
+def wildcard_topk_local(reader, pattern: str, k: int = 10,
+                        max_terms: int = 50, mode: str = "auto"):
+    """Driver-local ES ``wildcard`` query: dictionary expansion + the
+    existing disjunctive BM25 scorer (per-term idf, Lucene
+    ``top_terms_N`` blend). Returns [(doc_id, score)]."""
+    from .query import topk_local_terms
+
+    terms, _ = expand_wildcard(reader, pattern, max_terms)
+    return topk_local_terms(reader, terms, k, mode)
+
+
+def wildcard_topk(reader, pattern: str, k: int = 10,
+                  max_terms: int = 50, mode: str = "auto"):
+    """Distributed twin of :func:`wildcard_topk_local` — postings scan
+    bucket-pruned by the expanded terms, same plan as multi-term."""
+    from .query import topk_terms
+
+    terms, _ = expand_wildcard(reader, pattern, max_terms)
+    return topk_terms(reader, terms, k, mode)
+
+
+def fuzzy_topk_local(reader, term: str, k: int = 10, fuzziness: int = 2,
+                     prefix_length: int = 0, max_terms: int = 50,
+                     mode: str = "auto"):
+    """Driver-local ES ``fuzzy`` query: Levenshtein expansion + the
+    existing disjunctive BM25 scorer. Returns [(doc_id, score)]."""
+    from .query import topk_local_terms
+
+    terms, _ = expand_fuzzy(reader, term, fuzziness, prefix_length,
+                            max_terms)
+    return topk_local_terms(reader, terms, k, mode)
+
+
+def fuzzy_topk(reader, term: str, k: int = 10, fuzziness: int = 2,
+               prefix_length: int = 0, max_terms: int = 50,
+               mode: str = "auto"):
+    """Distributed twin of :func:`fuzzy_topk_local`."""
+    from .query import topk_terms
+
+    terms, _ = expand_fuzzy(reader, term, fuzziness, prefix_length,
+                            max_terms)
+    return topk_terms(reader, terms, k, mode)
+
+
 def prefix_topk_local(reader, prefix: str, k: int = 10,
                       max_terms: int = 50, mode: str = "auto"):
     """Driver-local ES ``prefix`` query: dictionary expansion + the

@@ -543,3 +543,124 @@ def test_delete_after_compaction_targets_live_generation(spark, built6, tmp_path
     r3 = IndexReader(spark, idx)
     assert r3.deletes() is None
     assert victim not in {d for d, _ in topk_local(r3, Q, k=50)}
+
+
+# ---------------------------------------------------- wildcard + fuzzy
+
+def test_wildcard_expansion_and_rank_identity(spark, built6):
+    import fnmatch
+
+    from logsentinelai_spark.index.termdict import (
+        expand_wildcard, wildcard_topk, wildcard_topk_local,
+    )
+
+    idx = built6["idx"]
+    r = IndexReader(spark, idx)
+    ensure_term_dict(spark, r)
+    vocab = {t for toks in built6["doc_tokens"].values() for t in toks}
+    # anchored-automaton semantics == fnmatch on the same alphabet,
+    # including '?' and the leading-wildcard full-dict case
+    for pat in ("s*", "*ing", "s?a*", "*a*e*", "t?e"):
+        want = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))
+        got, truncated = expand_wildcard(r, pat, max_terms=10_000)
+        assert sorted(got) == want and not truncated, pat
+    # cap keeps highest-df, reports truncation
+    full, _ = expand_wildcard(r, "s*", max_terms=10_000)
+    if len(full) > 2:
+        capped, truncated = expand_wildcard(r, "s*", max_terms=2)
+        assert truncated and capped == full[:2]
+    # no-literal patterns are rejected, not a full-vocab regex walk
+    with pytest.raises(ValueError):
+        expand_wildcard(r, "*")
+    # scoring == the disjunctive scorer over the expansion; local ==
+    # distributed
+    terms, _ = expand_wildcard(r, "s*a*", max_terms=10_000)
+    want_rank = topk_local_terms(r, terms, k=10, mode="acc")
+
+    def _eq(got):
+        assert [d for d, _ in got] == [d for d, _ in want_rank]
+        assert [s for _, s in got] == pytest.approx([s for _, s in want_rank])
+
+    _eq(wildcard_topk_local(r, "s*a*", k=10, max_terms=10_000))
+    _eq(wildcard_topk(r, "s*a*", k=10, max_terms=10_000))
+
+
+def _ref_lev(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, len(b) + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[len(b)]
+
+
+def test_fuzzy_expansion_semantics_and_rank_identity(spark, built6):
+    from logsentinelai_spark.index.termdict import (
+        expand_fuzzy, expand_fuzzy_spark, fuzzy_topk, fuzzy_topk_local,
+    )
+
+    idx = built6["idx"]
+    r = IndexReader(spark, idx)
+    ensure_term_dict(spark, r)
+    vocab = {t for toks in built6["doc_tokens"].values() for t in toks}
+    probe = sorted(vocab)[7]
+    queries = [probe, probe[:-1] + "x", "x" + probe, probe[1:], "zzzz"]
+    for q in queries:
+        for fz in (0, 1, 2):
+            want = sorted(t for t in vocab if _ref_lev(q, t) <= fz)
+            got, _ = expand_fuzzy(r, q, fuzziness=fz, max_terms=10_000)
+            assert sorted(got) == want, (q, fz)
+            # the distributed dictionary-scan twin expands identically
+            got_s, _ = expand_fuzzy_spark(spark, r, q, fuzziness=fz,
+                                          max_terms=10_000)
+            assert sorted(got_s) == want, (q, fz)
+    # prefix_length pins the first chars exact (ES lever): every
+    # expansion shares them, and nothing sharing them is missed
+    q = probe[:-1] + "x"
+    got_p, _ = expand_fuzzy(r, q, fuzziness=2, prefix_length=1,
+                            max_terms=10_000)
+    want_p = sorted(t for t in vocab
+                    if t[:1] == q[:1] and _ref_lev(q, t) <= 2)
+    assert sorted(got_p) == want_p
+    with pytest.raises(ValueError):
+        expand_fuzzy(r, probe, fuzziness=3)
+    # scoring == disjunctive scorer over the expansion; local == dist
+    terms, _ = expand_fuzzy(r, q, fuzziness=2, max_terms=10_000)
+    if terms:
+        want_rank = topk_local_terms(r, terms, k=10, mode="acc")
+        got_l = fuzzy_topk_local(r, q, k=10, fuzziness=2, max_terms=10_000)
+        got_d = fuzzy_topk(r, q, k=10, fuzziness=2, max_terms=10_000)
+        for got in (got_l, got_d):
+            assert [d for d, _ in got] == [d for d, _ in want_rank]
+            assert [s for _, s in got] == pytest.approx(
+                [s for _, s in want_rank])
+
+
+def test_percentile_approx_bounded_vs_exact(spark):
+    """The 100 TB path for the percentiles agg swaps exact
+    ``percentile`` for the ``percentile_approx`` sketch (same one
+    partial+final agg plan). Bound the sketch's rank error against the
+    exact R-7 result on a skewed fixture."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.pow(F.xxhash64("id") % 1000 / 1000 + 1.0, 8)).alias("v"),
+    )
+    rows = (
+        df.groupBy("g").agg(
+            F.expr("percentile(v, array(0.5D, 0.95D, 0.99D))").alias("ex"),
+            F.expr("percentile_approx(v, array(0.5D, 0.95D, 0.99D), 10000)")
+            .alias("ap"),
+            F.expr("approx_count_distinct(v)").alias("acd"),
+            F.countDistinct("v").alias("cd"),
+        )
+    ).collect()
+    assert len(rows) == 5
+    for row in rows:
+        for e, a in zip(row.ex, row.ap):
+            assert abs(a - e) <= 0.05 * max(abs(e), 1e-9), (row.g, e, a)
+        # cardinality agg analog: HLL++ within its documented rsd
+        assert abs(row.acd - row.cd) <= 0.1 * row.cd
