@@ -1,7 +1,8 @@
-"""Sorted term dictionary sidecar + prefix queries.
+"""Sorted term dictionary sidecar + prefix / wildcard / fuzzy queries.
 
-ES ``prefix`` / ``match_phrase_prefix`` / query-bar autocomplete are
-Lucene term-dictionary range scans (the ``.tim`` terms index). Our
+ES ``prefix`` / ``wildcard`` / ``fuzzy`` / ``match_phrase_prefix`` /
+query-bar autocomplete are all Lucene term-dictionary walks (range
+scans or automaton intersections over the ``.tim`` terms index). Our
 posting layout prunes by HASHED ``term_bucket`` (build.py), so a prefix
 query cannot prune postings by itself — it first needs the dictionary:
 

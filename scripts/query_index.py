@@ -13,10 +13,13 @@ ES bool queries (must/should/must_not, Lucene BooleanQuery scoring):
     ... query_index.py --index /data/index_db \
         --must "web ranking" [--should "fast"] [--must-not "spam"]
 
-ES prefix queries (term-dictionary expansion; builds the sidecar on
-first use):
+ES prefix / wildcard / fuzzy queries (term-dictionary expansion;
+builds the sidecar on first use):
 
     ... query_index.py --index /data/index_db --prefix "ran"
+    ... query_index.py --index /data/index_db --wildcard "r?nk*"
+    ... query_index.py --index /data/index_db --fuzzy "rankign" \
+        [--fuzziness 2 --prefix-length 1]
 """
 
 from __future__ import annotations
@@ -47,9 +50,17 @@ def main() -> None:
     ap.add_argument("--must-not", default="", dest="must_not",
                     help="bool query: docs with any of these are excluded")
     ap.add_argument("--prefix", help="ES prefix query (autocomplete)")
+    ap.add_argument("--wildcard", help="ES wildcard query (* and ?)")
+    ap.add_argument("--fuzzy", help="ES fuzzy query (Levenshtein expansion)")
+    ap.add_argument("--fuzziness", type=int, default=2, choices=[0, 1, 2])
+    ap.add_argument("--prefix-length", type=int, default=0,
+                    dest="prefix_length",
+                    help="fuzzy: pin the first N chars exact (prunes the "
+                         "dictionary scan)")
     ap.add_argument("--max-expansions", type=int, default=50,
                     dest="max_expansions",
-                    help="prefix expansion cap (highest-df kept)")
+                    help="expansion cap for prefix/wildcard/fuzzy "
+                         "(highest-df kept)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["auto", "wand", "acc"], default="auto")
     ap.add_argument("--local", action="store_true",
@@ -76,6 +87,44 @@ def main() -> None:
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({
             "prefix": args.prefix, "expanded_terms": terms,
+            "truncated_at": args.max_expansions if truncated else None,
+            "ms": round(ms, 1), "hits": [list(r) for r in res]}))
+        return
+    if args.wildcard:
+        from logsentinelai_spark.index.termdict import (
+            ensure_term_dict, expand_wildcard, wildcard_topk,
+            wildcard_topk_local)
+
+        ensure_term_dict(spark, reader)
+        terms, truncated = expand_wildcard(
+            reader, args.wildcard, args.max_expansions)
+        fn = wildcard_topk_local if args.local else wildcard_topk
+        t0 = time.monotonic()
+        res = fn(reader, args.wildcard, k=args.k,
+                 max_terms=args.max_expansions, mode=args.mode)
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "wildcard": args.wildcard, "expanded_terms": terms,
+            "truncated_at": args.max_expansions if truncated else None,
+            "ms": round(ms, 1), "hits": [list(r) for r in res]}))
+        return
+    if args.fuzzy:
+        from logsentinelai_spark.index.termdict import (
+            ensure_term_dict, expand_fuzzy, fuzzy_topk, fuzzy_topk_local)
+
+        ensure_term_dict(spark, reader)
+        terms, truncated = expand_fuzzy(
+            reader, args.fuzzy, args.fuzziness, args.prefix_length,
+            args.max_expansions)
+        fn = fuzzy_topk_local if args.local else fuzzy_topk
+        t0 = time.monotonic()
+        res = fn(reader, args.fuzzy, k=args.k, fuzziness=args.fuzziness,
+                 prefix_length=args.prefix_length,
+                 max_terms=args.max_expansions, mode=args.mode)
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "fuzzy": args.fuzzy, "fuzziness": args.fuzziness,
+            "expanded_terms": terms,
             "truncated_at": args.max_expansions if truncated else None,
             "ms": round(ms, 1), "hits": [list(r) for r in res]}))
         return
