@@ -799,6 +799,108 @@ ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+# ------------------------------------------------- highlight (ES highlight)
+
+# ES highlight: each hit returns a fragment of the source with the
+# matched terms wrapped in <em> tags. Deterministic fragmenter: a
+# 7-token window starting 3 tokens before the FIRST occurrence of any
+# query term (clamped at the document start; short docs yield short
+# fragments), every query-term occurrence inside the window wrapped.
+HL_BEFORE, HL_LEN = 3, 7
+
+
+def _hl_exprs(terms: list[str]) -> tuple[str, str]:
+    """(pos_expr, frag_expr) over a ``tokens`` array column — pure
+    Catalyst higher-order functions, no Python in the row path."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    pos = (
+        "array_min(filter(transform(tokens, (t, i) -> "
+        f"IF(t IN ({in_list}), i, CAST(NULL AS INT))), p -> p IS NOT NULL))"
+    )
+    frag = (
+        f"array_join(transform(slice(tokens, greatest(0, {pos} - {HL_BEFORE})"
+        f" + 1, {HL_LEN}), t -> IF(t IN ({in_list}), "
+        "concat('<em>', t, '</em>'), t)), ' ')"
+    )
+    return pos, frag
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``highlight`` on the flagship query's top-10: BM25 ranking
+    (naive Catalyst twin) joined to a fragment projection computed
+    with higher-order array functions (whole-stage codegen)."""
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    top = bm25_topk_naive(
+        postings, dstats, tstats, gstats, FLAGSHIP_QUERY, k=10
+    ).select("doc_id", F.round("score", 6).alias("score"))
+    _, frag = _hl_exprs(sorted(set(FLAGSHIP_QUERY.split())))
+    frags = tok.select("doc_id", F.expr(frag).alias("fragment"))
+    return (F.broadcast(top).join(frags, "doc_id")
+            .select("doc_id", "score", "fragment"))
+
+
+def q_highlight_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME highlight served the production way: the physical
+    index ranks (topk_local), then ONE corpus lookup bounded to the k
+    hit doc_ids (isin predicate — pushed to the parquet scan) renders
+    the fragments. Same DuckDB oracle as the naive twin."""
+    from .index.query import topk_local
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    res = topk_local(reader, FLAGSHIP_QUERY, k=10)
+    urls = reader.doc_urls_local([d for d, _ in res])
+    scores = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
+    schema = "doc_id long, score double"
+    top = (spark.createDataFrame(scores, schema) if scores
+           else spark.createDataFrame([], schema))
+    ids = [i for i, _ in scores]
+    _, frag = _hl_exprs(sorted(set(FLAGSHIP_QUERY.split())))
+    frags = (
+        tokenized_documents(spark, sf_dir)
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", F.expr(frag).alias("fragment"))
+    )
+    return top.join(frags, "doc_id").select("doc_id", "score", "fragment")
+
+
+def sql_highlight() -> str:
+    qterms = sorted(set(FLAGSHIP_QUERY.split()))
+    in_list = ", ".join(f"'{t}'" for t in qterms)
+    values = ", ".join(f"('{t}')" for t in qterms)
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id),
+top AS (SELECT doc_id, round(s, 6) AS score FROM scored
+        ORDER BY s DESC, doc_id LIMIT 10),
+toks AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS t
+         FROM documents WHERE doc_id IN (SELECT doc_id FROM top)),
+frag AS (
+  SELECT doc_id,
+         greatest(0, list_min(list_filter(range(len(t)),
+                     i -> t[i+1] IN ({in_list}))) - {HL_BEFORE}) AS st,
+         t
+  FROM toks)
+SELECT top.doc_id, top.score,
+       array_to_string(list_transform(list_slice(f.t, f.st + 1, f.st + {HL_LEN}),
+           x -> CASE WHEN x IN ({in_list}) THEN '<em>' || x || '</em>'
+                     ELSE x END), ' ') AS fragment
+FROM top JOIN frag f USING (doc_id)
+"""
+
+
 # --------------------------------- match_phrase_prefix (phrase autocomplete)
 
 # ES match_phrase_prefix: the LAST token is a prefix (Lucene
@@ -1123,6 +1225,54 @@ def sql_events_formula() -> str:
     )
 
 
+def q_events_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_hits`` aggregation analog: per event_type, the top-3
+    full event rows by value (tie: event_id asc — pinned). One window
+    rank, no per-group collect."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", F.col("rn").cast("int").alias("rn"),
+                "event_id", "user_id", F.round("value", 6).alias("value"))
+    )
+
+
+def sql_events_top_hits() -> str:
+    return (
+        "SELECT event_type, CAST(rn AS INT) AS rn, event_id, user_id, "
+        "round(value, 6) AS value FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id) AS rn FROM events) "
+        "WHERE rn <= 3"
+    )
+
+
+def q_events_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``cardinality`` aggregation analog, exact twin: distinct
+    users and distinct active days per event_type. ES serves this from
+    HLL++; so does Spark's ``approx_count_distinct`` — same partial+
+    final agg plan, swapped in by an argument at 100 TB and
+    pytest-bounded against this exact result (tests/test_round6.py)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+    )
+
+
+def sql_events_cardinality() -> str:
+    return (
+        "SELECT event_type, count(DISTINCT user_id) AS n_users, "
+        "count(DISTINCT date_trunc('day', ts)) AS n_days "
+        "FROM events GROUP BY event_type"
+    )
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``percentiles`` aggregation analog: p50/p95/p99 of value per
     event_type. ES serves these from a TDigest sketch; at gate scale
@@ -1231,6 +1381,8 @@ QUERIES = {
     "wildcard_topk_idx": q_wildcard_topk_idx,
     "fuzzy_topk": q_fuzzy_topk,
     "fuzzy_topk_idx": q_fuzzy_topk_idx,
+    "highlight": q_highlight,
+    "highlight_idx": q_highlight_idx,
     "phrase_prefix": q_phrase_prefix,
     "phrase_prefix_idx": q_phrase_prefix_idx,
     "significant_terms": q_significant_terms,
@@ -1241,6 +1393,8 @@ QUERIES = {
     "events_date_histogram": q_events_date_histogram,
     "events_formula": q_events_formula,
     "events_percentiles": q_events_percentiles,
+    "events_top_hits": q_events_top_hits,
+    "events_cardinality": q_events_cardinality,
     "events_props": q_events_props,
     "events_pivot": q_events_pivot,
     # geo enrichment + map aggregation (SURVEY §2 J1/Q7/F4/F5)
@@ -1306,6 +1460,9 @@ ORACLES = {
     "wildcard_topk_idx": sql_wildcard_topk(),
     "fuzzy_topk": sql_fuzzy_topk(),
     "fuzzy_topk_idx": sql_fuzzy_topk(),
+    "highlight": sql_highlight(),
+    # index-ranked + bounded corpus lookup, same oracle — third method
+    "highlight_idx": sql_highlight(),
     "phrase_prefix": sql_phrase_prefix(),
     "phrase_prefix_idx": sql_phrase_prefix(),
     "significant_terms": sql_significant_terms(),
@@ -1315,6 +1472,8 @@ ORACLES = {
     "events_date_histogram": sql_events_date_histogram(),
     "events_formula": sql_events_formula(),
     "events_percentiles": sql_events_percentiles(),
+    "events_top_hits": sql_events_top_hits(),
+    "events_cardinality": sql_events_cardinality(),
     "events_props": sql_events_props(),
     "events_pivot": sql_events_pivot(),
     "geo_enrich": _geo.SQL_GEO_ENRICH,
