@@ -148,6 +148,62 @@ SELECT doc_id, round(s, 6) AS score FROM scored ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+# --------------------------------------------- search_after (deep pagination)
+
+
+def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after`` page 2 of the flagship query, naive Catalyst
+    twin: ranks 11-20 in (score desc, doc_id asc) order (offset+limit
+    over the scored set)."""
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    out = bm25_topk_naive(postings, dstats, tstats, gstats, FLAGSHIP_QUERY,
+                          k=20)
+    return (out.orderBy(F.desc("score"), F.asc("doc_id")).offset(10)
+            .select("doc_id", F.round("score", 6).alias("score")))
+
+
+def q_bm25_page2_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME page served the production way: page 1 from the index
+    (topk_local), then its last hit becomes the search_after cursor —
+    the scorer masks everything at-or-before the cursor BEFORE
+    per-shard top-k selection, so no page-1 re-materialization and no
+    deep offset (ES's from+size scaling fix). Same DuckDB oracle."""
+    from .index.query import topk_local
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    page1 = topk_local(reader, FLAGSHIP_QUERY, k=10)
+    cursor = (page1[-1][1], page1[-1][0]) if page1 else None
+    res = topk_local(reader, FLAGSHIP_QUERY, k=10, search_after=cursor)
+    urls = reader.doc_urls_local([d for d, _ in res])
+    rows = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
+    schema = "doc_id long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_bm25_page2() -> str:
+    qterms = sorted(set(FLAGSHIP_QUERY.split()))
+    terms = ", ".join(f"('{t}')" for t in qterms)
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {terms}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10
+"""
+
+
 # ---------------------------------------------------------------- phrase top-k
 
 # second phrase pins OVERLAP semantics: "batch batch batch" contains
@@ -1368,6 +1424,8 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "global_stats": q_global_stats,
     "bm25_topk": q_bm25_topk,
+    "bm25_page2": q_bm25_page2,
+    "bm25_page2_idx": q_bm25_page2_idx,
     "phrase_topk": q_phrase_topk,
     "phrase_topk_idx": q_phrase_topk_idx,
     "span_near": q_span_near,
@@ -1442,6 +1500,9 @@ ORACLES = {
     "doc_stats": sql_doc_stats(),
     "global_stats": sql_global_stats(),
     "bm25_topk": sql_bm25_topk(),
+    "bm25_page2": sql_bm25_page2(),
+    # cursor-paginated index path, same oracle — third method
+    "bm25_page2_idx": sql_bm25_page2(),
     "phrase_topk": sql_phrase_topk(),
     # the positional-index path must reproduce the naive recount
     # exactly — same oracle, independent third method

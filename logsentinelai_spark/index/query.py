@@ -22,6 +22,8 @@ terms evenly, so query work per task is ~|postings(q) ∩ shard|.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -56,12 +58,27 @@ def _topk_merge(pairs: list[tuple[int, float]], k: int) -> list[tuple[int, float
 
 # ----------------------------------------------------------------- shard scorers
 
-def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int, codec: str = "varbyte", excl=None):
+def _after_mask(uniq: np.ndarray, sums: np.ndarray, after):
+    """ES ``search_after`` cursor: keep only docs STRICTLY after the
+    cursor in (score desc, doc_id asc) order. Applied before per-shard
+    top-k selection — a shard's page-N hits need not be in its local
+    page-1 top-k. Score equality against the cursor is exact: both
+    sides come from the identical float pipeline (rank-identity is
+    already a gate invariant across paths)."""
+    if after is None or not len(uniq):
+        return uniq, sums
+    s_c, d_c = float(after[0]), int(after[1])
+    m = (sums < s_c) | ((sums == s_c) & (uniq > d_c))
+    return uniq[m], sums[m]
+
+
+def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int, codec: str = "varbyte", excl=None, after=None):
     """Whole-run decode per term (one decode_stream over the term's
     blobs — block gap streams chain within a term's segment; varbyte
     decodes the concatenation in one pass, packed batches same-width
     blocks). ``excl``: the shard's tombstone slice, masked before
-    top-k selection."""
+    top-k selection. ``after``: search_after cursor (score, doc_id),
+    masked before top-k selection."""
     pdf = pdf.sort_values(["term", "block_id"], kind="mergesort", ignore_index=True)
     terms = pdf["term"].to_numpy()
     gaps_a = pdf["gaps_vb"].to_numpy()
@@ -85,6 +102,7 @@ def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k:
     uniq, inv = np.unique(docs, return_inverse=True)
     sums = np.bincount(inv, weights=con)
     uniq, sums = _mask_deleted(uniq, sums, excl)
+    uniq, sums = _after_mask(uniq, sums, after)
     order = np.lexsort((uniq, -sums))[:k]
     return [(int(uniq[i]), float(sums[i])) for i in order]
 
@@ -318,6 +336,7 @@ def topk(
     k: int = 10,
     mode: str = "auto",
     with_urls: bool = False,
+    search_after: tuple[float, int] | None = None,
 ) -> list[tuple]:
     """Distributed BM25 top-k. Returns [(doc_id, score[, url])].
 
@@ -326,9 +345,11 @@ def topk(
     list with selective companions (>2M candidate postings and
     total > ~450x the non-longest lists — where skipping whole blocks
     beats exhaustive decode by 3-6x), the vectorized accumulator
-    everywhere else (dense terms: acc wins at any size)."""
+    everywhere else (dense terms: acc wins at any size).
+    ``search_after=(score, doc_id)`` pages past a cursor (see
+    topk_terms)."""
     return topk_terms(reader, sorted(set(tokenize(query_text))), k, mode,
-                      with_urls)
+                      with_urls, search_after=search_after)
 
 
 def topk_terms(
@@ -337,10 +358,18 @@ def topk_terms(
     k: int = 10,
     mode: str = "auto",
     with_urls: bool = False,
+    search_after: tuple[float, int] | None = None,
 ) -> list[tuple]:
     """:func:`topk` over an explicit term list — the disjunctive
     scoring core shared by plain text queries and dictionary-expanded
-    prefix queries (termdict.prefix_topk)."""
+    prefix queries (termdict.prefix_topk).
+
+    ``search_after=(score, doc_id)``: ES deep pagination — return the
+    next k hits STRICTLY after the cursor in (score desc, doc_id asc)
+    order. Forces the accumulator scorer (the cursor mask needs every
+    candidate's exact score, which block-max skipping doesn't
+    produce) — the same trade ES makes when a cursor disables its
+    top-score pruning."""
     qterms = sorted(set(qterms))
     if not qterms:
         return []
@@ -355,7 +384,11 @@ def topk_terms(
             return []
         N, avgdl = reader.global_stats()
         idfs = {t: idf_fn(N, dfs[t]) for t in qterms}
-        score_fn = _pick_scorer(mode, (dfs[t] for t in qterms))
+        if search_after is not None:
+            after = (float(search_after[0]), int(search_after[1]))
+            score_fn = functools.partial(_score_shard_acc, after=after)
+        else:
+            score_fn = _pick_scorer(mode, (dfs[t] for t in qterms))
         shard_size = reader.cfg.shard_size
         codec = reader.codec
         dels = reader.deletes()
@@ -520,15 +553,18 @@ def topk_local(
     k: int = 10,
     mode: str = "auto",
     with_urls: bool = False,
+    search_after: tuple[float, int] | None = None,
 ) -> list[tuple]:
     """Driver-local BM25 top-k: identical pruning (bucket dirs + term
     predicate) and identical scorers as :func:`topk`, but the pruned
     block read goes straight to storage via pyarrow — no Spark job, so
     per-query latency is file-read-bound (ms) instead of
     job-scheduling-bound. This is the query-serving path; the Spark
-    path remains for batch query workloads over huge indexes."""
+    path remains for batch query workloads over huge indexes.
+    ``search_after=(score, doc_id)`` pages past a cursor (see
+    topk_terms)."""
     return topk_local_terms(reader, sorted(set(tokenize(query_text))), k,
-                            mode, with_urls)
+                            mode, with_urls, search_after=search_after)
 
 
 def topk_local_terms(
@@ -537,8 +573,10 @@ def topk_local_terms(
     k: int = 10,
     mode: str = "auto",
     with_urls: bool = False,
+    search_after: tuple[float, int] | None = None,
 ) -> list[tuple]:
-    """:func:`topk_local` over an explicit term list (see topk_terms)."""
+    """:func:`topk_local` over an explicit term list (see topk_terms;
+    ``search_after`` paginates exactly like the distributed path)."""
     qterms = sorted(set(qterms))
     if not qterms:
         return []
@@ -549,7 +587,11 @@ def topk_local_terms(
     dfs = pdf.groupby("term", sort=False)["n"].sum().to_dict()
     N, avgdl = reader.global_stats()
     idfs = {t: idf_fn(N, int(df)) for t, df in dfs.items() if df}
-    score_fn = _pick_scorer(mode, (int(v) for v in dfs.values()))
+    if search_after is not None:
+        after = (float(search_after[0]), int(search_after[1]))
+        score_fn = functools.partial(_score_shard_acc, after=after)
+    else:
+        score_fn = _pick_scorer(mode, (int(v) for v in dfs.values()))
     pairs: list[tuple[int, float]] = []
     dels = reader.deletes()
     for shard, g in pdf.groupby("shard", sort=False):

@@ -62,6 +62,9 @@ def main() -> None:
                     help="expansion cap for prefix/wildcard/fuzzy "
                          "(highest-df kept)")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--search-after", dest="search_after",
+                    help="deep pagination cursor 'score:doc_id' (the "
+                         "last hit of the previous page)")
     ap.add_argument("--mode", choices=["auto", "wand", "acc"], default="auto")
     ap.add_argument("--local", action="store_true",
                     help="driver-local pyarrow read path (low-latency serving)")
@@ -158,12 +161,18 @@ def main() -> None:
                               "batch_ms": round(ms, 1),
                               "hits": [list(r) for r in res]}))
         return
+    cursor = None
+    if args.search_after:
+        s, d = args.search_after.rsplit(":", 1)
+        cursor = (float(s), int(d))
     for qid, text in batch:
         t0 = time.monotonic()
         fn = topk_local if args.local else topk
-        res = fn(reader, text, k=args.k, mode=args.mode, with_urls=args.urls)
+        res = fn(reader, text, k=args.k, mode=args.mode, with_urls=args.urls,
+                 search_after=cursor)
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({"query_id": qid, "query": text, "ms": round(ms, 1),
+                          "search_after": args.search_after,
                           "hits": [list(r) for r in res]}))
 
 

@@ -664,3 +664,45 @@ def test_percentile_approx_bounded_vs_exact(spark):
             assert abs(a - e) <= 0.05 * max(abs(e), 1e-9), (row.g, e, a)
         # cardinality agg analog: HLL++ within its documented rsd
         assert abs(row.acd - row.cd) <= 0.1 * row.cd
+
+
+def test_search_after_pages_reconstruct_full_ranking(spark, built6):
+    """Page-by-page search_after (k=7) over BOTH paths reconstructs the
+    one-shot top-N exactly — no skips, no repeats, cursor strictly
+    monotone; also exercises cursor interplay with tombstones."""
+    from logsentinelai_spark.index.query import topk_local, topk_terms
+
+    r = IndexReader(spark, built6["idx"])
+    full = topk_local(r, Q, k=10_000, mode="acc")
+    assert len(full) > 20
+    pages, cursor = [], None
+    while True:
+        page = topk_local(r, Q, k=7, search_after=cursor)
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+    assert [d for d, _ in pages] == [d for d, _ in full]
+    assert [s for _, s in pages] == pytest.approx([s for _, s in full])
+    # distributed path: one page mid-stream equals the local slice
+    c = (full[6][1], full[6][0])
+    dist = topk_terms(r, sorted(set(Q.split())), k=7, search_after=c)
+    assert [d for d, _ in dist] == [d for d, _ in full[7:14]]
+    assert [s for _, s in dist] == pytest.approx([s for _, s in full[7:14]])
+
+
+def test_search_after_respects_deletes(spark, built6, tmp_path):
+    from logsentinelai_spark.index.query import topk_local
+
+    idx = _fresh_copy(built6, tmp_path, "db_sa_del")
+    r0 = IndexReader(spark, idx)
+    full = topk_local(r0, Q, k=30, mode="acc")
+    victim = full[12][0]  # lives on page 2
+    delete_docs(idx, [victim])
+    r1 = IndexReader(spark, idx)
+    page1 = topk_local(r1, Q, k=10)
+    page2 = topk_local(r1, Q, k=10,
+                       search_after=(page1[-1][1], page1[-1][0]))
+    got = [d for d, _ in page1 + page2]
+    want = [d for d, _ in full if d != victim][:20]
+    assert got == want and victim not in got
