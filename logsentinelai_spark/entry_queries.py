@@ -204,6 +204,100 @@ ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10
 """
 
 
+# ------------------------------------------- more_like_this (ES MLT)
+
+# ES more_like_this: rank the seed doc's terms by tf*idf within the
+# seed (Lucene interestingTerms), cap at max_query_terms, run the
+# disjunctive BM25 query, exclude the seed from the hits. Selection
+# uses 8 terms so the cap genuinely selects (docs carry ~25 distinct
+# vocabulary terms).
+MLT_DOC = 7
+MLT_MAX_TERMS = 8
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``more_like_this``, naive Catalyst twin: in-plan term
+    selection (tf*idf within the seed doc, top-8, ties term-asc),
+    broadcast the selected terms into the standard disjunctive BM25,
+    exclude the seed, top-10."""
+    from .index.naive import bm25_score_expr
+
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    seed = (
+        postings.filter(F.col("doc_id") == MLT_DOC)
+        .join(tstats, "term").crossJoin(gstats)
+        .withColumn("ti", F.col("tf") * F.log(
+            1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .orderBy(F.desc("ti"), F.asc("term"))
+        .limit(MLT_MAX_TERMS)
+        .select("term")
+    )
+    sc = (
+        postings.join(F.broadcast(seed), "term")
+        .filter(F.col("doc_id") != MLT_DOC)
+        .join(tstats, "term")
+        .join(dstats, "doc_id")
+        .crossJoin(gstats)
+        .withColumn("contrib", bm25_score_expr())
+    )
+    return (
+        sc.groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def q_more_like_this_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME MLT served from the physical index: ONE bounded corpus
+    lookup fetches the seed text (doc_id pushdown), the df probe reads
+    only the seed's own terms' thin block columns, then the
+    disjunctive scorer runs bucket-pruned on the selected terms
+    (index/query.py::mlt_topk_local). Same DuckDB oracle."""
+    from .index.query import mlt_topk_local
+    from .index.reader import IndexReader
+
+    seed_text = (load(spark, sf_dir, "documents")
+                 .filter(F.col("doc_id") == MLT_DOC)
+                 .select("text").collect()[0].text)
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    res = mlt_topk_local(reader, seed_text, exclude_doc=MLT_DOC, k=10,
+                         max_query_terms=MLT_MAX_TERMS)
+    urls = reader.doc_urls_local([d for d, _ in res])
+    rows = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
+    schema = "doc_id long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_more_like_this() -> str:
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+seed AS (
+  SELECT tf.term
+  FROM tf JOIN dfs USING (term) CROSS JOIN g
+  WHERE tf.doc_id = {MLT_DOC}
+  ORDER BY tf.tf * ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) DESC,
+           tf.term
+  LIMIT {MLT_MAX_TERMS}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s
+  FROM tf JOIN seed USING (term) JOIN dfs USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN g
+  WHERE tf.doc_id != {MLT_DOC}
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- phrase top-k
 
 # second phrase pins OVERLAP semantics: "batch batch batch" contains
@@ -1441,6 +1535,8 @@ QUERIES = {
     "fuzzy_topk_idx": q_fuzzy_topk_idx,
     "highlight": q_highlight,
     "highlight_idx": q_highlight_idx,
+    "more_like_this": q_more_like_this,
+    "more_like_this_idx": q_more_like_this_idx,
     "phrase_prefix": q_phrase_prefix,
     "phrase_prefix_idx": q_phrase_prefix_idx,
     "significant_terms": q_significant_terms,
@@ -1524,6 +1620,9 @@ ORACLES = {
     "highlight": sql_highlight(),
     # index-ranked + bounded corpus lookup, same oracle — third method
     "highlight_idx": sql_highlight(),
+    "more_like_this": sql_more_like_this(),
+    # seed lookup + df probe + bucket-pruned scorer, same oracle
+    "more_like_this_idx": sql_more_like_this(),
     "phrase_prefix": sql_phrase_prefix(),
     "phrase_prefix_idx": sql_phrase_prefix(),
     "significant_terms": sql_significant_terms(),

@@ -605,6 +605,58 @@ def topk_local_terms(
     return top
 
 
+# --------------------------------------------------------- more_like_this
+
+def mlt_select_terms(reader: IndexReader, seed_text: str,
+                     max_query_terms: int = 25) -> list[str]:
+    """ES ``more_like_this`` term selection: the seed's terms ranked
+    by tf·idf WITHIN the seed (Lucene's interestingTerms), capped at
+    ``max_query_terms`` (ES default 25), ties broken term-asc. The df
+    probe reads only the thin (term, n) block columns for the seed's
+    own distinct terms — O(seed vocabulary), no posting decode."""
+    from collections import Counter
+
+    tf = Counter(tokenize(seed_text))
+    if not tf:
+        return []
+    pdf = reader.postings_blocks_local(sorted(tf))
+    pdf = pdf[pdf["block_id"] >= 0]
+    dfs = pdf.groupby("term", sort=False)["n"].sum().to_dict()
+    N, _ = reader.global_stats()
+    scored = sorted(
+        ((tf[t] * idf_fn(N, int(df)), t) for t, df in dfs.items() if df),
+        key=lambda p: (-p[0], p[1]))
+    return [t for _, t in scored[:max_query_terms]]
+
+
+def mlt_topk_local(reader: IndexReader, seed_text: str,
+                   exclude_doc: int | None = None, k: int = 10,
+                   max_query_terms: int = 25, mode: str = "auto"
+                   ) -> list[tuple]:
+    """ES ``more_like_this``, driver-local serving path: select the
+    seed's interesting terms, run the existing disjunctive BM25
+    scorer bucket-pruned on them, and drop the seed itself from the
+    page (ES excludes ``like`` docs from the hits)."""
+    terms = mlt_select_terms(reader, seed_text, max_query_terms)
+    if not terms:
+        return []
+    extra = 1 if exclude_doc is not None else 0
+    res = topk_local_terms(reader, terms, k + extra, mode)
+    return [p for p in res if p[0] != exclude_doc][:k]
+
+
+def mlt_topk(reader: IndexReader, seed_text: str,
+             exclude_doc: int | None = None, k: int = 10,
+             max_query_terms: int = 25, mode: str = "auto") -> list[tuple]:
+    """Distributed twin of :func:`mlt_topk_local`."""
+    terms = mlt_select_terms(reader, seed_text, max_query_terms)
+    if not terms:
+        return []
+    extra = 1 if exclude_doc is not None else 0
+    res = topk_terms(reader, terms, k + extra, mode)
+    return [p for p in res if p[0] != exclude_doc][:k]
+
+
 # ----------------------------------------------------------------- phrase search
 
 # local-doc position keys: key = local_doc * 2^32 + token_position.

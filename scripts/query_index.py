@@ -61,6 +61,12 @@ def main() -> None:
                     dest="max_expansions",
                     help="expansion cap for prefix/wildcard/fuzzy "
                          "(highest-df kept)")
+    ap.add_argument("--more-like", dest="more_like",
+                    help="ES more_like_this: seed text; interesting "
+                         "terms (tf*idf, --max-expansions cap) drive a "
+                         "disjunctive query")
+    ap.add_argument("--mlt-exclude", dest="mlt_exclude", type=int,
+                    help="doc_id to exclude from MLT hits (the seed)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--search-after", dest="search_after",
                     help="deep pagination cursor 'score:doc_id' (the "
@@ -129,6 +135,23 @@ def main() -> None:
             "fuzzy": args.fuzzy, "fuzziness": args.fuzziness,
             "expanded_terms": terms,
             "truncated_at": args.max_expansions if truncated else None,
+            "ms": round(ms, 1), "hits": [list(r) for r in res]}))
+        return
+    if args.more_like:
+        from logsentinelai_spark.index.query import (
+            mlt_select_terms, mlt_topk, mlt_topk_local)
+
+        terms = mlt_select_terms(reader, args.more_like,
+                                 args.max_expansions)
+        fn = mlt_topk_local if args.local else mlt_topk
+        t0 = time.monotonic()
+        res = fn(reader, args.more_like, exclude_doc=args.mlt_exclude,
+                 k=args.k, max_query_terms=args.max_expansions,
+                 mode=args.mode)
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "more_like_this": {"terms": terms,
+                               "exclude": args.mlt_exclude},
             "ms": round(ms, 1), "hits": [list(r) for r in res]}))
         return
     if args.must or args.must_not:

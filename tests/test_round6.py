@@ -706,3 +706,32 @@ def test_search_after_respects_deletes(spark, built6, tmp_path):
     got = [d for d, _ in page1 + page2]
     want = [d for d, _ in full if d != victim][:20]
     assert got == want and victim not in got
+
+
+def test_more_like_this_selection_and_twin_identity(spark, built6):
+    from logsentinelai_spark.index.query import (
+        mlt_select_terms, mlt_topk, mlt_topk_local, topk_local_terms,
+    )
+
+    r = IndexReader(spark, built6["idx"])
+    seed_doc = 3
+    seed_text = " ".join(built6["doc_tokens"][seed_doc])
+    # selection: tf*idf-ranked within the seed, capped, deterministic
+    full = mlt_select_terms(r, seed_text, max_query_terms=10_000)
+    assert set(full) == set(built6["doc_tokens"][seed_doc])
+    capped = mlt_select_terms(r, seed_text, max_query_terms=5)
+    assert capped == full[:5] and len(capped) == 5
+    # scoring == disjunctive scorer over the selection; seed excluded;
+    # local == distributed
+    want = [p for p in topk_local_terms(r, capped, k=11, mode="acc")
+            if p[0] != seed_doc][:10]
+    got_l = mlt_topk_local(r, seed_text, exclude_doc=seed_doc, k=10,
+                           max_query_terms=5)
+    got_d = mlt_topk(r, seed_text, exclude_doc=seed_doc, k=10,
+                     max_query_terms=5)
+    for got in (got_l, got_d):
+        assert [d for d, _ in got] == [d for d, _ in want]
+        assert [s for _, s in got] == pytest.approx([s for _, s in want])
+    assert seed_doc not in {d for d, _ in got_l}
+    # without exclusion the seed itself tops the page (self-similarity)
+    assert mlt_topk_local(r, seed_text, k=3)[0][0] == seed_doc
