@@ -313,6 +313,40 @@ def fuzzy_topk(reader, term: str, k: int = 10, fuzziness: int = 2,
     return topk_terms(reader, terms, k, mode)
 
 
+def suggest_terms(reader, text: str, fuzziness: int = 2,
+                  prefix_length: int = 1, size: int = 3
+                  ) -> list[dict]:
+    """ES *term suggester* ("did you mean"): per input token, candidate
+    vocabulary terms within ``fuzziness`` edits, ranked ES-style by
+    (edit distance asc, df desc, term asc), top ``size`` each, the
+    token itself excluded when it exists in the dictionary (ES
+    ``suggest_mode: missing`` analog reports an empty list then).
+    Same pruned dictionary reads as the fuzzy query."""
+    from ..functions.tokenizer import tokens as _tok
+
+    out = []
+    for token in _tok(text):
+        pre = token[:prefix_length] if prefix_length > 0 else None
+        t = _read_dict_range(reader, pre)
+        terms = t.column("term").to_pylist()
+        dfs = t.column("df").to_pylist()
+        if token in terms:
+            out.append({"token": token, "suggestions": []})
+            continue
+        cand = []
+        for term, df in zip(terms, dfs):
+            for d in range(fuzziness + 1):
+                if _lev_within(token, term, d):
+                    cand.append((d, -int(df), term))
+                    break
+        cand.sort()
+        out.append({"token": token,
+                    "suggestions": [
+                        {"term": c[2], "distance": c[0], "df": -c[1]}
+                        for c in cand[:size]]})
+    return out
+
+
 def prefix_topk_local(reader, prefix: str, k: int = 10,
                       max_terms: int = 50, mode: str = "auto"):
     """Driver-local ES ``prefix`` query: dictionary expansion + the

@@ -61,6 +61,8 @@ def main() -> None:
                     dest="max_expansions",
                     help="expansion cap for prefix/wildcard/fuzzy "
                          "(highest-df kept)")
+    ap.add_argument("--suggest", help="ES term suggester (did-you-mean) "
+                                      "for each token of the given text")
     ap.add_argument("--more-like", dest="more_like",
                     help="ES more_like_this: seed text; interesting "
                          "terms (tf*idf, --max-expansions cap) drive a "
@@ -136,6 +138,18 @@ def main() -> None:
             "expanded_terms": terms,
             "truncated_at": args.max_expansions if truncated else None,
             "ms": round(ms, 1), "hits": [list(r) for r in res]}))
+        return
+    if args.suggest:
+        from logsentinelai_spark.index.termdict import (
+            ensure_term_dict, suggest_terms)
+
+        ensure_term_dict(spark, reader)
+        t0 = time.monotonic()
+        res = suggest_terms(reader, args.suggest,
+                            fuzziness=args.fuzziness,
+                            prefix_length=args.prefix_length or 1)
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({"suggest": res, "ms": round(ms, 1)}))
         return
     if args.more_like:
         from logsentinelai_spark.index.query import (

@@ -735,3 +735,32 @@ def test_more_like_this_selection_and_twin_identity(spark, built6):
     assert seed_doc not in {d for d, _ in got_l}
     # without exclusion the seed itself tops the page (self-similarity)
     assert mlt_topk_local(r, seed_text, k=3)[0][0] == seed_doc
+
+
+def test_suggest_terms_ranking_and_missing_mode(spark, built6):
+    from logsentinelai_spark.index.termdict import suggest_terms
+
+    r = IndexReader(spark, built6["idx"])
+    ensure_term_dict(spark, r)
+    vocab = {t for toks in built6["doc_tokens"].values() for t in toks}
+    dfs = {}
+    for toks in built6["doc_tokens"].values():
+        for t in set(toks):
+            dfs[t] = dfs.get(t, 0) + 1
+    probe = sorted(vocab, key=len)[-1]  # a long word, typo it
+    typo = probe[:-1] + ("x" if probe[-1] != "x" else "y")
+    out = suggest_terms(r, f"{probe} {typo}", fuzziness=2,
+                        prefix_length=1, size=5)
+    # existing token -> no suggestions (suggest_mode: missing)
+    assert out[0]["token"] == probe and out[0]["suggestions"] == []
+    sugg = out[1]["suggestions"]
+    assert sugg and sugg[0]["term"] == probe  # distance-1 wins
+    # ES ranking: distance asc, then df desc, then term asc
+    want = []
+    for t in vocab:
+        for d in (0, 1, 2):
+            if _ref_lev(typo, t) <= d:
+                want.append((d, -dfs[t], t))
+                break
+    want = [w for w in sorted(want) if w[2][:1] == typo[:1]][:5]
+    assert [(s["distance"], -s["df"], s["term"]) for s in sugg] == want
