@@ -105,6 +105,25 @@ carries (term, fg_df, df_part) partials into the final aggregate.
 The block scan reads the FULL term stream by design (a
 vocabulary-wide aggregation) but still excludes pos_vb from
 ReadSchema.""",
+    "highlight_idx": """The production highlight shape: ranking already happened in the
+index serving path (driver-local pyarrow, not in this plan), so the
+corpus appears ONLY as a k-row lookup — the documents scan carries
+`PushedFilters: In(doc_id, ...)` with the 10 hit ids and ReadSchema
+pruned to (doc_id, text); the fragmenter (array_min/filter/transform/
+slice higher-order functions) runs inside the codegen stage over
+those k rows, and the score attach is a broadcast of the k-row
+serving result. At 100 TB the per-query work is the index read plus
+k row-group reads, never a corpus pass — the naive `highlight` twin
+(full-scan ranking) exists for the oracle triangle, not for
+serving.""",
+    "more_like_this": """ES MLT, naive twin: the seed's interesting-term selection is
+in-plan (tf*idf over the seed doc's postings, top-8) and enters the
+scoring join as a BroadcastExchange — so the postings side is
+filtered by a broadcast semi-join on the selected terms, never
+re-partitioned by them. The corpus-wide stats (tf/df/dl aggregates)
+are the same partial+final shapes as bm25_topk. The index path
+(`more_like_this_idx`) replaces all corpus-side work with a bounded
+seed lookup + thin df probe + bucket-pruned posting read.""",
 }
 
 
