@@ -605,6 +605,56 @@ def topk_local_terms(
     return top
 
 
+# ------------------------------------------------------------ explain
+
+def explain_score(reader: IndexReader, query_text: str, doc_id: int
+                  ) -> dict:
+    """ES ``_explain`` analog: the per-term BM25 breakdown for one
+    (query, document) pair — tf, df, idf, dl, avgdl and each term's
+    contribution, summing to exactly the score every scorer returns
+    (same decode + float pipeline). Reads only the query terms'
+    pruned blocks, like any other serving call."""
+    qterms = sorted(set(tokenize(query_text)))
+    out = {"doc_id": int(doc_id), "total": 0.0, "matched": False,
+           "terms": {}}
+    if not qterms:
+        return out
+    pdf = reader.postings_blocks_local(qterms)
+    pdf = pdf[pdf["block_id"] >= 0]
+    if pdf.empty:
+        return out
+    N, avgdl = reader.global_stats()
+    out["avgdl"] = float(avgdl)
+    dels = reader.deletes()
+    if dels is not None and int(doc_id) in set(int(x) for x in dels):
+        out["deleted"] = True
+        return out
+    dfs = pdf.groupby("term", sort=False)["n"].sum().to_dict()
+    shard = int(doc_id) // reader.cfg.shard_size
+    sub = pdf[pdf["shard"] == shard]
+    sub = sub.sort_values(["term", "block_id"], kind="mergesort",
+                          ignore_index=True)
+    base = shard * reader.cfg.shard_size
+    for term, g in sub.groupby("term", sort=False):
+        gaps = decode_stream(g["gaps_vb"].to_numpy(), reader.codec)
+        docs = np.cumsum(gaps.astype(np.int64)) + base
+        hit = np.flatnonzero(docs == int(doc_id))
+        if not len(hit):
+            continue
+        i = int(hit[0])
+        tf = float(decode_stream(g["tfs_vb"].to_numpy(), reader.codec)[i])
+        dl = float(decode_stream(g["dls_vb"].to_numpy(), reader.codec)[i])
+        w = idf_fn(N, int(dfs[term]))
+        contrib = float(_contrib(np.array([tf]), np.array([dl]), w,
+                                 avgdl)[0])
+        out["terms"][term] = {"tf": tf, "df": int(dfs[term]),
+                              "idf": float(w), "dl": dl,
+                              "contribution": contrib}
+        out["total"] += contrib
+        out["matched"] = True
+    return out
+
+
 # --------------------------------------------------------- more_like_this
 
 def mlt_select_terms(reader: IndexReader, seed_text: str,

@@ -56,6 +56,36 @@ class IndexReader:
         sum_dl = sum(m["sum_dl"] for m in self.waves.values())
         return n, (sum_dl / n if n else 0.0)
 
+    def stats(self) -> dict:
+        """ES ``_stats`` / ``_cat/indices`` analog — driver-side only
+        (manifests + file listing + optional term-dict footers; no
+        Spark job, no posting decode). Deleted docs stay counted until
+        compaction, Lucene-style; ``deleted_docs`` reports the
+        tombstone count separately."""
+        n, avgdl = self.global_stats()
+        root = self.dir / "postings"
+        files = list(root.rglob("*.parquet"))
+        dels = self.deletes()
+        out = {
+            "dir": str(self.dir),
+            "docs": n,
+            "avgdl": round(avgdl, 3),
+            "deleted_docs": int(dels.size) if dels is not None else 0,
+            "committed_waves": sorted(self.waves),
+            "codec": self.codec,
+            "positions": self.positions,
+            "segments_files": len(files),
+            "segments_bytes": sum(f.stat().st_size for f in files),
+        }
+        td = self.dir / "term_dict"
+        if (self.dir / "_term_dict.json").exists() and td.exists():
+            import pyarrow.parquet as pq
+
+            out["terms"] = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in td.rglob("*.parquet"))
+        return out
+
     def partition_metrics(self) -> list[dict]:
         out = []
         for w, m in sorted(self.waves.items()):

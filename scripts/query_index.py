@@ -61,6 +61,12 @@ def main() -> None:
                     dest="max_expansions",
                     help="expansion cap for prefix/wildcard/fuzzy "
                          "(highest-df kept)")
+    ap.add_argument("--stats", action="store_true",
+                    help="ES _stats analog: docs/terms/segments/deletes "
+                         "from manifests, no Spark job")
+    ap.add_argument("--explain", type=int, metavar="DOC_ID",
+                    help="ES _explain analog: per-term BM25 breakdown "
+                         "of --query for one doc")
     ap.add_argument("--suggest", help="ES term suggester (did-you-mean) "
                                       "for each token of the given text")
     ap.add_argument("--more-like", dest="more_like",
@@ -138,6 +144,16 @@ def main() -> None:
             "expanded_terms": terms,
             "truncated_at": args.max_expansions if truncated else None,
             "ms": round(ms, 1), "hits": [list(r) for r in res]}))
+        return
+    if args.stats:
+        print(json.dumps(reader.stats()))
+        return
+    if args.explain is not None:
+        from logsentinelai_spark.index.query import explain_score
+
+        if not args.query:
+            ap.error("--explain needs --query")
+        print(json.dumps(explain_score(reader, args.query, args.explain)))
         return
     if args.suggest:
         from logsentinelai_spark.index.termdict import (

@@ -764,3 +764,34 @@ def test_suggest_terms_ranking_and_missing_mode(spark, built6):
                 break
     want = [w for w in sorted(want) if w[2][:1] == typo[:1]][:5]
     assert [(s["distance"], -s["df"], s["term"]) for s in sugg] == want
+
+
+def test_explain_score_matches_served_scores_and_stats(spark, built6, tmp_path):
+    from logsentinelai_spark.index.query import explain_score, topk_local
+
+    r = IndexReader(spark, built6["idx"])
+    top = topk_local(r, Q, k=5, mode="acc")
+    for doc, score in top:
+        ex = explain_score(r, Q, doc)
+        assert ex["matched"] and ex["total"] == pytest.approx(score, abs=0, rel=1e-12)
+        # contributions sum to the total and carry real tf/df
+        assert sum(t["contribution"] for t in ex["terms"].values()) == ex["total"]
+        for t, d in ex["terms"].items():
+            assert d["tf"] >= 1 and d["df"] >= 1 and t in Q.split()
+    # non-matching doc
+    absent = max(built6["doc_tokens"]) + 100
+    assert explain_score(r, Q, absent)["matched"] is False
+    # stats: manifest-derived, tombstone-aware
+    s = r.stats()
+    vocab = {t for toks in built6["doc_tokens"].values() for t in toks}
+    assert s["docs"] == N_DOCS and s["deleted_docs"] == 0
+    assert s["segments_files"] > 0 and s["segments_bytes"] > 0
+    ensure_term_dict(spark, r)
+    s2 = IndexReader(spark, built6["idx"]).stats()
+    assert s2["terms"] == len(vocab)
+    # deleted doc: explain reports, stats counts
+    idx = _fresh_copy(built6, tmp_path, "db_explain")
+    delete_docs(idx, [top[0][0]])
+    r2 = IndexReader(spark, idx)
+    assert r2.stats()["deleted_docs"] == 1
+    assert explain_score(r2, Q, top[0][0]).get("deleted") is True
