@@ -204,6 +204,113 @@ ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10
 """
 
 
+# --------------------------------------------------- rescore (ES rescore)
+
+# ES rescore: re-rank the base query's top-`window` with a phrase
+# secondary, total = qw*base + rw*phrase. Window 30 of the flagship
+# query, phrase "data query" (both terms are base-query terms, so the
+# rescorer genuinely reorders the window).
+RESCORE_PHRASE = "data query"
+RESCORE_WINDOW = 30
+RESCORE_QW, RESCORE_RW = 1.0, 2.0
+
+
+def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore``, naive Catalyst twin: base BM25 window (top-30)
+    left-joined to the in-row phrase pseudo-term score (corpus-wide
+    df, as ES scores the rescore query), combined and re-ranked."""
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    win = bm25_topk_naive(postings, dstats, tstats, gstats,
+                          FLAGSHIP_QUERY, k=RESCORE_WINDOW)
+    base = tokenized_documents(spark, sf_dir).select(
+        "doc_id", "tokens", F.size("tokens").cast("long").alias("dl"))
+    hits = (
+        base.select("doc_id", "dl", F.expr(
+            _ptf_expr(RESCORE_PHRASE.split())).alias("ptf"))
+        .filter(F.col("ptf") > 0)
+    )
+    g = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    pdf = hits.agg(F.count("*").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    ph = (
+        hits.crossJoin(F.broadcast(pdf)).crossJoin(F.broadcast(g))
+        .withColumn("ps", idf * F.col("ptf") / (
+            F.col("ptf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))))
+        .select("doc_id", "ps")
+    )
+    return (
+        F.broadcast(win).join(ph, "doc_id", "left").na.fill({"ps": 0.0})
+        .withColumn("total", RESCORE_QW * F.col("score")
+                    + RESCORE_RW * F.col("ps"))
+        .orderBy(F.desc("total"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("total", 6).alias("score"))
+    )
+
+
+def q_rescore_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rescore served from the physical index: plain top-30
+    serving call + one positional candidate scan bounded by the
+    phrase's selectivity (index/query.py::rescore_topk_local). Same
+    DuckDB oracle."""
+    from .index.query import rescore_topk_local
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    res = rescore_topk_local(reader, FLAGSHIP_QUERY, RESCORE_PHRASE,
+                             k=10, window=RESCORE_WINDOW,
+                             query_weight=RESCORE_QW,
+                             rescore_weight=RESCORE_RW)
+    urls = reader.doc_urls_local([d for d, _ in res])
+    rows = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
+    schema = "doc_id long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_rescore_topk() -> str:
+    qterms = sorted(set(FLAGSHIP_QUERY.split()))
+    terms = ", ".join(f"('{t}')" for t in qterms)
+    pterms = RESCORE_PHRASE.split()
+    L = len(pterms)
+    conds = " AND ".join(
+        f"t[i + {j + 1}] = '{w}'" for j, w in enumerate(pterms))
+    ptf = (f"len(list_filter(range(greatest(len(t) - {L - 1}, 0)),"
+           f" i -> {conds}))")
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {terms}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id),
+win AS (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id
+        LIMIT {RESCORE_WINDOW}),
+base AS (SELECT doc_id, regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS t
+         FROM documents),
+ph AS (SELECT doc_id, {ptf} AS ptf, len(t) AS dl FROM base),
+phits AS (SELECT * FROM ph WHERE ptf > 0),
+pdf AS (SELECT count(*) AS df FROM phits),
+pscore AS (
+  SELECT p.doc_id,
+         ln(1 + (g.n_docs - pdf.df + 0.5) / (pdf.df + 0.5))
+           * p.ptf / (p.ptf + {K1} * ({round(1 - B, 2)} + {B} * p.dl / g.avgdl)) AS ps
+  FROM phits p CROSS JOIN pdf CROSS JOIN g)
+SELECT w.doc_id,
+       round({RESCORE_QW} * w.s + {RESCORE_RW} * coalesce(p.ps, 0), 6) AS score
+FROM win w LEFT JOIN pscore p USING (doc_id)
+ORDER BY {RESCORE_QW} * w.s + {RESCORE_RW} * coalesce(p.ps, 0) DESC, w.doc_id
+LIMIT 10
+"""
+
+
 # ------------------------------------------- more_like_this (ES MLT)
 
 # ES more_like_this: rank the seed doc's terms by tf*idf within the
@@ -1537,6 +1644,8 @@ QUERIES = {
     "highlight_idx": q_highlight_idx,
     "more_like_this": q_more_like_this,
     "more_like_this_idx": q_more_like_this_idx,
+    "rescore_topk": q_rescore_topk,
+    "rescore_topk_idx": q_rescore_topk_idx,
     "phrase_prefix": q_phrase_prefix,
     "phrase_prefix_idx": q_phrase_prefix_idx,
     "significant_terms": q_significant_terms,
@@ -1623,6 +1732,9 @@ ORACLES = {
     "more_like_this": sql_more_like_this(),
     # seed lookup + df probe + bucket-pruned scorer, same oracle
     "more_like_this_idx": sql_more_like_this(),
+    "rescore_topk": sql_rescore_topk(),
+    # windowed serving call + positional candidate scan, same oracle
+    "rescore_topk_idx": sql_rescore_topk(),
     "phrase_prefix": sql_phrase_prefix(),
     "phrase_prefix_idx": sql_phrase_prefix(),
     "significant_terms": sql_significant_terms(),

@@ -605,6 +605,35 @@ def topk_local_terms(
     return top
 
 
+# ------------------------------------------------------------ rescore
+
+def rescore_topk_local(reader: IndexReader, query_text: str,
+                       phrase_text: str, k: int = 10, window: int = 50,
+                       query_weight: float = 1.0,
+                       rescore_weight: float = 1.0,
+                       mode: str = "auto") -> list[tuple[int, float]]:
+    """ES ``rescore``: re-rank the base query's top ``window`` hits
+    with a phrase-proximity secondary query, combined as
+    ``query_weight·base + rescore_weight·phrase`` (ES ``total``
+    score_mode). The phrase component is the match_phrase pseudo-term
+    BM25 (df over the whole index — the rescore query scores
+    normally, only its APPLICATION is windowed); window docs without
+    the phrase keep their base score. Cost: one plain top-window
+    serving call + one positional candidate scan bounded by the
+    phrase's selectivity."""
+    base = topk_local(reader, query_text, k=window, mode=mode)
+    if not base:
+        return []
+    matches = phrase_match_local(reader, [phrase_text])[0]
+    N, avgdl = reader.global_stats()
+    w = idf_fn(N, len(matches)) if matches else 0.0
+    ph = {d: w * c / (c + K1 * (1 - B + B * l / avgdl))
+          for d, c, l in matches}
+    combined = [(d, query_weight * s + rescore_weight * ph.get(d, 0.0))
+                for d, s in base]
+    return sorted(combined, key=lambda p: (-p[1], p[0]))[:k]
+
+
 # ------------------------------------------------------------ explain
 
 def explain_score(reader: IndexReader, query_text: str, doc_id: int

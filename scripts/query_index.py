@@ -79,6 +79,14 @@ def main() -> None:
     ap.add_argument("--search-after", dest="search_after",
                     help="deep pagination cursor 'score:doc_id' (the "
                          "last hit of the previous page)")
+    ap.add_argument("--rescore-phrase", dest="rescore_phrase",
+                    help="ES rescore: re-rank --query's top window "
+                         "with this phrase (total = base + "
+                         "--rescore-weight * phrase)")
+    ap.add_argument("--rescore-window", dest="rescore_window", type=int,
+                    default=50)
+    ap.add_argument("--rescore-weight", dest="rescore_weight", type=float,
+                    default=1.0)
     ap.add_argument("--mode", choices=["auto", "wand", "acc"], default="auto")
     ap.add_argument("--local", action="store_true",
                     help="driver-local pyarrow read path (low-latency serving)")
@@ -213,6 +221,24 @@ def main() -> None:
             print(json.dumps({"query_id": qid, "query": text,
                               "batch_ms": round(ms, 1),
                               "hits": [list(r) for r in res]}))
+        return
+    if args.rescore_phrase:
+        from logsentinelai_spark.index.query import rescore_topk_local
+
+        if not args.query:
+            ap.error("--rescore-phrase needs --query")
+        t0 = time.monotonic()
+        res = rescore_topk_local(
+            reader, args.query, args.rescore_phrase, k=args.k,
+            window=args.rescore_window,
+            rescore_weight=args.rescore_weight, mode=args.mode)
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({
+            "query": args.query,
+            "rescore": {"phrase": args.rescore_phrase,
+                        "window": args.rescore_window,
+                        "weight": args.rescore_weight},
+            "ms": round(ms, 1), "hits": [list(r) for r in res]}))
         return
     cursor = None
     if args.search_after:

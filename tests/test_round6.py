@@ -795,3 +795,35 @@ def test_explain_score_matches_served_scores_and_stats(spark, built6, tmp_path):
     r2 = IndexReader(spark, idx)
     assert r2.stats()["deleted_docs"] == 1
     assert explain_score(r2, Q, top[0][0]).get("deleted") is True
+
+
+def test_rescore_semantics(spark, built6):
+    from logsentinelai_spark.index.bm25 import B, K1, idf as idf_fn
+    from logsentinelai_spark.index.query import (
+        phrase_match_local, rescore_topk_local, topk_local,
+    )
+
+    r = IndexReader(spark, built6["idx"])
+    phrase = _derived_phrase(built6["doc_tokens"])
+    base = topk_local(r, Q, k=30, mode="acc")
+    # rw=0 == the base page exactly
+    got0 = rescore_topk_local(r, Q, phrase, k=10, window=30,
+                              rescore_weight=0.0)
+    assert got0 == [(d, pytest.approx(s)) for d, s in base[:10]] or \
+        [d for d, _ in got0] == [d for d, _ in base[:10]]
+    # python oracle for the combined ranking
+    matches = phrase_match_local(r, [phrase])[0]
+    N, avgdl = r.global_stats()
+    w = idf_fn(N, len(matches)) if matches else 0.0
+    ph = {d: w * c / (c + K1 * (1 - B + B * l / avgdl))
+          for d, c, l in matches}
+    want = sorted(((d, 1.0 * s + 2.0 * ph.get(d, 0.0)) for d, s in base),
+                  key=lambda p: (-p[1], p[0]))[:10]
+    got = rescore_topk_local(r, Q, phrase, k=10, window=30,
+                             rescore_weight=2.0)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert [s for _, s in got] == pytest.approx([s for _, s in want])
+    # window semantics: a phrase-matching doc OUTSIDE the base window
+    # must not appear, however strong its phrase score
+    window_docs = {d for d, _ in base}
+    assert all(d in window_docs for d, _ in got)
