@@ -204,6 +204,135 @@ ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10
 """
 
 
+# ------------------------------------- function_score (field_value_factor)
+
+FS_FACTOR = 0.05  # field_value_factor(field=dl, modifier=log1p, factor)
+
+
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score``, naive Catalyst twin: the flagship BM25
+    score multiplied by ln(1 + 0.05·dl) for EVERY candidate (not a
+    window — a doc-field factor reorders globally), then top-10."""
+    from .index.naive import bm25_score_expr
+
+    qterms = sorted(set(FLAGSHIP_QUERY.split()))
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    sc = (
+        postings.filter(F.col("term").isin(qterms))
+        .join(tstats, "term")
+        .join(dstats, "doc_id")
+        .crossJoin(gstats)
+        .withColumn("contrib", bm25_score_expr())
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg((F.sum("contrib")
+              * F.log1p(FS_FACTOR * F.first("dl"))).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def q_function_score_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME function_score served from the physical index: the
+    boost multiplies inside the per-shard accumulator (scatter-max dl
+    recovery on arrays the scorer already decoded) — see
+    index/query.py::function_score_topk_local. Same DuckDB oracle."""
+    from .index.query import function_score_topk_local
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    res = function_score_topk_local(reader, FLAGSHIP_QUERY, k=10,
+                                    factor=FS_FACTOR)
+    urls = reader.doc_urls_local([d for d, _ in res])
+    rows = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
+    schema = "doc_id long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_function_score() -> str:
+    qterms = sorted(set(FLAGSHIP_QUERY.split()))
+    terms = ", ".join(f"('{t}')" for t in qterms)
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {terms}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) )
+           * ln(1 + {FS_FACTOR} * any_value(dl.dl)) AS s
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+# ----------------------------------------------- collapse (field collapsing)
+
+
+def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``collapse`` (field collapsing): the flagship query's hits
+    collapsed on ``lang`` — one best doc per language (score desc,
+    doc_id asc), ordered by that representative's score. One window
+    rank over the scored set joined to the collapse field."""
+    from .index.naive import bm25_score_expr
+    from pyspark.sql import Window
+
+    qterms = sorted(set(FLAGSHIP_QUERY.split()))
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    sc = (
+        postings.filter(F.col("term").isin(qterms))
+        .join(tstats, "term")
+        .join(dstats, "doc_id")
+        .crossJoin(gstats)
+        .withColumn("contrib", bm25_score_expr())
+        .groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+        .join(load(spark, sf_dir, "documents").select("doc_id", "lang"),
+              "doc_id")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .select("lang", "doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def sql_collapse() -> str:
+    qterms = sorted(set(FLAGSHIP_QUERY.split()))
+    terms = ", ".join(f"('{t}')" for t in qterms)
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {terms}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id),
+ranked AS (
+  SELECT d.lang, s.doc_id, s.s,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.s DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT lang, doc_id, round(s, 6) AS score FROM ranked WHERE rn = 1
+"""
+
+
 # --------------------------------------------------- rescore (ES rescore)
 
 # ES rescore: re-rank the base query's top-`window` with a phrase
@@ -1646,6 +1775,9 @@ QUERIES = {
     "more_like_this_idx": q_more_like_this_idx,
     "rescore_topk": q_rescore_topk,
     "rescore_topk_idx": q_rescore_topk_idx,
+    "function_score": q_function_score,
+    "function_score_idx": q_function_score_idx,
+    "collapse": q_collapse,
     "phrase_prefix": q_phrase_prefix,
     "phrase_prefix_idx": q_phrase_prefix_idx,
     "significant_terms": q_significant_terms,
@@ -1735,6 +1867,10 @@ ORACLES = {
     "rescore_topk": sql_rescore_topk(),
     # windowed serving call + positional candidate scan, same oracle
     "rescore_topk_idx": sql_rescore_topk(),
+    "function_score": sql_function_score(),
+    # boost applied inside the shard accumulator, same oracle
+    "function_score_idx": sql_function_score(),
+    "collapse": sql_collapse(),
     "phrase_prefix": sql_phrase_prefix(),
     "phrase_prefix_idx": sql_phrase_prefix(),
     "significant_terms": sql_significant_terms(),

@@ -72,13 +72,16 @@ def _after_mask(uniq: np.ndarray, sums: np.ndarray, after):
     return uniq[m], sums[m]
 
 
-def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int, codec: str = "varbyte", excl=None, after=None):
+def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int, base: int, codec: str = "varbyte", excl=None, after=None, boost=None):
     """Whole-run decode per term (one decode_stream over the term's
     blobs — block gap streams chain within a term's segment; varbyte
     decodes the concatenation in one pass, packed batches same-width
     blocks). ``excl``: the shard's tombstone slice, masked before
     top-k selection. ``after``: search_after cursor (score, doc_id),
-    masked before top-k selection."""
+    masked before top-k selection. ``boost``: function_score hook —
+    a callable mapping the per-doc dl array to a multiplier, applied
+    to every candidate BEFORE top-k selection (a doc-field factor
+    reorders beyond any window, so it cannot be a rescore)."""
     pdf = pdf.sort_values(["term", "block_id"], kind="mergesort", ignore_index=True)
     terms = pdf["term"].to_numpy()
     gaps_a = pdf["gaps_vb"].to_numpy()
@@ -86,7 +89,7 @@ def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k:
     dls_a = pdf["dls_vb"].to_numpy()
     tb = np.append(
         np.flatnonzero(np.concatenate(([True], terms[1:] != terms[:-1]))), len(terms))
-    docs_all, contribs = [], []
+    docs_all, contribs, dls_all = [], [], []
     for s, e in zip(tb[:-1], tb[1:]):
         w = idfs[terms[s]]
         g = decode_stream(gaps_a[s:e], codec).astype(np.int64)
@@ -95,12 +98,20 @@ def _score_shard_acc(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float, k:
         l = decode_stream(dls_a[s:e], codec).astype(np.float64)
         docs_all.append(d)
         contribs.append(_contrib(t, l, w, avgdl))
+        if boost is not None:
+            dls_all.append(l)
     if not docs_all:
         return []
     docs = np.concatenate(docs_all)
     con = np.concatenate(contribs)
     uniq, inv = np.unique(docs, return_inverse=True)
     sums = np.bincount(inv, weights=con)
+    if boost is not None:
+        # per-doc dl: every posting of a doc carries the same dl, so a
+        # scatter-max over the inverse index recovers it exactly
+        dlu = np.zeros(len(uniq))
+        np.maximum.at(dlu, inv, np.concatenate(dls_all))
+        sums = sums * boost(dlu)
     uniq, sums = _mask_deleted(uniq, sums, excl)
     uniq, sums = _after_mask(uniq, sums, after)
     order = np.lexsort((uniq, -sums))[:k]
@@ -603,6 +614,49 @@ def topk_local_terms(
         urls = reader.doc_urls_local([d for d, _ in top])
         return [(d, s, urls.get(d)) for d, s in top]
     return top
+
+
+# ------------------------------------------------------- function_score
+
+def _fvf_log1p(factor: float):
+    """ES field_value_factor(modifier=log1p): value = ln(1 + factor·f).
+    The field here is dl (document token length) — the one numeric
+    doc field the postings already carry, decoded anyway for BM25."""
+    def f(dl: np.ndarray) -> np.ndarray:
+        return np.log1p(factor * dl)
+    return f
+
+
+def function_score_topk_local(reader: IndexReader, query_text: str,
+                              k: int = 10, factor: float = 0.05
+                              ) -> list[tuple[int, float]]:
+    """ES ``function_score`` (field_value_factor on doc length,
+    modifier=log1p, boost_mode=multiply): every candidate's BM25 sum
+    is multiplied by ln(1 + factor·dl) INSIDE the per-shard
+    accumulator, before top-k selection — a doc-field factor reorders
+    beyond any window, so unlike rescore it cannot be applied to a
+    served page. Costs one scatter-max per shard on arrays the scorer
+    already decoded."""
+    qterms = sorted(set(tokenize(query_text)))
+    if not qterms:
+        return []
+    pdf = reader.postings_blocks_local(qterms)
+    pdf = pdf[pdf["block_id"] >= 0]
+    if pdf.empty:
+        return []
+    dfs = pdf.groupby("term", sort=False)["n"].sum().to_dict()
+    N, avgdl = reader.global_stats()
+    idfs = {t: idf_fn(N, int(df)) for t, df in dfs.items() if df}
+    boost = _fvf_log1p(factor)
+    pairs: list[tuple[int, float]] = []
+    dels = reader.deletes()
+    for shard, g in pdf.groupby("shard", sort=False):
+        base = int(shard) * reader.cfg.shard_size
+        pairs += _score_shard_acc(
+            g, idfs, avgdl, k, base=base, codec=reader.codec,
+            excl=shard_slice(dels, base, reader.cfg.shard_size),
+            boost=boost)
+    return _topk_merge(pairs, k)
 
 
 # ------------------------------------------------------------ rescore

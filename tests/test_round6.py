@@ -827,3 +827,39 @@ def test_rescore_semantics(spark, built6):
     # must not appear, however strong its phrase score
     window_docs = {d for d, _ in base}
     assert all(d in window_docs for d, _ in got)
+
+
+def test_function_score_semantics(spark, built6):
+    import math
+
+    from logsentinelai_spark.index.query import (
+        function_score_topk_local, topk_local,
+    )
+
+    r = IndexReader(spark, built6["idx"])
+    factor = 0.05
+    # python oracle: every candidate's BM25 sum times ln(1+factor*dl),
+    # dl taken from the fixture's own token lists (not the index)
+    base = topk_local(r, Q, k=N_DOCS, mode="acc")
+    want = sorted(
+        ((d, s * math.log1p(factor * len(built6["doc_tokens"][d])))
+         for d, s in base),
+        key=lambda p: (-p[1], p[0]))[:10]
+    got = function_score_topk_local(r, Q, k=10, factor=factor)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert [s for _, s in got] == pytest.approx([s for _, s in want])
+    # the factor genuinely reorders: a doc-field boost is NOT a
+    # monotone transform of the base ranking on this fixture
+    assert [d for d, _ in got] != [d for d, _ in base[:10]]
+    # tombstones mask before selection, same as every other path
+    victim = got[0][0]
+    from logsentinelai_spark.index.deletes import delete_docs
+    import shutil as _sh
+    idx2 = built6["idx"] + "_fs_del"
+    _sh.rmtree(idx2, ignore_errors=True)
+    _sh.copytree(built6["idx"], idx2)
+    delete_docs(idx2, [victim])
+    got2 = function_score_topk_local(IndexReader(spark, idx2), Q,
+                                     k=10, factor=factor)
+    assert victim not in [d for d, _ in got2]
+    _sh.rmtree(idx2, ignore_errors=True)
