@@ -1690,6 +1690,121 @@ def sql_events_percentiles() -> str:
     )
 
 
+# ES composite aggregation: buckets stream in composite-key order and
+# pages resume strictly AFTER a cursor key — the only ES agg that scales
+# to unbounded bucket cardinality (terms aggs cap at size). The Spark
+# shape is partial agg -> key-tuple filter -> TakeOrderedAndProject:
+# no global sort materializes, each page is one bounded top-k.
+COMPOSITE_AFTER = ("error", 75)  # pinned page-2 cursor
+COMPOSITE_SIZE = 20
+
+
+def q_events_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``composite`` aggregation analog, page 2: buckets keyed on
+    (event_type, user_id) with count + sum(value) metrics, resuming
+    strictly after the pinned ``after`` cursor, size 20. Lexicographic
+    cursor predicate + orderBy + limit — Catalyst plans the page as
+    TakeOrderedAndProject over the partial agg, never a full sort."""
+    from .operators.analytics import composite_agg
+
+    ev = load(spark, sf_dir, "events")
+    return composite_agg(
+        ev, ["event_type", "user_id"],
+        [F.count(F.lit(1)).alias("doc_count"),
+         F.round(F.sum("value"), 6).alias("sum_value")],
+        size=COMPOSITE_SIZE, after=COMPOSITE_AFTER,
+    )
+
+
+def sql_events_composite() -> str:
+    at, au = COMPOSITE_AFTER
+    return f"""
+SELECT event_type, user_id, count(*) AS doc_count,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY event_type, user_id
+HAVING (event_type > '{at}') OR (event_type = '{at}' AND user_id > {au})
+ORDER BY event_type, user_id
+LIMIT {COMPOSITE_SIZE}
+"""
+
+
+def q_events_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``filters`` aggregation analog: named buckets from arbitrary
+    predicates, each with doc_count + sum(value), computed in ONE scan
+    (conditional aggregation — sum(when(...))) and unpivoted to long
+    form. ES evaluates every filter per doc in one pass; so does this
+    plan: one partial+final agg row, then a driver-free stack."""
+    ev = load(spark, sf_dir, "events")
+    buckets = {
+        "errors": F.col("event_type") == "error",
+        "big_purchases": (F.col("event_type") == "purchase")
+        & (F.col("value") > 200),
+        "weekend": F.dayofweek("ts").isin(1, 7),
+    }
+    aggs = []
+    for name, pred in buckets.items():
+        aggs.append(F.count(F.when(pred, 1)).alias(f"c_{name}"))
+        aggs.append(
+            F.round(F.coalesce(F.sum(F.when(pred, F.col("value"))),
+                               F.lit(0.0)), 6).alias(f"s_{name}"))
+    wide = ev.agg(*aggs)
+    stack = ", ".join(f"'{n}', c_{n}, s_{n}" for n in buckets)
+    return wide.selectExpr(
+        f"stack({len(buckets)}, {stack}) AS (bucket, doc_count, sum_value)"
+    )
+
+
+def sql_events_filters_agg() -> str:
+    return """
+SELECT 'errors' AS bucket, count(*) AS doc_count,
+       round(coalesce(sum(value), 0), 6) AS sum_value
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'big_purchases', count(*), round(coalesce(sum(value), 0), 6)
+FROM events WHERE event_type = 'purchase' AND value > 200
+UNION ALL
+SELECT 'weekend', count(*), round(coalesce(sum(value), 0), 6)
+FROM events WHERE dayofweek(ts) IN (0, 6)
+"""
+
+
+HIST_INTERVAL = 50.0
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES numeric ``histogram`` aggregation (interval=50 on value)
+    with ``extended_stats`` metrics per bucket: doc_count, min, max,
+    avg, sum, population std — exactly what ES returns (extended_stats
+    std_deviation is population, not sample). One partial+final agg;
+    the bucket key is computed in the scan projection."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.floor(F.col("value") / HIST_INTERVAL)
+             * HIST_INTERVAL).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+            F.round(F.sum("value"), 6).alias("sum_v"),
+            F.round(F.stddev_pop("value"), 6).alias("std_v"),
+        )
+    )
+
+
+def sql_events_histogram() -> str:
+    return f"""
+SELECT floor(value / {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+       count(*) AS doc_count,
+       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+       round(avg(value), 6) AS avg_v, round(sum(value), 6) AS sum_v,
+       round(stddev_pop(value), 6) AS std_v
+FROM events GROUP BY 1
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1778,6 +1893,9 @@ QUERIES = {
     "function_score": q_function_score,
     "function_score_idx": q_function_score_idx,
     "collapse": q_collapse,
+    "events_composite": q_events_composite,
+    "events_filters_agg": q_events_filters_agg,
+    "events_histogram": q_events_histogram,
     "phrase_prefix": q_phrase_prefix,
     "phrase_prefix_idx": q_phrase_prefix_idx,
     "significant_terms": q_significant_terms,
@@ -1871,6 +1989,9 @@ ORACLES = {
     # boost applied inside the shard accumulator, same oracle
     "function_score_idx": sql_function_score(),
     "collapse": sql_collapse(),
+    "events_composite": sql_events_composite(),
+    "events_filters_agg": sql_events_filters_agg(),
+    "events_histogram": sql_events_histogram(),
     "phrase_prefix": sql_phrase_prefix(),
     "phrase_prefix_idx": sql_phrase_prefix(),
     "significant_terms": sql_significant_terms(),

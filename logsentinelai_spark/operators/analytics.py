@@ -168,3 +168,37 @@ per_sess AS (SELECT user_id, sess_id, count(*) AS n_events FROM s GROUP BY 1, 2)
 SELECT user_id, count(*) AS n_sessions, max(n_events) AS longest_session
 FROM per_sess GROUP BY user_id
 """
+
+
+# ------------------------------------------------- composite aggregation
+
+def composite_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list,
+    size: int,
+    after: tuple | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation page: buckets keyed on ``keys``
+    stream in key order; ``after`` resumes strictly after a cursor
+    tuple (the previous page's last key). The one ES aggregation that
+    scales to unbounded bucket cardinality — and the Spark plan keeps
+    that property: partial+final agg, a lexicographic cursor predicate,
+    then ``TakeOrderedAndProject`` (bounded per-partition top-``size``
+    + driver merge of size·partitions rows), never a global sort.
+
+    Reference analog: Kibana's paginated data tables / export paths
+    issue composite aggs (ES docs: search-aggregations-bucket-composite);
+    the LogSentinelAI dashboard's saved searches page the same way.
+    """
+    g = df.groupBy(*keys).agg(*aggs)
+    if after is not None:
+        if len(after) != len(keys):
+            raise ValueError("after cursor arity != keys arity")
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for k, a in zip(keys, after):
+            pred = pred | (eq & (F.col(k) > F.lit(a)))
+            eq = eq & (F.col(k) == F.lit(a))
+        g = g.filter(pred)
+    return g.orderBy(*[F.asc(k) for k in keys]).limit(size)

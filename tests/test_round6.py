@@ -863,3 +863,43 @@ def test_function_score_semantics(spark, built6):
                                      k=10, factor=factor)
     assert victim not in [d for d, _ in got2]
     _sh.rmtree(idx2, ignore_errors=True)
+
+
+def test_composite_agg_pages_chain_and_plan_bounded(spark):
+    """ES composite-agg semantics: chaining pages via each page's last
+    key reconstructs the full bucket list exactly, pages are disjoint,
+    and the physical plan per page is TakeOrderedAndProject (bounded
+    top-size), never a global Sort."""
+    from pyspark.sql import functions as F
+
+    from logsentinelai_spark.operators.analytics import composite_agg
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    keys = ["event_type", "user_id"]
+    aggs = lambda: [F.count(F.lit(1)).alias("doc_count"),
+                    F.round(F.sum("value"), 6).alias("sum_value")]
+    full = sorted(
+        tuple(r) for r in
+        ev.groupBy(*keys).agg(*aggs()).collect()
+    )
+    pages, after = [], None
+    for _ in range(1000):
+        rows = composite_agg(ev, keys, aggs(), size=7, after=after).collect()
+        if not rows:
+            break
+        pages.append([tuple(r) for r in rows])
+        after = tuple(rows[-1][k] for k in keys)
+    else:
+        pytest.fail("composite paging did not terminate")
+    flat = [r for p in pages for r in p]
+    assert flat == full                       # exact, ordered, disjoint
+    assert all(len(p) == 7 for p in pages[:-1]) and len(pages[-1]) <= 7
+    # cursor arity guard
+    with pytest.raises(ValueError):
+        composite_agg(ev, keys, aggs(), size=7, after=("x",))
+    # plan: bounded top-k page, no global Sort node
+    plan = composite_agg(ev, keys, aggs(), size=7,
+                         after=("error", 75))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
