@@ -124,6 +124,25 @@ re-partitioned by them. The corpus-wide stats (tf/df/dl aggregates)
 are the same partial+final shapes as bm25_topk. The index path
 (`more_like_this_idx`) replaces all corpus-side work with a bounded
 seed lookup + thin df probe + bucket-pruned posting read.""",
+    "events_composite": """ES composite aggregation page: the partial+final hash aggregate is
+the only exchange, and because the cursor predicate references only
+grouping columns Catalyst pushes it BELOW the aggregate all the way
+into the parquet scan (`PushedFilters: [Or(GreaterThan(event_type,..`)
+— later pages scan less data, not just aggregate less. The page
+itself is `TakeOrderedAndProject` — each task keeps only
+its local top-`size` buckets and the driver merges size·partitions
+rows. No global Sort ever materializes, which is exactly the property
+that lets ES page over unbounded bucket cardinality; at 100 TB the
+page cost is one agg shuffle plus an O(size) merge regardless of how
+many buckets exist. Pinned by
+`test_composite_agg_pages_chain_and_plan_bounded`.""",
+    "collapse": """ES field collapsing: the scored set (same broadcast-query-terms BM25
+shape as bm25_topk) joins `documents` pruned to (doc_id, lang) —
+ReadSchema shows the two columns — then ONE window (`row_number` over
+lang partitions) picks each group's representative. The window
+exchange partitions by the collapse field, carrying one row per
+SCORED doc, not per corpus doc: candidate selectivity bounds the
+shuffle. rn=1 filters before the final order-by of |langs| rows.""",
 }
 
 
