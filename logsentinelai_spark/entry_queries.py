@@ -275,6 +275,78 @@ ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+# ------------------------------------------------------- msearch (batched)
+
+# ES ``_msearch``: N search bodies in ONE request. The index path is
+# topk_many_local — one pruned pyarrow read for the UNION of all
+# queries' terms, per-term decode shared across queries (bench.py
+# measures this batching at 7.6x over a per-query loop); the naive
+# twin unions three Catalyst scorers into one job.
+MSEARCH_QUERIES = [FLAGSHIP_QUERY, "table value", "query vector merge"]
+MSEARCH_K = 5
+
+
+def q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_msearch`` analog, naive Catalyst twin: each body's BM25
+    top-5 tagged with its position in the request, one unioned job —
+    the corpus-side stats build is shared across bodies."""
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    outs = []
+    for i, q in enumerate(MSEARCH_QUERIES):
+        outs.append(
+            bm25_topk_naive(postings, dstats, tstats, gstats, q,
+                            k=MSEARCH_K)
+            .select(F.lit(i).alias("query_id"), "doc_id",
+                    F.round("score", 6).alias("score")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q_msearch_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME _msearch served batched from the physical index
+    (topk_many_local: union-of-terms pruned read, shared decode).
+    Same DuckDB oracle."""
+    from .index.query import topk_many_local
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    per_q = topk_many_local(reader, MSEARCH_QUERIES, k=MSEARCH_K)
+    docs = sorted({d for res in per_q for d, _ in res})
+    urls = reader.doc_urls_local(docs)
+    rows = [(i, int(urls[d][3:]), round(s, 6))
+            for i, res in enumerate(per_q) for d, s in res]
+    schema = "query_id int, doc_id long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_msearch() -> str:
+    blocks = []
+    for i, q in enumerate(MSEARCH_QUERIES):
+        terms = ", ".join(f"('{t}')" for t in sorted(set(q.split())))
+        blocks.append(f"""
+(SELECT {i} AS query_id, doc_id, round(s, 6) AS score FROM (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s
+  FROM tf JOIN (VALUES {terms}) q(term) USING (term)
+       JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id
+) ORDER BY s DESC, doc_id LIMIT {MSEARCH_K})""")
+    u = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+{u}
+"""
+
+
 # ----------------------------------------------- collapse (field collapsing)
 
 
@@ -1893,6 +1965,8 @@ QUERIES = {
     "function_score": q_function_score,
     "function_score_idx": q_function_score_idx,
     "collapse": q_collapse,
+    "msearch": q_msearch,
+    "msearch_idx": q_msearch_idx,
     "events_composite": q_events_composite,
     "events_filters_agg": q_events_filters_agg,
     "events_histogram": q_events_histogram,
@@ -1913,6 +1987,7 @@ QUERIES = {
     # geo enrichment + map aggregation (SURVEY §2 J1/Q7/F4/F5)
     "geo_enrich": _geo.q_geo_enrich,
     "geo_grid": _geo.q_geo_grid,
+    "geo_distance": _geo.q_geo_distance,
     # severity / window / session analytics (SURVEY §2.2, §2.5)
     "severity_rollup": _an.q_severity_rollup,
     "top_event_per_user": _an.q_top_event_per_user,
@@ -1989,6 +2064,9 @@ ORACLES = {
     # boost applied inside the shard accumulator, same oracle
     "function_score_idx": sql_function_score(),
     "collapse": sql_collapse(),
+    "msearch": sql_msearch(),
+    # batched union-of-terms read, shared decode — same oracle
+    "msearch_idx": sql_msearch(),
     "events_composite": sql_events_composite(),
     "events_filters_agg": sql_events_filters_agg(),
     "events_histogram": sql_events_histogram(),
@@ -2007,6 +2085,7 @@ ORACLES = {
     "events_pivot": sql_events_pivot(),
     "geo_enrich": _geo.SQL_GEO_ENRICH,
     "geo_grid": _geo.SQL_GEO_GRID,
+    "geo_distance": _geo.SQL_GEO_DISTANCE,
     "severity_rollup": _an.SQL_SEVERITY_ROLLUP,
     "top_event_per_user": _an.SQL_TOP_EVENT_PER_USER,
     "user_sessions": _an.SQL_USER_SESSIONS,

@@ -383,3 +383,56 @@ SELECT CAST(floor(lat / 10) AS BIGINT) * 10 AS lat_cell,
        CAST(count(DISTINCT ip) AS BIGINT) AS n_ips
 FROM enriched GROUP BY 1, 2
 """
+
+
+# ------------------------------------------- geo_distance query + sort
+
+# ES geo_distance query (filter within radius of a point) + ES
+# geo-distance sort. The haversine is ONE shared SQL text evaluated by
+# both engines (identical op order -> identical doubles up to
+# transcendental ulps; distances are rounded to 3 decimals = metre
+# precision, far above any ulp drift). Scale shape: the distance is a
+# pure codegen projection over the already-enriched rows and the page
+# is TakeOrderedAndProject — same bounded-top-k story as every other
+# serving page; no distance precomputation or geohash index is needed
+# until the radius predicate becomes selective enough to justify a
+# grid-cell prefilter (which q_geo_grid's cells would provide).
+GEO_POINT = (10.5, 20.5)   # pinned query point (lat, lon)
+GEO_RADIUS_KM = 3000.0
+GEO_K = 20
+
+HAVERSINE_SQL = (
+    "2 * 6371.0 * asin(sqrt("
+    "pow(sin((radians(lat) - radians({lat0})) / 2), 2) + "
+    "cos(radians({lat0})) * cos(radians(lat)) * "
+    "pow(sin((radians(lon) - radians({lon0})) / 2), 2)))"
+).format(lat0=GEO_POINT[0], lon0=GEO_POINT[1])
+
+
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_distance`` query + distance sort: enriched events
+    within GEO_RADIUS_KM of the pinned point, nearest first, top-20
+    with the distance. event_id tiebreak — co-located events (same
+    CIDR range => same coordinates) are common, so the sort must not
+    leave page membership to engine whim."""
+    return (
+        enriched_events(spark, sf_dir)
+        .withColumn("dist_km", F.expr(HAVERSINE_SQL))
+        .filter(F.col("dist_km") <= GEO_RADIUS_KM)
+        .orderBy(F.asc("dist_km"), F.asc("event_id"))
+        .limit(GEO_K)
+        .select("event_id", "country_code",
+                F.round("dist_km", 3).alias("dist_km"))
+    )
+
+
+SQL_GEO_DISTANCE = f"""
+WITH {_DIM_CTE}, {_ENRICH_CTE},
+with_dist AS (
+  SELECT event_id, country_code, {HAVERSINE_SQL} AS dist_km
+  FROM enriched
+)
+SELECT event_id, country_code, round(dist_km, 3) AS dist_km
+FROM with_dist WHERE dist_km <= {GEO_RADIUS_KM}
+ORDER BY dist_km, event_id LIMIT {GEO_K}
+"""
