@@ -2011,6 +2011,8 @@ QUERIES = {
     "quality_score": _ts.q_quality_score,
     "corpus_filter": _ts.q_corpus_filter,
     "line_dedup": _ts.q_line_dedup,
+    "stratified_sample": _ts.q_stratified_sample,
+    "perplexity": _ts.q_perplexity,
     "repetition_signals": _ts.q_repetition_signals,
     "pii_scrub": _ts.q_pii_scrub,
     "span_dedup": _ts.q_span_dedup,
@@ -2107,6 +2109,8 @@ ORACLES = {
     "quality_score": _ts.SQL_QUALITY,
     "corpus_filter": _ts.SQL_CORPUS_FILTER,
     "line_dedup": _ts.SQL_LINE_DEDUP,
+    "stratified_sample": _ts.SQL_STRATIFIED_SAMPLE,
+    "perplexity": _ts.SQL_PERPLEXITY,
     "repetition_signals": _ts.SQL_REPETITION,
     "pii_scrub": _ts.SQL_PII_SCRUB,
     "span_dedup": _ts.SQL_SPAN_DEDUP,

@@ -1100,3 +1100,118 @@ SELECT domain,
        round(avg(q), 6) AS mean_quality
 FROM per_doc GROUP BY domain
 """
+
+
+# ------------------------------------- stratified deterministic sampling
+
+# Training-data mixing: sample each stratum (lang here; domain/source in
+# production) at its own pinned rate, membership decided by a
+# DETERMINISTIC hash of the doc key — re-running the pipeline, at any
+# parallelism, on any engine, selects the SAME docs (Raffel JMLR'20 §2.2
+# and every data-mixing recipe since need exactly this reproducibility).
+# The gate hash is a portable Knuth multiplicative mix in exact int64
+# arithmetic so DuckDB computes bit-identical membership; production
+# passes hash_expr="(xxhash64(doc_id) & 4294967295)" for a stronger mix
+# — same plan, one expression swapped.
+SAMPLE_RATES = {"en": 0.5, "es": 0.25, "de": 0.25, "fr": 0.1, "zh": 0.1}
+_KNUTH_HASH = "((doc_id % 100003) * 2654435761) % 4294967296"
+
+
+def stratified_sample(df, stratum_col: str, rates: dict[str, float],
+                      hash_expr: str = _KNUTH_HASH):
+    """Keep each row iff hash(key)/2^32 < rates[stratum]. Pure codegen
+    projection + filter — no shuffle, no state, no RNG: the sample is a
+    property of the data, not of the run."""
+    rate = F.lit(0.0)
+    for s, r in rates.items():
+        rate = F.when(F.col(stratum_col) == s, F.lit(r)).otherwise(rate)
+    u = F.expr(hash_expr) / F.lit(4294967296.0)
+    return df.withColumn("_u", u).filter(F.col("_u") < rate).drop("_u")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang deterministic sample of documents at pinned rates;
+    returns the kept doc_ids with their stratum (order-free gate)."""
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "lang", SAMPLE_RATES
+    )
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{s}' THEN {r}" for s, r in SAMPLE_RATES.items())
+    return f"CASE {whens} ELSE 0.0 END"
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE ({_KNUTH_HASH}) / 4294967296.0 < ({_sql_rate_case()})
+"""
+
+
+# --------------------------------------------- bigram-LM perplexity score
+
+# CCNet-style LM quality scoring (Wenzek LREC'20): score every doc by
+# its perplexity under a smoothed n-gram LM and filter/bucket on it.
+# Here the LM is a bigram with add-k smoothing learned from the corpus
+# itself in the SAME plan (production would broadcast a frozen model
+# table learned offline — the scoring joins are identical). Scale
+# shape: the count tables are vocabulary-sized (broadcastable), the
+# corpus-sized work is one explode + two broadcast joins + one per-doc
+# aggregate; nothing shuffles on text.
+PPL_ADD_K = 0.5
+
+
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram perplexity: exp(-avg ln P(w_i | w_{i-1})),
+    P = (c(w1,w2) + k) / (c(w1) + k·V), counts learned corpus-wide."""
+    from pyspark.sql import Window
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(_tok_col()).alias("pos", "term"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+    )
+    c2 = big.groupBy("term", "nxt").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("term").agg(F.count("*").alias("c1"))
+    v = c1.agg(F.countDistinct("term").alias("v"))
+    scored = (
+        big.join(F.broadcast(c2), ["term", "nxt"])
+        .join(F.broadcast(c1), "term")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "lp",
+            F.log((F.col("c2") + PPL_ADD_K)
+                  / (F.col("c1") + PPL_ADD_K * F.col("v"))))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.exp(-F.avg("lp")), 6).alias("perplexity"))
+    )
+
+
+SQL_PERPLEXITY = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}'), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT doc_id, term,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok
+  QUALIFY nxt IS NOT NULL
+),
+c2 AS (SELECT term, nxt, count(*) AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT term, count(*) AS c1 FROM big GROUP BY 1),
+v AS (SELECT count(DISTINCT term) AS v FROM c1)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(exp(-avg(ln((c2.c2 + {PPL_ADD_K}) / (c1.c1 + {PPL_ADD_K} * v.v)))), 6)
+         AS perplexity
+FROM big JOIN c2 USING (term, nxt) JOIN c1 USING (term) CROSS JOIN v
+GROUP BY doc_id
+"""

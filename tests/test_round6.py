@@ -903,3 +903,59 @@ def test_composite_agg_pages_chain_and_plan_bounded(spark):
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_stratified_sample_deterministic_and_on_rate(spark):
+    from logsentinelai_spark.operators.textstats import (
+        SAMPLE_RATES, stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "lang")
+    pick = lambda df: sorted(
+        (r.doc_id, r.lang) for r in
+        stratified_sample(df, "lang", SAMPLE_RATES).collect())
+    a = pick(docs)
+    # determinism: same set on a re-run AND at different parallelism
+    assert a == pick(docs.repartition(17))
+    # python replay of the portable hash — membership is data-only
+    rows = [(r.doc_id, r.lang) for r in docs.collect()]
+    want = sorted(
+        (d, l) for d, l in rows
+        if ((d % 100003) * 2654435761) % 4294967296 / 4294967296.0
+        < SAMPLE_RATES.get(l, 0.0))
+    assert a == want
+    # per-stratum rates are honored within binomial noise
+    from collections import Counter
+    tot, got = Counter(l for _, l in rows), Counter(l for _, l in a)
+    for s, r in SAMPLE_RATES.items():
+        if tot[s] >= 30:
+            assert abs(got[s] / tot[s] - r) < 4 * (r * (1 - r) / tot[s]) ** 0.5 + 0.02
+
+
+def test_perplexity_matches_python_replay(spark):
+    import math
+    from collections import Counter
+
+    from logsentinelai_spark.operators.textstats import PPL_ADD_K, q_perplexity
+    from logsentinelai_spark.functions.tokenizer import tokens
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: (r.n_bigrams, r.perplexity)
+           for r in q_perplexity(spark, sf).collect()}
+    docs = {r.doc_id: tokens(r.text.lower()) for r in
+            spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    bigs = {d: list(zip(t, t[1:])) for d, t in docs.items()}
+    c2 = Counter(b for bs in bigs.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigs.values() for b in bs)
+    v = len(c1)
+    for d, bs in bigs.items():
+        if not bs:
+            assert d not in got
+            continue
+        lp = [math.log((c2[b] + PPL_ADD_K) / (c1[b[0]] + PPL_ADD_K * v))
+              for b in bs]
+        want = math.exp(-sum(lp) / len(lp))
+        n, p = got[d]
+        assert n == len(bs)
+        assert p == pytest.approx(round(want, 6), abs=2e-6)
