@@ -1164,15 +1164,25 @@ PPL_ADD_K = 0.5
 
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram perplexity: exp(-avg ln P(w_i | w_{i-1})),
-    P = (c(w1,w2) + k) / (c(w1) + k·V), counts learned corpus-wide."""
-    from pyspark.sql import Window
+    P = (c(w1,w2) + k) / (c(w1) + k·V), counts learned corpus-wide.
 
-    tok = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(_tok_col()).alias("pos", "term"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    Bigrams are built IN-ROW (arrays_zip of the token array against
+    its shift — adjacency is a per-document property, so no window and
+    no shuffle of the token stream on doc_id; a lead() window would
+    exchange the whole corpus's tokens). The only exchanges left are
+    the two vocabulary-bounded count aggregates, which re-enter as
+    broadcasts."""
     big = (
-        tok.withColumn("nxt", F.lead("term").over(w))
-        .filter(F.col("nxt").isNotNull())
+        _docs(spark, sf_dir)
+        .select("doc_id", _tok_col().alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(arrays_zip(slice(toks, 1, size(toks) - 1), "
+                "slice(toks, 2, size(toks) - 1)))").alias("bg"))
+        .select("doc_id", F.col("bg")["0"].alias("term"),
+                F.col("bg")["1"].alias("nxt"))
     )
     c2 = big.groupBy("term", "nxt").agg(F.count("*").alias("c2"))
     c1 = big.groupBy("term").agg(F.count("*").alias("c1"))
