@@ -124,6 +124,16 @@ re-partitioned by them. The corpus-wide stats (tf/df/dl aggregates)
 are the same partial+final shapes as bm25_topk. The index path
 (`more_like_this_idx`) replaces all corpus-side work with a bounded
 seed lookup + thin df probe + bucket-pruned posting read.""",
+    "perplexity": """CCNet-style LM scoring with the token stream never exchanged:
+bigrams are built IN-ROW (arrays_zip of the token array against its
+own shift — adjacency is a per-document property), so the fact side
+is scan -> Generate(explode) -> two BroadcastHashJoins -> partial
+aggregate, and the only fact-side Exchange carries one (doc_id,
+partial count/avg) row per document. The bigram/unigram count tables
+are vocabulary-bounded aggregates that re-enter as BroadcastExchange.
+A lead() window formulation would instead shuffle every token on
+doc_id — the difference between O(corpus) and O(docs) exchange bytes
+at 100 TB.""",
     "events_composite": """ES composite aggregation page: the partial+final hash aggregate is
 the only exchange, and because the cursor predicate references only
 grouping columns Catalyst pushes it BELOW the aggregate all the way
