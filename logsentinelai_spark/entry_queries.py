@@ -1877,6 +1877,117 @@ FROM events GROUP BY 1
 """
 
 
+# -- ES pipeline aggregations (derivative / cumulative_sum / moving_fn) --
+#
+# In ES these are parent pipeline aggs attached to a date_histogram;
+# the coordinator computes them over the REDUCED bucket list after the
+# shards have merged partials.  The Spark analog mirrors that shape
+# exactly: the only corpus-wide work is the partial+final hash
+# aggregate; the pipeline stage is a window over the aggregated bucket
+# table, which is bucket-bounded (days in the time range — 365 rows/yr
+# even at 100 TB), never corpus-bounded, so the unpartitioned ordered
+# window is a constant-size post-aggregation step by construction.
+
+
+def q_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations over a daily ``date_histogram``
+    (Kibana TSVB / Lens time-series panels; the reference dashboard's
+    NDJSON panels carry exactly these series — reference
+    `Kibana-9.0.3-Dashboard-LogSentinelAI.ndjson`): per-day doc count
+    + sum(value), then ``derivative`` (delta vs previous bucket, null
+    for the first — ES omits it), ``cumulative_sum``, and a trailing
+    3-bucket ``moving_fn`` unweighted average (window=3 including the
+    current bucket, i.e. ES ``shift=1`` semantics)."""
+    ev = load(spark, sf_dir, "events")
+    day = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    w = Window.orderBy("day")
+    return day.select(
+        "day",
+        "n",
+        "sum_value",
+        F.round(F.col("sum_value") - F.lag("sum_value").over(w), 6).alias("deriv"),
+        F.round(
+            F.sum("sum_value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("cum_sum"),
+        F.round(F.avg("n").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg_n"),
+    )
+
+
+def sql_events_pipeline() -> str:
+    return """
+WITH day AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*) AS n, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT day, n, sum_value,
+  round(sum_value - lag(sum_value) OVER (ORDER BY day), 6) AS deriv,
+  round(sum(sum_value) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_sum,
+  round(avg(n) OVER (ORDER BY day
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_n
+FROM day
+"""
+
+
+# -- ES function_score decay (gauss) -----------------------------------
+#
+# score = value * exp(ln(decay) * (d / scale)^2),
+# d = max(0, |ts - origin| - offset) — ES's gauss decay with the
+# sigma^2 substitution already folded in (ES defines
+# sigma^2 = -scale^2 / (2 ln decay); exp(-d^2 / (2 sigma^2)) ==
+# exp(ln(decay) * d^2 / scale^2)).  Pinned origin/scale/offset/decay;
+# time arithmetic is exact int64 microseconds on BOTH engines, and the
+# distance is a DIFFERENCE of two values parsed under the same clock
+# (the tz-cancellation discipline of analytics.q_user_sessions), so
+# there is no session-tz dependence.
+DECAY_ORIGIN = "2024-01-15 00:00:00"
+DECAY_SCALE_S = 604800.0  # 7 days
+DECAY_OFFSET_S = 86400.0  # 1 day
+DECAY_LN = -0.6931471805599453  # ln(0.5)
+
+
+def q_function_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``function_score`` with a ``gauss`` date decay multiplied
+    into a ``field_value_factor`` (the canonical "recent events score
+    higher" ranking; ES `decay function` docs): top-20 events by
+    value x gauss(ts), origin pinned mid-range, scale 7 d, offset 1 d,
+    decay 0.5.  Plan shape: pure scan projection (unix_micros + exp
+    are codegen'd) + TakeOrderedAndProject — no shuffle beyond top-k;
+    ordering ties are broken on event_id AFTER rounding so both
+    engines sort the same key."""
+    ev = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    origin_us = F.unix_micros(F.to_timestamp(F.lit(DECAY_ORIGIN)))
+    d = F.greatest(
+        F.lit(0.0),
+        F.abs(ts_us - origin_us) / 1e6 - F.lit(DECAY_OFFSET_S),
+    )
+    gauss = F.exp(F.lit(DECAY_LN) * F.pow(d / F.lit(DECAY_SCALE_S), F.lit(2.0)))
+    scored = ev.select(
+        "event_id", F.round(F.col("value") * gauss, 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("event_id")).limit(20)
+
+
+def sql_function_score_decay() -> str:
+    return f"""
+WITH scored AS (
+  SELECT event_id,
+         round(value * exp({DECAY_LN} * pow(
+           greatest(0.0, abs(epoch_us(ts)
+                    - epoch_us(TIMESTAMP '{DECAY_ORIGIN}')) / 1e6
+                    - {DECAY_OFFSET_S}) / {DECAY_SCALE_S}, 2.0)), 6) AS score
+  FROM events
+)
+SELECT event_id, score FROM scored
+ORDER BY score DESC, event_id LIMIT 20
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1970,6 +2081,8 @@ QUERIES = {
     "events_composite": q_events_composite,
     "events_filters_agg": q_events_filters_agg,
     "events_histogram": q_events_histogram,
+    "events_pipeline": q_events_pipeline,
+    "function_score_decay": q_function_score_decay,
     "phrase_prefix": q_phrase_prefix,
     "phrase_prefix_idx": q_phrase_prefix_idx,
     "significant_terms": q_significant_terms,
@@ -2009,6 +2122,7 @@ QUERIES = {
     # text analysis
     "lang_id": _ts.q_lang_id,
     "quality_score": _ts.q_quality_score,
+    "quality_classify": _ts.q_quality_classify,
     "corpus_filter": _ts.q_corpus_filter,
     "line_dedup": _ts.q_line_dedup,
     "stratified_sample": _ts.q_stratified_sample,
@@ -2072,6 +2186,8 @@ ORACLES = {
     "events_composite": sql_events_composite(),
     "events_filters_agg": sql_events_filters_agg(),
     "events_histogram": sql_events_histogram(),
+    "events_pipeline": sql_events_pipeline(),
+    "function_score_decay": sql_function_score_decay(),
     "phrase_prefix": sql_phrase_prefix(),
     "phrase_prefix_idx": sql_phrase_prefix(),
     "significant_terms": sql_significant_terms(),
@@ -2107,6 +2223,7 @@ ORACLES = {
     "embedding_neardup": _sim.SQL_EMBEDDING_NEARDUP,
     "lang_id": _ts.SQL_LANG_ID,
     "quality_score": _ts.SQL_QUALITY,
+    "quality_classify": _ts.SQL_QUALITY_CLASSIFY,
     "corpus_filter": _ts.SQL_CORPUS_FILTER,
     "line_dedup": _ts.SQL_LINE_DEDUP,
     "stratified_sample": _ts.SQL_STRATIFIED_SAMPLE,

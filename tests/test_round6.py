@@ -959,3 +959,83 @@ def test_perplexity_matches_python_replay(spark):
         n, p = got[d]
         assert n == len(bs)
         assert p == pytest.approx(round(want, 6), abs=2e-6)
+
+
+def test_events_pipeline_semantics(spark):
+    """ES pipeline aggs: derivative = bucket-over-bucket delta (null
+    for the first bucket, as ES omits it), cumulative_sum ends at the
+    global total, moving_fn window-3 average replays exactly."""
+    from logsentinelai_spark.entry_queries import q_events_pipeline
+
+    rows = sorted(q_events_pipeline(spark, "/root/testdata/sf0.001").collect(),
+                  key=lambda r: r.day)
+    assert rows[0].deriv is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.deriv == pytest.approx(
+            round(cur.sum_value - prev.sum_value, 6), abs=2e-6)
+    run = 0.0
+    for i, r in enumerate(rows):
+        run += r.sum_value
+        assert r.cum_sum == pytest.approx(round(run, 6), abs=2e-6)
+        win = [x.n for x in rows[max(0, i - 2):i + 1]]
+        assert r.moving_avg_n == pytest.approx(
+            round(sum(win) / len(win), 6), abs=2e-6)
+
+
+def test_function_score_decay_semantics(spark):
+    """Gauss decay: inside the offset the multiplier is exactly 1 (the
+    score equals the raw value); beyond it the multiplier replays the
+    ES formula exp(ln(decay) * (d/scale)^2) and decreases with
+    distance from the origin."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import functions as F
+
+    from logsentinelai_spark.entry_queries import (
+        DECAY_LN, DECAY_OFFSET_S, DECAY_ORIGIN, DECAY_SCALE_S,
+        q_function_score_decay,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_id: r.score
+           for r in q_function_score_decay(spark, sf).collect()}
+    assert len(got) == 20
+    ev = {r.event_id: (r.ts, r.value) for r in
+          spark.read.parquet(f"{sf}/events.parquet")
+          .select("event_id", "ts", "value").collect()}
+    origin = dt.datetime.fromisoformat(DECAY_ORIGIN)
+    scores = {}
+    for eid, (ts, value) in ev.items():
+        d = max(0.0, abs((ts - origin).total_seconds()) - DECAY_OFFSET_S)
+        scores[eid] = round(value * math.exp(DECAY_LN * (d / DECAY_SCALE_S) ** 2), 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == dict(want)
+    # inside the offset the decay multiplier is exactly 1
+    inside = [eid for eid, (ts, v) in ev.items()
+              if abs((ts - origin).total_seconds()) <= DECAY_OFFSET_S]
+    for eid in inside:
+        assert scores[eid] == round(ev[eid][1], 6)
+
+
+def test_quality_classify_is_calibrated_soft_scorer(spark):
+    """The distilled LR: p_keep in (0,1), keep == (p_keep >= 0.5), and
+    the classifier agrees with the rule-based corpus_filter keep label
+    on >= 65 % of non-injected docs (it cannot see lang/domain/dup
+    rules, so perfect agreement would be a bug — it would mean the
+    features leak the label)."""
+    from logsentinelai_spark.operators.textstats import (
+        q_corpus_filter, q_quality_classify,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cls = {r.doc_id: (r.p_keep, r.keep)
+           for r in q_quality_classify(spark, sf).collect()}
+    assert cls, "classifier returned no rows"
+    for p, keep in cls.values():
+        assert 0.0 < p < 1.0
+        assert keep == int(p >= 0.5)
+    rules = {r.doc_id: r.keep for r in q_corpus_filter(spark, sf).collect()
+             if r.doc_id < 200000}
+    agree = sum(int(bool(cls[d][1]) == rules[d]) for d in rules) / len(rules)
+    assert 0.65 <= agree < 1.0
