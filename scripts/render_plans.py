@@ -134,6 +134,31 @@ are vocabulary-bounded aggregates that re-enter as BroadcastExchange.
 A lead() window formulation would instead shuffle every token on
 doc_id — the difference between O(corpus) and O(docs) exchange bytes
 at 100 TB.""",
+    "events_pipeline": """ES pipeline aggregations (derivative / cumulative_sum /
+moving_fn): the ONLY corpus-wide work is the partial+final hash
+aggregate on the day bucket; the Window node above it runs on the
+aggregated bucket table, whose row count is the calendar (365
+rows/year at ANY corpus size), so the single-partition ordered window
+Spark warns about is a constant-size coordinator step by construction
+— exactly where ES computes pipeline aggs (over the reduced bucket
+list). Audit point: one Exchange below the aggregate, and the window's
+Sort sits above the aggregate, never on the fact table.""",
+    "function_score_decay": """ES gauss date decay x field_value_factor: the decay multiplier
+(unix_micros / abs / pow / exp) is a pure scan projection inside one
+WholeStageCodegen span, and the plan terminates in
+TakeOrderedAndProject — per-partition top-20 then a 20-row merge, no
+global Sort, no Exchange other than the final single-partition
+collect of 20-row partials. The scoring plan is corpus-shaped the
+same way bm25's naive twin is: linear scan, constant memory.""",
+    "quality_classify": """Distilled LR quality filter: identical plan shape to
+quality_score — tokenize/explode inside codegen, then the standard
+two-level countDistinct expansion (partial on (doc_id, term), final
+on doc_id; both exchanges carry distinct-pair counts, never the token
+stream) — with the model applied as an in-row projection above the
+final aggregate (sigmoid/exp codegen'd). The audit point is what is
+ABSENT: no UDF node, no extra exchange beyond quality_score's own, no
+model join — model-based filtering costs zero additional plan
+structure at 100 TB.""",
     "events_composite": """ES composite aggregation page: the partial+final hash aggregate is
 the only exchange, and because the cursor predicate references only
 grouping columns Catalyst pushes it BELOW the aggregate all the way
