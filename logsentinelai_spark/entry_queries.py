@@ -2101,6 +2101,7 @@ QUERIES = {
     "geo_enrich": _geo.q_geo_enrich,
     "geo_grid": _geo.q_geo_grid,
     "geo_distance": _geo.q_geo_distance,
+    "geo_bounds": _geo.q_geo_bounds,
     # severity / window / session analytics (SURVEY §2.2, §2.5)
     "severity_rollup": _an.q_severity_rollup,
     "top_event_per_user": _an.q_top_event_per_user,
@@ -2125,6 +2126,7 @@ QUERIES = {
     "quality_classify": _ts.q_quality_classify,
     "corpus_filter": _ts.q_corpus_filter,
     "line_dedup": _ts.q_line_dedup,
+    "url_dedup": _ts.q_url_dedup,
     "stratified_sample": _ts.q_stratified_sample,
     "perplexity": _ts.q_perplexity,
     "repetition_signals": _ts.q_repetition_signals,
@@ -2204,6 +2206,7 @@ ORACLES = {
     "geo_enrich": _geo.SQL_GEO_ENRICH,
     "geo_grid": _geo.SQL_GEO_GRID,
     "geo_distance": _geo.SQL_GEO_DISTANCE,
+    "geo_bounds": _geo.SQL_GEO_BOUNDS,
     "severity_rollup": _an.SQL_SEVERITY_ROLLUP,
     "top_event_per_user": _an.SQL_TOP_EVENT_PER_USER,
     "user_sessions": _an.SQL_USER_SESSIONS,
@@ -2226,6 +2229,7 @@ ORACLES = {
     "quality_classify": _ts.SQL_QUALITY_CLASSIFY,
     "corpus_filter": _ts.SQL_CORPUS_FILTER,
     "line_dedup": _ts.SQL_LINE_DEDUP,
+    "url_dedup": _ts.SQL_URL_DEDUP,
     "stratified_sample": _ts.SQL_STRATIFIED_SAMPLE,
     "perplexity": _ts.SQL_PERPLEXITY,
     "repetition_signals": _ts.SQL_REPETITION,

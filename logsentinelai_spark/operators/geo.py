@@ -436,3 +436,37 @@ SELECT event_id, country_code, round(dist_km, 3) AS dist_km
 FROM with_dist WHERE dist_km <= {GEO_RADIUS_KM}
 ORDER BY dist_km, event_id LIMIT {GEO_K}
 """
+
+
+def q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_bounds`` + ``geo_centroid`` aggregations per country
+    bucket (the Kibana map sidebar pair): bounding box (min/max
+    lat/lon) and unweighted centroid over the enriched events. Plan
+    shape: the enrichment BroadcastHashJoin feeds ONE partial+final
+    hash aggregate on country_code — bounds and centroid are plain
+    min/max/avg, so the shuffle carries one 7-metric row per country
+    per map task at any corpus size."""
+    return (
+        enriched_events(spark, sf_dir)
+        .groupBy("country_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("lat"), 6).alias("lat_min"),
+            F.round(F.max("lat"), 6).alias("lat_max"),
+            F.round(F.min("lon"), 6).alias("lon_min"),
+            F.round(F.max("lon"), 6).alias("lon_max"),
+            F.round(F.avg("lat"), 6).alias("centroid_lat"),
+            F.round(F.avg("lon"), 6).alias("centroid_lon"),
+        )
+    )
+
+
+SQL_GEO_BOUNDS = f"""
+WITH {_DIM_CTE}, {_ENRICH_CTE}
+SELECT country_code, count(*) AS n_events,
+       round(min(lat), 6) AS lat_min, round(max(lat), 6) AS lat_max,
+       round(min(lon), 6) AS lon_min, round(max(lon), 6) AS lon_max,
+       round(avg(lat), 6) AS centroid_lat,
+       round(avg(lon), 6) AS centroid_lon
+FROM enriched GROUP BY 1
+"""

@@ -1292,3 +1292,94 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM big JOIN c2 USING (term, nxt) JOIN c1 USING (term) CROSS JOIN v
 GROUP BY doc_id
 """
+
+
+# -- URL canonicalization + URL-level dedup -----------------------------
+#
+# Web pipelines dedup by canonical URL BEFORE content dedup (RefinedWeb
+# [Penedo et al. 2023] §3.1 runs exact URL dedup first; C4 and CCNet
+# normalize URLs the same way). The fixture's `source` column carries
+# no URL, so — like corpus_filter's injected exact dups — both engines
+# synthesize the SAME messy URL per doc from ONE shared SQL text
+# (scheme / www / tracking-params / trailing-slash / fragment variants
+# keyed off doc_id), then each engine canonicalizes independently:
+# strip fragment + scheme + www., drop utm_* tracking params, SORT the
+# surviving params (order normalization), strip the trailing slash.
+# Docs differing only in junk collapse to one canonical URL; min
+# doc_id wins.
+URL_SYNTH_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
+    "source, '.com/p/', CAST(doc_id % 7 AS STRING), "
+    "CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END, "
+    # param-variant key is %9 — COPRIME with the 140-row group period
+    # (lcm of the source/path cycles), so reordered-param variants DO
+    # land in the same canonical group and the sort-merge is exercised
+    "CASE WHEN doc_id % 9 = 0 THEN '?utm_source=feed&utm_medium=rss' "
+    "     WHEN doc_id % 9 = 1 THEN '?ref=home&utm_campaign=x&id=2' "
+    "     WHEN doc_id % 9 = 2 THEN '?id=2&ref=home' ELSE '' END, "
+    "CASE WHEN doc_id % 13 = 0 THEN '#section-2' ELSE '' END)"
+)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact URL dedup (RefinedWeb §3.1 stage
+    one): canonicalize in-row (regexp strips + param filter/sort via
+    array ops — all codegen'd, no UDF), then ONE window over the
+    canonical key decides the keeper (min doc_id). The canonical
+    string must ride the shuffle anyway (it is in the output), so the
+    exchange carries (canon, doc_id) — at 100 TB the output projection
+    drops to (doc_id, keep) and the window key becomes the 8-byte
+    xxhash64 of the canon, the line_dedup discipline."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    u = d.withColumn("url", F.expr(URL_SYNTH_SQL))
+    nofrag = F.regexp_replace("url", r"#.*", "")
+    nohost = F.regexp_replace(
+        F.regexp_replace(nofrag, r"^https?://", ""), r"^www\.", "")
+    path = F.regexp_replace(F.split(nohost, r"\?", 2).getItem(0), r"/+$", "")
+    query = F.when(nohost.contains("?"), F.split(nohost, r"\?", 2).getItem(1))
+    params = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: ~p.startswith("utm_")))
+    canon = F.concat(
+        path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&"))
+               ).otherwise(F.lit("")),
+    )
+    c = u.select("doc_id", canon.alias("canon_url"))
+    w = Window.partitionBy("canon_url")
+    return c.select(
+        "doc_id", "canon_url",
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("keep"),
+    )
+
+
+SQL_URL_DEDUP = f"""
+WITH u AS (
+  SELECT doc_id, {URL_SYNTH_SQL} AS url FROM documents
+),
+c AS (
+  SELECT doc_id,
+    rtrim(str_split(nohost, '?')[1], '/') ||
+    CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+         ELSE '' END AS canon_url
+  FROM (
+    SELECT doc_id, nohost,
+      list_sort(list_filter(
+        CASE WHEN contains(nohost, '?')
+             THEN str_split(str_split(nohost, '?')[2], '&')
+             ELSE CAST([] AS VARCHAR[]) END,
+        p -> NOT starts_with(p, 'utm_'))) AS params
+    FROM (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(url, '#.*', ''),
+          '^https?://', ''), '^www\\.', '') AS nohost
+      FROM u
+    )
+  )
+)
+SELECT doc_id, canon_url,
+       CAST(doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS INT) AS keep
+FROM c
+"""

@@ -1039,3 +1039,62 @@ def test_quality_classify_is_calibrated_soft_scorer(spark):
              if r.doc_id < 200000}
     agree = sum(int(bool(cls[d][1]) == rules[d]) for d in rules) / len(rules)
     assert 0.65 <= agree < 1.0
+
+
+def test_url_dedup_canonicalization_semantics(spark):
+    """Canonicalization invariants, replayed in Python: scheme/www/
+    fragment/trailing-slash stripped, utm_* params dropped, surviving
+    params SORTED (so '?ref=home&utm_campaign=x&id=2' and
+    '?id=2&ref=home' collapse), min doc_id keeps."""
+    from logsentinelai_spark.operators.textstats import q_url_dedup
+
+    # sf0.01: canonical groups span 140 doc_ids, so the smaller fixture
+    # has no multi-member groups at all
+    rows = q_url_dedup(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    by_canon = {}
+    for r in rows:
+        # no junk survives canonicalization
+        assert "://" not in r.canon_url and not r.canon_url.startswith("www.")
+        assert "#" not in r.canon_url and "utm_" not in r.canon_url
+        assert not r.canon_url.split("?")[0].endswith("/")
+        if "?" in r.canon_url:
+            ps = r.canon_url.split("?", 1)[1].split("&")
+            assert ps == sorted(ps)
+        by_canon.setdefault(r.canon_url, []).append((r.doc_id, r.keep))
+    # min doc_id wins in every group, exactly one keeper
+    for members in by_canon.values():
+        keepers = [d for d, k in members if k]
+        assert keepers == [min(d for d, _ in members)]
+    # the param-ORDER merge really fires: some group must contain both
+    # a %9==1 doc (utm_campaign variant) and a %9==2 doc (reordered)
+    assert any(
+        {d % 9 for d, _ in members} >= {1, 2}
+        for members in by_canon.values()
+    ), "param-sort merge never exercised"
+    assert any(len(m) > 1 for m in by_canon.values())
+
+
+def test_geo_bounds_replays_enrichment(spark):
+    """geo_bounds == min/max/avg replay over the enriched events."""
+    from collections import defaultdict
+
+    from logsentinelai_spark.operators.geo import enriched_events, q_geo_bounds
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.country_code: r for r in q_geo_bounds(spark, sf).collect()}
+    pts = defaultdict(list)
+    for r in enriched_events(spark, sf).select(
+            "country_code", "lat", "lon").collect():
+        pts[r.country_code].append((r.lat, r.lon))
+    assert set(got) == set(pts)
+    for cc, ps in pts.items():
+        g = got[cc]
+        lats, lons = [p[0] for p in ps], [p[1] for p in ps]
+        assert g.n_events == len(ps)
+        assert g.lat_min == round(min(lats), 6)
+        assert g.lat_max == round(max(lats), 6)
+        assert g.centroid_lat == pytest.approx(
+            round(sum(lats) / len(lats), 6), abs=2e-6)
+        assert g.centroid_lon == pytest.approx(
+            round(sum(lons) / len(lons), 6), abs=2e-6)
