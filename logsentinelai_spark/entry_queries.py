@@ -1877,6 +1877,89 @@ FROM events GROUP BY 1
 """
 
 
+# ES rare_terms: the long-tail complement of the terms agg — buckets
+# whose doc_count is AT MOST a ceiling, doc_count ascending. ES bounds
+# memory with a CuckooFilter and accepts false positives; the Spark
+# analog is exact (a filter above the partial+final count aggregate —
+# the aggregate is the same corpus-wide work the terms agg already
+# pays, and the rarity filter prunes AFTER the merge, which is the
+# only place an exact answer can exist).
+RARE_MAX_DOC_COUNT = 60
+
+
+def q_events_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rare_terms`` aggregation on user_id: every user with at
+    most RARE_MAX_DOC_COUNT events (exact; ES's CuckooFilter variant
+    trades exactness for bounded coordinator memory — Spark's
+    partial+final aggregate already bounds memory, so exactness is
+    free). doc_count ties are real, so the gate output is the full
+    unordered bucket set (the driver compare sorts)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") <= RARE_MAX_DOC_COUNT)
+    )
+
+
+def sql_events_rare_terms() -> str:
+    return (
+        "SELECT user_id, count(*) AS doc_count FROM events "
+        f"GROUP BY 1 HAVING count(*) <= {RARE_MAX_DOC_COUNT}"
+    )
+
+
+# ES date_range aggregation: named half-open [from, to) buckets —
+# unlike date_histogram the buckets are user-defined and may be
+# irregular; events outside every range are dropped. One
+# conditional-projection scan + the usual partial+final aggregate.
+DATE_RANGES = [
+    ("early", None, "2024-01-10 00:00:00"),
+    ("mid", "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+    ("late", "2024-01-20 00:00:00", None),
+]
+
+
+def q_events_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_range`` aggregation: three named half-open buckets
+    (open-ended first/last, like ES's missing from/to) with doc_count
+    + sum(value) metrics. The bucket label is a CASE projection in the
+    scan — one pass, one aggregate exchange carrying 3 rows per task."""
+    ev = load(spark, sf_dir, "events")
+    label = F.lit(None).cast("string")
+    for name, lo, hi in reversed(DATE_RANGES):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("ts") >= F.to_timestamp_ntz(F.lit(lo)))
+        if hi is not None:
+            cond = cond & (F.col("ts") < F.to_timestamp_ntz(F.lit(hi)))
+        label = F.when(cond, F.lit(name)).otherwise(label)
+    return (
+        ev.select(label.alias("range_label"), "value")
+        .groupBy("range_label")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def sql_events_date_range() -> str:
+    cases = []
+    for name, lo, hi in DATE_RANGES:
+        conds = []
+        if lo is not None:
+            conds.append(f"ts >= TIMESTAMP '{lo}'")
+        if hi is not None:
+            conds.append(f"ts < TIMESTAMP '{hi}'")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{name}'")
+    return (
+        "SELECT CASE " + " ".join(cases) + " END AS range_label, "
+        "count(*) AS doc_count, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1"
+    )
+
+
 # -- ES pipeline aggregations (derivative / cumulative_sum / moving_fn) --
 #
 # In ES these are parent pipeline aggs attached to a date_histogram;
@@ -2082,6 +2165,8 @@ QUERIES = {
     "events_filters_agg": q_events_filters_agg,
     "events_histogram": q_events_histogram,
     "events_pipeline": q_events_pipeline,
+    "events_rare_terms": q_events_rare_terms,
+    "events_date_range": q_events_date_range,
     "function_score_decay": q_function_score_decay,
     "phrase_prefix": q_phrase_prefix,
     "phrase_prefix_idx": q_phrase_prefix_idx,
@@ -2189,6 +2274,8 @@ ORACLES = {
     "events_filters_agg": sql_events_filters_agg(),
     "events_histogram": sql_events_histogram(),
     "events_pipeline": sql_events_pipeline(),
+    "events_rare_terms": sql_events_rare_terms(),
+    "events_date_range": sql_events_date_range(),
     "function_score_decay": sql_function_score_decay(),
     "phrase_prefix": sql_phrase_prefix(),
     "phrase_prefix_idx": sql_phrase_prefix(),

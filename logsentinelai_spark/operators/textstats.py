@@ -1307,7 +1307,7 @@ GROUP BY doc_id
 # surviving params (order normalization), strip the trailing slash.
 # Docs differing only in junk collapse to one canonical URL; min
 # doc_id wins.
-URL_SYNTH_SQL = (
+DEDUP_URL_SYNTH_SQL = (
     "concat("
     "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END, "
     "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
@@ -1333,7 +1333,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops to (doc_id, keep) and the window key becomes the 8-byte
     xxhash64 of the canon, the line_dedup discipline."""
     d = _docs(spark, sf_dir).select("doc_id", "source")
-    u = d.withColumn("url", F.expr(URL_SYNTH_SQL))
+    u = d.withColumn("url", F.expr(DEDUP_URL_SYNTH_SQL))
     nofrag = F.regexp_replace("url", r"#.*", "")
     nohost = F.regexp_replace(
         F.regexp_replace(nofrag, r"^https?://", ""), r"^www\.", "")
@@ -1357,7 +1357,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_URL_DEDUP = f"""
 WITH u AS (
-  SELECT doc_id, {URL_SYNTH_SQL} AS url FROM documents
+  SELECT doc_id, {DEDUP_URL_SYNTH_SQL} AS url FROM documents
 ),
 c AS (
   SELECT doc_id,

@@ -1098,3 +1098,47 @@ def test_geo_bounds_replays_enrichment(spark):
             round(sum(lats) / len(lats), 6), abs=2e-6)
         assert g.centroid_lon == pytest.approx(
             round(sum(lons) / len(lons), 6), abs=2e-6)
+
+
+def test_rare_terms_and_date_range_semantics(spark):
+    """rare_terms = exact long-tail complement of the terms agg (every
+    bucket <= ceiling, every excluded bucket > ceiling); date_range
+    buckets are half-open [from, to) with open ends, partitioning all
+    events (boundary event goes to the LATER bucket)."""
+    from collections import Counter
+
+    from logsentinelai_spark.entry_queries import (
+        DATE_RANGES, RARE_MAX_DOC_COUNT, q_events_date_range,
+        q_events_rare_terms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").collect()
+    counts = Counter(r.user_id for r in ev)
+    got = {r.user_id: r.doc_count
+           for r in q_events_rare_terms(spark, sf).collect()}
+    want = {u: c for u, c in counts.items() if c <= RARE_MAX_DOC_COUNT}
+    assert got == want
+    assert all(c > RARE_MAX_DOC_COUNT
+               for u, c in counts.items() if u not in got)
+
+    import datetime as dt
+    ranges = [(n,
+               dt.datetime.fromisoformat(lo) if lo else dt.datetime.min,
+               dt.datetime.fromisoformat(hi) if hi else dt.datetime.max)
+              for n, lo, hi in DATE_RANGES]
+    lab = Counter()
+    sums = Counter()
+    for r in ev:
+        for n, lo, hi in ranges:
+            if lo <= r.ts < hi:
+                lab[n] += 1
+                sums[n] += r.value
+                break
+    rows = {r.range_label: (r.doc_count, r.sum_value)
+            for r in q_events_date_range(spark, sf).collect()}
+    assert {n for n, *_ in ranges if lab[n]} == set(rows)
+    for n in rows:
+        assert rows[n][0] == lab[n]
+        assert rows[n][1] == pytest.approx(round(sums[n], 6), abs=2e-6)
+    assert sum(lab.values()) == len(ev)  # ranges partition the fixture
