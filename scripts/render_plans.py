@@ -159,6 +159,14 @@ final aggregate (sigmoid/exp codegen'd). The audit point is what is
 ABSENT: no UDF node, no extra exchange beyond quality_score's own, no
 model join — model-based filtering costs zero additional plan
 structure at 100 TB.""",
+    "url_dedup": """URL canonicalization + dedup (RefinedWeb stage one): every
+canonicalization step (regexp strips, param filter/sort via
+higher-order array functions) is an in-row projection inside one
+codegen span — no UDF — and the ONLY exchange is the window over the
+canonical key that picks the keeper. The canonical string is in the
+output so it must ride that shuffle regardless; a drop-list-only
+variant would shuffle the 8-byte xxhash64 of the canon instead
+(line_dedup's discipline).""",
     "events_composite": """ES composite aggregation page: the partial+final hash aggregate is
 the only exchange, and because the cursor predicate references only
 grouping columns Catalyst pushes it BELOW the aggregate all the way
