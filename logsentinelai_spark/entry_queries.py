@@ -2212,6 +2212,8 @@ QUERIES = {
     "corpus_filter": _ts.q_corpus_filter,
     "line_dedup": _ts.q_line_dedup,
     "url_dedup": _ts.q_url_dedup,
+    "pack_sequences": _ts.q_pack_sequences,
+    "split_assign": _ts.q_split_assign,
     "stratified_sample": _ts.q_stratified_sample,
     "perplexity": _ts.q_perplexity,
     "repetition_signals": _ts.q_repetition_signals,
@@ -2317,6 +2319,8 @@ ORACLES = {
     "corpus_filter": _ts.SQL_CORPUS_FILTER,
     "line_dedup": _ts.SQL_LINE_DEDUP,
     "url_dedup": _ts.SQL_URL_DEDUP,
+    "pack_sequences": _ts.SQL_PACK_SEQUENCES,
+    "split_assign": _ts.SQL_SPLIT_ASSIGN,
     "stratified_sample": _ts.SQL_STRATIFIED_SAMPLE,
     "perplexity": _ts.SQL_PERPLEXITY,
     "repetition_signals": _ts.SQL_REPETITION,

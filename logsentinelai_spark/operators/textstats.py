@@ -1383,3 +1383,136 @@ SELECT doc_id, canon_url,
        CAST(doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS INT) AS keep
 FROM c
 """
+
+
+# -- sequence packing + leakage-free split assignment -------------------
+#
+# Two bookkeeping stages every LLM training pipeline runs after
+# curation: (a) concat-and-chunk sequence packing (T5, Raffel et al.
+# JMLR'20 §2.2 pack documents into fixed-length training examples;
+# GPT-2 style concatenation) and (b) held-out split assignment keyed
+# by REGISTERED DOMAIN so near-duplicate pages from one site can never
+# straddle train/validation (the C4/RealNews leakage discipline).
+PACK_SEQ_LEN = 512
+# doc_ids per prefix-sum range: the distributed prefix sum collects
+# ONE partial sum per range, so the driver-side state is ids/RANGE
+# rows — the knob that keeps the collect bounded at any corpus size
+PACK_RANGE = 1000
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing bookkeeping: with documents laid out
+    in doc_id order, each doc's global token offset decides the
+    training examples (bins of PACK_SEQ_LEN tokens) it lands in.
+
+    The global running sum is a DISTRIBUTED PREFIX SUM, not a
+    single-partition window: (1) one aggregate computes a partial sum
+    per doc_id range, (2) the driver prefix-sums that bounded list
+    (ids/PACK_RANGE rows), (3) the offsets broadcast-join back and a
+    window PARTITIONED BY RANGE finishes locally — every executor
+    cumsum is range-local, so the plan scales with partition count
+    instead of serializing the corpus through one partition."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(_tok_col()).cast("long").alias("n_tokens"))
+    d = d.withColumn("rb", F.floor(F.col("doc_id") / PACK_RANGE))
+    # bounded: one row per doc_id range
+    partials = sorted(
+        (r.rb, r.s)
+        for r in d.groupBy("rb").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    offsets, run = [], 0
+    for rb, s in partials:
+        offsets.append((rb, run))
+        run += int(s)
+    offs = spark.createDataFrame(offsets, "rb long, off long")
+    w = Window.partitionBy("rb").orderBy("doc_id")
+    start = F.col("off") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        d.join(F.broadcast(offs), "rb")
+        .withColumn("start_tok", start)
+        .select(
+            "doc_id", "n_tokens", "start_tok",
+            F.floor(F.col("start_tok") / PACK_SEQ_LEN)
+            .cast("long").alias("bin_first"),
+            F.floor(
+                (F.col("start_tok") + F.greatest("n_tokens", F.lit(1)) - 1)
+                / PACK_SEQ_LEN
+            ).cast("long").alias("bin_last"),
+        )
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_tok
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(floor(start_tok / {PACK_SEQ_LEN}) AS BIGINT) AS bin_first,
+       CAST(floor((start_tok + greatest(n_tokens, 1) - 1)
+                  / {PACK_SEQ_LEN}) AS BIGINT) AS bin_last
+FROM c
+"""
+
+
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 90  # buckets [0, 90) -> train
+SPLIT_VAL_LT = 95    # [90, 95) -> validation, [95, 100) -> test
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: the split key is the
+    REGISTERED DOMAIN's hash (md5 head, engine-portable), never the
+    doc — every page of a site lands in one split, so site-level
+    near-duplicates cannot leak across the boundary. Pure in-row
+    projection on top of with_domain: ZERO exchanges, trivially
+    100 TB-safe; the 90/5/5 cut is two threshold literals."""
+    d = with_domain(_docs(spark, sf_dir).select("doc_id", "source")).drop("url")
+    bucket = (
+        F.conv(F.substring(F.md5("domain"), 1, 8), 16, 10).cast("long")
+        % SPLIT_BUCKETS
+    )
+    return d.select(
+        "doc_id", "domain", bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "validation")
+        .otherwise("test").alias("split"),
+    )
+
+
+SQL_SPLIT_ASSIGN = f"""
+WITH urls AS (
+  SELECT doc_id, {URL_SYNTH_SQL} AS url FROM documents
+),
+parts AS (
+  SELECT doc_id, string_split(regexp_extract(url, '//([^/]+)', 1), '.') AS p
+  FROM urls
+),
+dom AS (
+  SELECT doc_id,
+         CASE WHEN len(p) >= 3 AND p[len(p)-1] || '.' || p[len(p)] IN ({_SLD_IN})
+              THEN p[len(p)-2] || '.' || p[len(p)-1] || '.' || p[len(p)]
+              ELSE p[greatest(len(p)-1, 1)] || '.' || p[len(p)] END AS domain
+  FROM parts
+),
+b AS (
+  SELECT doc_id, domain,
+         CAST(concat('0x', substr(md5(domain), 1, 8)) AS BIGINT)
+           % {SPLIT_BUCKETS} AS bucket
+  FROM dom
+)
+SELECT doc_id, domain, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN bucket < {SPLIT_VAL_LT} THEN 'validation'
+            ELSE 'test' END AS split
+FROM b
+"""

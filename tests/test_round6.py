@@ -1142,3 +1142,52 @@ def test_rare_terms_and_date_range_semantics(spark):
         assert rows[n][0] == lab[n]
         assert rows[n][1] == pytest.approx(round(sums[n], 6), abs=2e-6)
     assert sum(lab.values()) == len(ev)  # ranges partition the fixture
+
+
+def test_pack_sequences_prefix_sum_and_binning(spark):
+    """The distributed prefix sum must equal the serial replay at any
+    parallelism, starts are contiguous (each doc starts where the
+    previous ended), and bin spans replay floor arithmetic."""
+    from logsentinelai_spark.operators.textstats import (
+        PACK_SEQ_LEN, q_pack_sequences,
+    )
+    from logsentinelai_spark.functions.tokenizer import tokens
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(q_pack_sequences(spark, sf).collect(),
+                  key=lambda r: r.doc_id)
+    docs = {r.doc_id: len(tokens(r.text.lower())) for r in
+            spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    run = 0
+    for r in rows:
+        assert r.n_tokens == docs[r.doc_id]
+        assert r.start_tok == run                 # contiguity == replay
+        run += r.n_tokens
+        assert r.bin_first == r.start_tok // PACK_SEQ_LEN
+        last = r.start_tok + max(r.n_tokens, 1) - 1
+        assert r.bin_last == last // PACK_SEQ_LEN
+    # parallelism invariance of the distributed prefix sum: the gate
+    # result is a pure function of the data, and re-running on the
+    # same session must reproduce it exactly
+    again = sorted(q_pack_sequences(spark, sf).collect(),
+                   key=lambda r: r.doc_id)
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_split_assign_is_domain_atomic(spark):
+    """Every document of a domain lands in ONE split (the leakage
+    guarantee), thresholds replay, and at least two splits exist."""
+    from logsentinelai_spark.operators.textstats import (
+        SPLIT_TRAIN_LT, SPLIT_VAL_LT, q_split_assign,
+    )
+
+    rows = q_split_assign(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    per_domain = {}
+    for r in rows:
+        per_domain.setdefault(r.domain, set()).add((r.bucket, r.split))
+        want = ("train" if r.bucket < SPLIT_TRAIN_LT
+                else "validation" if r.bucket < SPLIT_VAL_LT else "test")
+        assert r.split == want
+    assert all(len(v) == 1 for v in per_domain.values())
+    assert len({s for v in per_domain.values() for _, s in v}) >= 2
