@@ -159,6 +159,15 @@ final aggregate (sigmoid/exp codegen'd). The audit point is what is
 ABSENT: no UDF node, no extra exchange beyond quality_score's own, no
 model join — model-based filtering costs zero additional plan
 structure at 100 TB.""",
+    "pack_sequences": """Concat-and-chunk packing via a distributed prefix sum: the
+window is PARTITIONED BY the doc_id range (never a single global
+partition — compare events_pipeline, where single-partition is
+justified by bucket-boundedness; here the windowed table is the
+corpus itself, so partitioning is mandatory), the per-range offsets
+enter through a BroadcastHashJoin, and the only corpus-wide exchange
+is the hash partitioning on the range key. The bounded partial-sum
+aggregate that fed the driver's prefix runs as a separate tiny job
+and is absent from this serving plan.""",
     "url_dedup": """URL canonicalization + dedup (RefinedWeb stage one): every
 canonicalization step (regexp strips, param filter/sort via
 higher-order array functions) is an in-row projection inside one
