@@ -1044,6 +1044,145 @@ GROUP BY 1, 2
 """
 
 
+# ----------------------- composed _search body (the Kibana front door)
+
+# ONE JSON body composing four features — bool query + size +
+# highlight + a nested aggs subtree — compiled by index/body.py onto
+# the existing primitives. This is the request shape Kibana actually
+# sends (reference INSTALL-and-USAGE.md:451-459).
+SB_BODY = {
+    "query": {"bool": {"must": SEARCH_MUST, "must_not": SEARCH_MUST_NOT}},
+    "size": 10,
+    "highlight": {"fields": {"text": {}}},
+    "aggs": {"by_lang": {"terms": {"field": "lang"},
+                         "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}}}},
+}
+
+
+def _sb_assemble(hits_df: DataFrame, aggs_df: DataFrame) -> DataFrame:
+    """One frame for the one-body response: hit rows (doc_id, score,
+    fragment) + agg bucket rows, section-tagged, disjoint columns
+    NULL-typed so the union is schema-stable."""
+    hit_part = hits_df.select(
+        F.lit("hit").alias("section"), "doc_id", "score", "fragment",
+        F.lit(None).cast("string").alias("by_lang"),
+        F.lit(None).cast("long").alias("gid"),
+        F.lit(None).cast("long").alias("doc_count"),
+        F.lit(None).cast("long").alias("sum_chars"))
+    agg_part = aggs_df.select(
+        F.lit("agg").alias("section"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("string").alias("fragment"),
+        "by_lang", F.col("gid").cast("long").alias("gid"),
+        "doc_count", F.col("sum_chars").cast("long").alias("sum_chars"))
+    return hit_part.unionByName(agg_part)
+
+
+def q_search_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed ``_search`` body, naive Catalyst twin: the bool
+    query's scored matches feed BOTH legs — top-10 hits join the
+    codegen fragment projection (highlight), the FULL match set feeds
+    the agg subtree via operators/aggtree.agg_tree (one rollup pass,
+    grand total = ES's hits.total)."""
+    from .index.naive import bm25_score_expr
+    from .operators.aggtree import agg_tree
+
+    must = sorted(set(SEARCH_MUST.split()))
+    tok = tokenized_documents(spark, sf_dir)
+    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    sc = (postings.filter(F.col("term").isin(must))
+          .join(tstats, "term").join(dstats, "doc_id").crossJoin(gstats)
+          .withColumn("contrib", bm25_score_expr()))
+    per_doc = sc.groupBy("doc_id").agg(
+        F.sum("contrib").alias("s"),
+        F.countDistinct("term").alias("n_must"))
+    excl = (postings.filter(F.col("term").isin(SEARCH_MUST_NOT.split()))
+            .select("doc_id").distinct())
+    matched = (per_doc.filter(F.col("n_must") == len(must))
+               .join(excl, "doc_id", "left_anti"))
+    hits = (matched.orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
+            .select("doc_id", F.round("s", 6).alias("score")))
+    _, frag = _hl_exprs(must)
+    frags = tok.select("doc_id", F.expr(frag).alias("fragment"))
+    hits_df = (F.broadcast(hits).join(frags, "doc_id")
+               .select("doc_id", "score", "fragment"))
+    aggs_df = agg_tree(
+        load(spark, sf_dir, "documents")
+        .join(matched.select("doc_id"), "doc_id"),
+        SB_BODY["aggs"])
+    return _sb_assemble(hits_df, aggs_df)
+
+
+def q_search_body_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME body through the compiler (index/body.py::search_body)
+    against the physical index: hits served driver-local, match set
+    from the bucket-pruned filter-context kernel, aggs as one rollup
+    over the url-joined corpus. Same DuckDB oracle — three methods."""
+    from .index.body import search_body
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    docs = load(spark, sf_dir, "documents")
+    corpus = (tokenized_documents(spark, sf_dir)
+              .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+              .withColumn("url", F.format_string("doc%012d", "doc_id")))
+    res = search_body(spark, reader, SB_BODY, corpus=corpus)
+    rows = [(int(res["urls"][d][3:]), round(s, 6)) for d, s in res["hits"]]
+    schema = "doc_id long, score double"
+    hits = (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+    frags = res["fragments"].select(
+        F.substring("url", 4, 12).cast("long").alias("doc_id"), "fragment")
+    hits_df = hits.join(frags, "doc_id").select("doc_id", "score", "fragment")
+    return _sb_assemble(hits_df, res["aggs"])
+
+
+def sql_search_body() -> str:
+    must = sorted(set(SEARCH_MUST.split()))
+    must_in = ", ".join(f"'{t}'" for t in must)
+    values = ", ".join(f"('{t}')" for t in must)
+    not_in = ", ".join(f"'{t}'" for t in SEARCH_MUST_NOT.split())
+    return f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s,
+         count(DISTINCT tf.term) AS n_must
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id),
+m AS (SELECT doc_id, s FROM scored WHERE n_must = {len(must)}
+      AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term IN ({not_in}))),
+top AS (SELECT doc_id, round(s, 6) AS score FROM m ORDER BY s DESC, doc_id LIMIT 10),
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}') AS t
+         FROM documents WHERE doc_id IN (SELECT doc_id FROM top)),
+frag AS (SELECT doc_id,
+         greatest(0, list_min(list_filter(range(len(t)),
+                     i -> t[i+1] IN ({must_in}))) - {HL_BEFORE}) AS st, t
+  FROM toks),
+hits AS (SELECT top.doc_id, top.score,
+       array_to_string(list_transform(list_slice(f.t, f.st + 1, f.st + {HL_LEN}),
+           x -> CASE WHEN x IN ({must_in}) THEN '<em>' || x || '</em>'
+                     ELSE x END), ' ') AS fragment
+  FROM top JOIN frag f USING (doc_id)),
+aggs AS (SELECT d.lang AS by_lang, CAST(GROUPING(d.lang) AS BIGINT) AS gid,
+         count(*) AS doc_count, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+  FROM documents d JOIN m USING (doc_id) GROUP BY ROLLUP(d.lang))
+SELECT 'hit' AS section, doc_id, score, fragment,
+       CAST(NULL AS VARCHAR) AS by_lang, CAST(NULL AS BIGINT) AS gid,
+       CAST(NULL AS BIGINT) AS doc_count, CAST(NULL AS BIGINT) AS sum_chars
+FROM hits
+UNION ALL
+SELECT 'agg', NULL, NULL, NULL, by_lang, gid, doc_count, sum_chars FROM aggs
+"""
+
+
 # ------------------------------------------------- prefix query (ES prefix / autocomplete)
 
 PREFIX_Q = "s"  # expands to scan/slow/small/sort/spark/stream on the fixture
@@ -1264,23 +1403,9 @@ ORDER BY s DESC, doc_id LIMIT 10
 # 7-token window starting 3 tokens before the FIRST occurrence of any
 # query term (clamped at the document start; short docs yield short
 # fragments), every query-term occurrence inside the window wrapped.
-HL_BEFORE, HL_LEN = 3, 7
-
-
-def _hl_exprs(terms: list[str]) -> tuple[str, str]:
-    """(pos_expr, frag_expr) over a ``tokens`` array column — pure
-    Catalyst higher-order functions, no Python in the row path."""
-    in_list = ", ".join(f"'{t}'" for t in terms)
-    pos = (
-        "array_min(filter(transform(tokens, (t, i) -> "
-        f"IF(t IN ({in_list}), i, CAST(NULL AS INT))), p -> p IS NOT NULL))"
-    )
-    frag = (
-        f"array_join(transform(slice(tokens, greatest(0, {pos} - {HL_BEFORE})"
-        f" + 1, {HL_LEN}), t -> IF(t IN ({in_list}), "
-        "concat('<em>', t, '</em>'), t)), ' ')"
-    )
-    return pos, frag
+# fragment expressions live in functions/highlight.py (shared with the
+# composed _search body compiler); gate-side aliases keep call sites
+from .functions.highlight import HL_BEFORE, HL_LEN, hl_exprs as _hl_exprs
 
 
 def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,13 +1679,17 @@ MM_QUERY = "data merge"
 MM_TITLE_LEN = 8
 MM_W_TITLE = 2.0
 MM_W_BODY = 1.0
+# ES best_fields tie_breaker: fraction of the non-best field scores
+# added on top of the dis_max winner (0 = pure dis_max)
+MM_TIE_BREAKER = 0.3
 
 
-def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES ``multi_match`` (most_fields) analog: title^2 + body, each
-    field scored as its own BM25 (field-local df/dl/avgdl, global N),
-    summed with field weights — Lucene's per-field scoring composed
-    exactly. One token pass feeds both fields via stack()."""
+def _mm_field_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc_id, field) weighted BM25 partials — title^2 + body,
+    each field scored as its own BM25 (field-local df/dl/avgdl,
+    global N), Lucene's per-field scoring composed exactly. One token
+    pass feeds both fields via stack(). Shared by multi_match
+    most_fields (sum of fields) and best_fields (dis_max)."""
     qterms = sorted(set(MM_QUERY.split()))
     tok = tokenized_documents(spark, sf_dir)
     fields = tok.select(
@@ -1595,15 +1724,45 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .withColumn("contrib", contrib)
     )
+    return scored.groupBy("doc_id", "field").agg(F.sum("contrib").alias("fs"))
+
+
+def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match`` mode=most_fields: the per-field BM25 scores
+    simply SUM — a doc matching weakly in every field beats a doc
+    matching strongly in one."""
+    fs = _mm_field_scores(spark, sf_dir)
     return (
-        scored.groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+        fs.groupBy("doc_id").agg(F.sum("fs").alias("s"))
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", F.round("s", 6).alias("score"))
     )
 
 
-def sql_multi_match() -> str:
+def q_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``multi_match`` mode=best_fields — the DEFAULT multi_match
+    mode, what a Kibana query-bar multi-field search actually runs:
+    dis_max over the per-field scores, score = best field +
+    tie_breaker · (sum of the other fields). With tie_breaker=0 only
+    the best field counts; MM_TIE_BREAKER=0.3 keeps cross-field
+    corroboration as a fractional bonus. Same field-score frame as
+    most_fields, one extra max aggregate — no new shuffle (max and sum
+    ride the same groupBy)."""
+    fs = _mm_field_scores(spark, sf_dir)
+    s = F.col("mx") + MM_TIE_BREAKER * (F.col("sm") - F.col("mx"))
+    return (
+        fs.groupBy("doc_id")
+        .agg(F.max("fs").alias("mx"), F.sum("fs").alias("sm"))
+        .withColumn("s", s)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def _sql_mm_field_scores() -> str:
+    """Shared CTE chain producing per-(doc_id, field) scores `fs`."""
     terms_in = ", ".join(f"'{t}'" for t in sorted(set(MM_QUERY.split())))
     return f"""
 WITH base AS (
@@ -1621,16 +1780,31 @@ tf AS (SELECT doc_id, field, term, count(*) AS tf FROM long
        WHERE term IN ({terms_in}) GROUP BY 1, 2, 3),
 dfs AS (SELECT field, term, count(DISTINCT doc_id) AS df FROM long
         WHERE term IN ({terms_in}) GROUP BY 1, 2),
-scored AS (
-  SELECT tf.doc_id,
+fscores AS (
+  SELECT tf.doc_id, tf.field,
          sum( (CASE WHEN tf.field = 'title' THEN {MM_W_TITLE} ELSE {MM_W_BODY} END)
               * ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / av.avgdl)) ) AS s
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / av.avgdl)) ) AS fs
   FROM tf JOIN dfs USING (field, term) JOIN dl USING (doc_id, field)
   JOIN av USING (field) CROSS JOIN g
-  GROUP BY tf.doc_id)
-SELECT doc_id, round(s, 6) AS score FROM scored
-ORDER BY s DESC, doc_id LIMIT 10
+  GROUP BY tf.doc_id, tf.field)"""
+
+
+def sql_multi_match_best() -> str:
+    return f"""{_sql_mm_field_scores()}
+SELECT doc_id,
+       round(max(fs) + {MM_TIE_BREAKER} * (sum(fs) - max(fs)), 6) AS score
+FROM fscores GROUP BY doc_id
+ORDER BY max(fs) + {MM_TIE_BREAKER} * (sum(fs) - max(fs)) DESC, doc_id
+LIMIT 10
+"""
+
+
+def sql_multi_match() -> str:
+    return f"""{_sql_mm_field_scores()}
+SELECT doc_id, round(sum(fs), 6) AS score
+FROM fscores GROUP BY doc_id
+ORDER BY sum(fs) DESC, doc_id LIMIT 10
 """
 
 
@@ -2098,6 +2272,47 @@ def sql_events_pivot() -> str:
     return f"SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, {cols} FROM events GROUP BY 1"
 
 
+# ES aggs subtree for the generic bucket-tree composer: a three-level
+# Kibana panel (terms -> date_histogram -> metrics), compiled by
+# operators/aggtree.agg_tree into ONE rollup pass
+AGG_TREE_SPEC = {
+    "by_type": {"terms": {"field": "event_type"}, "aggs": {
+        "by_day": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day"},
+                   "aggs": {"sum_v": {"sum": {"field": "value"}},
+                            "avg_v": {"avg": {"field": "value"}}}}}},
+}
+
+
+def q_events_agg_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic nested-agg composer (a three-level Kibana panel): the
+    whole bucket path runs as ONE rollup aggregate — every prefix
+    level's doc_count + metrics, grand total included, in a single
+    shuffle (operators/aggtree.py). gid is the grouping bitmask that
+    separates a rolled-up level from a genuine NULL key."""
+    from .operators.aggtree import agg_tree
+
+    out = agg_tree(load(spark, sf_dir, "events"), AGG_TREE_SPEC)
+    return out.select(
+        "by_type", F.col("by_day").cast("date").alias("by_day"),
+        F.col("gid").cast("long").alias("gid"), "doc_count",
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("avg_v", 6).alias("avg_v"))
+
+
+def sql_events_agg_tree() -> str:
+    return """
+SELECT event_type AS by_type,
+       CAST(date_trunc('day', ts) AS DATE) AS by_day,
+       CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT) AS gid,
+       count(*) AS doc_count,
+       round(sum(value), 6) AS sum_v,
+       round(avg(value), 6) AS avg_v
+FROM events
+GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+"""
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 JSON parse: `from_json(props, schema)` materialization —
     reference analog `core/commons.py:163,241` (json.loads + schema
@@ -2128,7 +2343,71 @@ from .operators import multimodal as _mm  # noqa: E402
 from .operators import similarity as _sim  # noqa: E402
 from .operators import textstats as _ts  # noqa: E402
 
+"""Ordering contract: the driver's CORRECTNESS harness gates the FIRST
+50 entries of this dict. Rounds 1-6 accumulated green driver rows for
+50 keys (CORRECTNESS_r06.json); the 40 keys that had no r6 row — plus
+everything NEW this round — are placed FIRST so round 7's driver window
+covers exactly the so-far-unverified surface. The r6-green 50 follow,
+re-verified by `scripts/check_oracle.py` full sweeps (committed log)."""
 QUERIES = {
+    # --- never driver-checked before round 6's local sweep (8) ---
+    "geo_distance": _geo.q_geo_distance,
+    "geo_bounds": _geo.q_geo_bounds,
+    "quality_classify": _ts.q_quality_classify,
+    "url_dedup": _ts.q_url_dedup,
+    "pack_sequences": _ts.q_pack_sequences,
+    "split_assign": _ts.q_split_assign,
+    "stratified_sample": _ts.q_stratified_sample,
+    "perplexity": _ts.q_perplexity,
+    # --- driver-green in r1-r5 but absent from CORRECTNESS_r06 (32) ---
+    "events_pivot": q_events_pivot,
+    # geo enrichment + map aggregation (SURVEY §2 J1/Q7/F4/F5)
+    "geo_enrich": _geo.q_geo_enrich,
+    "geo_grid": _geo.q_geo_grid,
+    # severity / window / session analytics (SURVEY §2.2, §2.5)
+    "severity_rollup": _an.q_severity_rollup,
+    "top_event_per_user": _an.q_top_event_per_user,
+    "user_sessions": _an.q_user_sessions,
+    "alert_feed": _an.q_alert_feed,
+    # dedup suite
+    "dedup_exact": _dd.q_dedup_exact,
+    "dedup_clusters": _dd.q_dedup_clusters,
+    "dedup_jaccard": _dd.q_dedup_jaccard,
+    "dedup_minhash_lsh": _dd.q_dedup_minhash_lsh,
+    "simhash": _dd.q_simhash,
+    # similarity search
+    "ann_brute": _sim.q_ann_brute,
+    "ann_lsh": _sim.q_ann_lsh,
+    "ann_ivf": _sim.q_ann_ivf,
+    "ann_pq_adc": _sim.q_ann_pq_adc,
+    "ann_ivfpq": _sim.q_ann_ivfpq,
+    "embedding_neardup": _sim.q_embedding_neardup,
+    # text analysis
+    "lang_id": _ts.q_lang_id,
+    "quality_score": _ts.q_quality_score,
+    "corpus_filter": _ts.q_corpus_filter,
+    "line_dedup": _ts.q_line_dedup,
+    "repetition_signals": _ts.q_repetition_signals,
+    "pii_scrub": _ts.q_pii_scrub,
+    "span_dedup": _ts.q_span_dedup,
+    "decontaminate": _ts.q_decontaminate,
+    "domain_stats": _ts.q_domain_stats,
+    "token_count": _ts.q_token_count,
+    "doc_fingerprint": _ts.q_doc_fingerprint,
+    # multimodal plumbing
+    "multimodal_meta": _mm.q_multimodal_meta,
+    "multimodal_resize": _mm.q_multimodal_resize,
+    "frame_sample": _mm.q_frame_sample,
+    # --- NEW in round 7 (inserted here as built) ---
+    "multi_match_best": q_multi_match_best,
+    "events_agg_tree": q_events_agg_tree,
+    "search_body": q_search_body,
+    "search_body_idx": q_search_body_idx,
+    # --- r6-checked keys touched this round (re-gate in the window) ---
+    "bm25_page2_idx": q_bm25_page2_idx,
+    "search_agg_idx": q_search_agg_idx,
+    "multi_match": q_multi_match,
+    # --- green driver rows in CORRECTNESS_r06.json (unchanged) ---
     # index statistics + BM25 (SURVEY §2.4, §2.8 Q8)
     "term_tf": q_term_tf,
     "term_df": q_term_df,
@@ -2136,14 +2415,12 @@ QUERIES = {
     "global_stats": q_global_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_page2": q_bm25_page2,
-    "bm25_page2_idx": q_bm25_page2_idx,
     "phrase_topk": q_phrase_topk,
     "phrase_topk_idx": q_phrase_topk_idx,
     "span_near": q_span_near,
     "bool_topk": q_bool_topk,
     "bool_topk_idx": q_bool_topk_idx,
     "search_agg": q_search_agg,
-    "search_agg_idx": q_search_agg_idx,
     "prefix_topk": q_prefix_topk,
     "prefix_topk_idx": q_prefix_topk_idx,
     "wildcard_topk": q_wildcard_topk,
@@ -2172,7 +2449,6 @@ QUERIES = {
     "phrase_prefix_idx": q_phrase_prefix_idx,
     "significant_terms": q_significant_terms,
     "significant_terms_idx": q_significant_terms_idx,
-    "multi_match": q_multi_match,
     # dashboard analogs (SURVEY §2.8 Q1-Q6)
     "events_terms": q_events_terms_topk,
     "events_date_histogram": q_events_date_histogram,
@@ -2181,52 +2457,6 @@ QUERIES = {
     "events_top_hits": q_events_top_hits,
     "events_cardinality": q_events_cardinality,
     "events_props": q_events_props,
-    "events_pivot": q_events_pivot,
-    # geo enrichment + map aggregation (SURVEY §2 J1/Q7/F4/F5)
-    "geo_enrich": _geo.q_geo_enrich,
-    "geo_grid": _geo.q_geo_grid,
-    "geo_distance": _geo.q_geo_distance,
-    "geo_bounds": _geo.q_geo_bounds,
-    # severity / window / session analytics (SURVEY §2.2, §2.5)
-    "severity_rollup": _an.q_severity_rollup,
-    "top_event_per_user": _an.q_top_event_per_user,
-    "user_sessions": _an.q_user_sessions,
-    "alert_feed": _an.q_alert_feed,
-    # dedup suite
-    "dedup_exact": _dd.q_dedup_exact,
-    "dedup_clusters": _dd.q_dedup_clusters,
-    "dedup_jaccard": _dd.q_dedup_jaccard,
-    "dedup_minhash_lsh": _dd.q_dedup_minhash_lsh,
-    "simhash": _dd.q_simhash,
-    # similarity search
-    "ann_brute": _sim.q_ann_brute,
-    "ann_lsh": _sim.q_ann_lsh,
-    "ann_ivf": _sim.q_ann_ivf,
-    "ann_pq_adc": _sim.q_ann_pq_adc,
-    "ann_ivfpq": _sim.q_ann_ivfpq,
-    "embedding_neardup": _sim.q_embedding_neardup,
-    # text analysis
-    "lang_id": _ts.q_lang_id,
-    "quality_score": _ts.q_quality_score,
-    "quality_classify": _ts.q_quality_classify,
-    "corpus_filter": _ts.q_corpus_filter,
-    "line_dedup": _ts.q_line_dedup,
-    "url_dedup": _ts.q_url_dedup,
-    "pack_sequences": _ts.q_pack_sequences,
-    "split_assign": _ts.q_split_assign,
-    "stratified_sample": _ts.q_stratified_sample,
-    "perplexity": _ts.q_perplexity,
-    "repetition_signals": _ts.q_repetition_signals,
-    "pii_scrub": _ts.q_pii_scrub,
-    "span_dedup": _ts.q_span_dedup,
-    "decontaminate": _ts.q_decontaminate,
-    "domain_stats": _ts.q_domain_stats,
-    "token_count": _ts.q_token_count,
-    "doc_fingerprint": _ts.q_doc_fingerprint,
-    # multimodal plumbing
-    "multimodal_meta": _mm.q_multimodal_meta,
-    "multimodal_resize": _mm.q_multimodal_resize,
-    "frame_sample": _mm.q_frame_sample,
 }
 
 ORACLES = {
@@ -2284,6 +2514,11 @@ ORACLES = {
     "significant_terms": sql_significant_terms(),
     "significant_terms_idx": sql_significant_terms(),
     "multi_match": sql_multi_match(),
+    "multi_match_best": sql_multi_match_best(),
+    "events_agg_tree": sql_events_agg_tree(),
+    "search_body": sql_search_body(),
+    # compiler-served path, same oracle — third independent method
+    "search_body_idx": sql_search_body(),
     "events_terms": sql_events_terms_topk(),
     "events_date_histogram": sql_events_date_histogram(),
     "events_formula": sql_events_formula(),

@@ -1,0 +1,223 @@
+"""Composed ES ``_search`` JSON-body compiler — the front door.
+
+Kibana (the reference's only query client) issues ONE JSON body per
+panel: query + aggs + highlight + search_after + rescore + size
+together (reference INSTALL-and-USAGE.md:451-459; every panel in
+Kibana-9.0.3-Dashboard-LogSentinelAI.ndjson composes this way).
+Rounds 1-6 built each leg as its own primitive; this module only
+PARSES and ROUTES — no new execution machinery:
+
+=====================  ===============================================
+body key               routed to
+=====================  ===============================================
+query.match            query.topk_local_terms (tokenized)
+query.bool             query.bool_topk_local
+query.match_phrase     query.phrase_topk_local
+query.match_phrase_prefix  query.phrase_prefix_topk_local
+query.prefix           termdict.expand_prefix -> topk_local_terms
+query.wildcard         termdict.expand_wildcard -> topk_local_terms
+query.fuzzy            termdict.expand_fuzzy -> topk_local_terms
+search_after           the cursor mask inside the shard scorers
+rescore                query.rescore_topk_local (match base only)
+highlight              functions/highlight.hl_exprs over the corpus,
+                       bounded to the k hit urls (isin pushdown)
+aggs                   operators/aggtree.agg_tree over the MATCH SET
+                       (query context: ALL matching docs, ES skips
+                       scoring there) joined to the corpus by url
+=====================  ===============================================
+
+Scale shape: hits are served driver-local (pyarrow pruned reads, ms
+latency — the serving path); the aggs leg is a Spark plan end to end:
+``bool_match_ids`` streams the match set task-to-task into the corpus
+join (AQE broadcast-converts when the filter is selective) and the
+agg subtree runs as ONE rollup pass. Only the k hit urls and the
+bucket rows ever reach the driver. Exception, disclosed: a
+match_phrase/match_phrase_prefix agg context materializes the phrase
+candidate list driver-side — candidates are bounded by min(df) of the
+phrase terms (what makes phrases cheap), but a stop-word-only phrase
+over a 100 TB corpus should use the bool/match form instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.highlight import hl_exprs
+from ..functions.tokenizer import tokens as tokenize
+from .reader import IndexReader
+
+
+def _qtext(spec) -> str:
+    """Normalize ES query-leaf shapes to their text: ``"t"``,
+    ``{"field": "t"}``, ``{"field": {"query"|"value": "t"}}``."""
+    if isinstance(spec, str):
+        return spec
+    if isinstance(spec, dict):
+        v = next(iter(spec.values()))
+        if isinstance(v, dict):
+            return v.get("query", v.get("value"))
+        return v
+    raise ValueError(f"unsupported query leaf: {spec!r}")
+
+
+def _leaf_params(spec) -> dict:
+    """The leaf's parameter dict ({} when the leaf is shorthand)."""
+    if isinstance(spec, dict):
+        v = next(iter(spec.values()))
+        if isinstance(v, dict):
+            return v
+    return {}
+
+
+_SUPPORTED = ("match", "bool", "match_phrase", "match_phrase_prefix",
+              "prefix", "wildcard", "fuzzy")
+
+
+def _expand(reader, kind: str, spec) -> list[str]:
+    """Dictionary-expanded term list for prefix/wildcard/fuzzy."""
+    from .termdict import (ensure_term_dict, expand_fuzzy, expand_prefix,
+                           expand_wildcard)
+
+    ensure_term_dict(reader.spark, reader)
+    p = _leaf_params(spec)
+    max_terms = int(p.get("max_expansions", 50))
+    if kind == "prefix":
+        terms, _ = expand_prefix(reader, _qtext(spec), max_terms)
+    elif kind == "wildcard":
+        terms, _ = expand_wildcard(reader, _qtext(spec), max_terms)
+    else:
+        terms, _ = expand_fuzzy(reader, _qtext(spec),
+                                int(p.get("fuzziness", 2)),
+                                int(p.get("prefix_length", 0)), max_terms)
+    return terms
+
+
+def _route_hits(reader, body: dict) -> list[tuple[int, float]]:
+    from . import query as q
+
+    qspec = body.get("query") or {"match": ""}
+    kind = next(iter(qspec))
+    if kind not in _SUPPORTED:
+        raise ValueError(f"unsupported query kind {kind!r}; "
+                         f"supported: {_SUPPORTED}")
+    spec = qspec[kind]
+    k = int(body.get("size", 10))
+    after = body.get("search_after")
+    after = (float(after[0]), int(after[1])) if after else None
+    rescore = body.get("rescore")
+    if rescore is not None:
+        if kind != "match":
+            raise ValueError("rescore composes with a match base query")
+        if after is not None:
+            raise ValueError("rescore + search_after: the rescored "
+                             "order has no stable cursor (ES refuses "
+                             "this combination too)")
+        rq = rescore.get("query", {})
+        phrase = _qtext(rq.get("rescore_query", {}).get("match_phrase", ""))
+        return q.rescore_topk_local(
+            reader, _qtext(spec), phrase, k=k,
+            window=int(rescore.get("window_size", 50)),
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_weight=float(rq.get("rescore_weight", 1.0)))
+    if kind == "match":
+        terms = sorted(set(reader.analyze_terms(tokenize(_qtext(spec)))))
+        return q.topk_local_terms(reader, terms, k=k, search_after=after)
+    if after is not None:
+        raise ValueError("search_after is wired for match queries; "
+                         f"got {kind!r}")
+    if kind == "bool":
+        return q.bool_topk_local(reader, spec.get("must", ""),
+                                 spec.get("should", ""),
+                                 spec.get("must_not", ""), k=k)
+    if kind == "match_phrase":
+        return [(d, s) for d, _tf, s in
+                q.phrase_topk_local(reader, _qtext(spec), k=k)]
+    if kind == "match_phrase_prefix":
+        p = _leaf_params(spec)
+        return [(d, s) for d, _tf, s in
+                q.phrase_prefix_topk_local(
+                    reader, _qtext(spec), k=k,
+                    max_terms=int(p.get("max_expansions", 50)))]
+    return q.topk_local_terms(reader, _expand(reader, kind, spec), k=k)
+
+
+def _match_ids(reader, body: dict) -> DataFrame:
+    """The query-context match set (ALL matching docs) as a
+    DataFrame[doc_id] in index-id space — the aggs input."""
+    from . import query as q
+
+    spark = reader.spark
+    qspec = body.get("query") or {}
+    kind = next(iter(qspec))
+    spec = qspec[kind]
+    if kind == "bool":
+        return q.bool_match_ids(reader, spec.get("must", ""),
+                                spec.get("should", ""),
+                                spec.get("must_not", ""))
+    if kind == "match":
+        return q.bool_match_ids(reader, "", _qtext(spec), "")
+    if kind in ("prefix", "wildcard", "fuzzy"):
+        terms = _expand(reader, kind, spec)
+        if not terms:
+            return spark.createDataFrame([], "doc_id long")
+        return q.bool_match_ids(reader, "", " ".join(terms), "")
+    if kind in ("match_phrase", "match_phrase_prefix"):
+        if kind == "match_phrase":
+            cands = q.phrase_match_local(reader, [_qtext(spec)])[0]
+        else:
+            cands = q.phrase_prefix_topk_local(
+                reader, _qtext(spec), k=1_000_000_000)
+        rows = [(int(c[0]),) for c in cands]
+        return (spark.createDataFrame(rows, "doc_id long") if rows
+                else spark.createDataFrame([], "doc_id long"))
+    raise ValueError(f"unsupported query kind {kind!r}")
+
+
+def _highlight_terms(reader, body: dict) -> list[str]:
+    """The terms the fragment marker emphasizes: the query's scoring
+    terms (ES highlights whatever matched the query context)."""
+    qspec = body.get("query") or {}
+    kind = next(iter(qspec))
+    spec = qspec[kind]
+    if kind == "bool":
+        return sorted(set(reader.analyze_terms(
+            tokenize(spec.get("must", "") + " " + spec.get("should", "")))))
+    if kind in ("match", "match_phrase", "match_phrase_prefix"):
+        return sorted(set(reader.analyze_terms(tokenize(_qtext(spec)))))
+    return sorted(_expand(reader, kind, spec))
+
+
+def search_body(spark: SparkSession, reader: IndexReader, body: dict,
+                corpus: DataFrame | None = None) -> dict:
+    """Execute one composed ``_search`` body. Returns::
+
+        {"hits":      [(index_doc_id, score), ...]   # ranked
+         "urls":      {index_doc_id: url},           # the stable key
+         "fragments": DataFrame[url, fragment] | None,
+         "aggs":      DataFrame | None}               # agg_tree output
+
+    ``corpus`` (required for highlight/aggs): a DataFrame carrying a
+    ``url`` column matching the urls the index was built over, plus a
+    ``tokens`` array column when ``highlight`` is requested and the
+    agg field columns when ``aggs`` is."""
+    hits = _route_hits(reader, body)
+    urls = reader.doc_urls_local([d for d, _ in hits])
+    out: dict = {"hits": hits, "urls": urls, "fragments": None,
+                 "aggs": None}
+    if body.get("highlight") and hits:
+        if corpus is None:
+            raise ValueError("highlight needs the corpus DataFrame")
+        _, frag = hl_exprs(_highlight_terms(reader, body))
+        hit_urls = [urls[d] for d, _ in hits]
+        out["fragments"] = (
+            corpus.filter(F.col("url").isin(hit_urls))
+            .select("url", F.expr(frag).alias("fragment")))
+    if body.get("aggs"):
+        if corpus is None:
+            raise ValueError("aggs needs the corpus DataFrame")
+        from ..operators.aggtree import agg_tree
+
+        ids = _match_ids(reader, body)
+        murls = reader.doc_stats_df().join(ids, "doc_id").select("url")
+        out["aggs"] = agg_tree(corpus.join(murls, "url"), body["aggs"])
+    return out

@@ -116,6 +116,14 @@ class IndexConfig:
                                      # at commit) and the merge's one-pass
                                      # concatenated decode needs the
                                      # self-delimiting property.
+    stopwords: tuple = ()            # analyzer chain (OFF by default —
+                                     # default token stream byte-identical
+                                     # to an unanalyzed build): terms
+                                     # removed before tf/dl/positions
+    stemmer: str | None = None       # None | "s" (minimal S-stemmer,
+                                     # functions/analyzer.py); applied to
+                                     # the kept stream, mirrored at query
+                                     # analysis via IndexReader.analyze_terms
     executor_shared_fs: bool = False  # set True only when executors mount the
                                       # SAME POSIX fs as the driver (NFS/Lustre);
                                       # see _assert_segment_fs
@@ -466,6 +474,7 @@ def stage1_partial_runs(
     use_text = cfg.use_text_col
     positions = cfg.positions
     shard_size, n_buckets, block_size = cfg.shard_size, cfg.n_buckets, cfg.block_size
+    stopwords, stemmer = tuple(cfg.stopwords or ()), cfg.stemmer
 
     def _gen(batches):
         import pyarrow as pa
@@ -503,6 +512,18 @@ def stage1_partial_runs(
             raw_lens = parts.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
             flat = parts.flatten()
             nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+            if stopwords or stemmer:
+                # optional analyzer chain (functions/analyzer.py):
+                # stopword mask folds into the keep mask, stemming
+                # rewrites the flat values in place — tf, dl, and
+                # positions all derive downstream from the ANALYZED
+                # stream, so the whole index is consistent by
+                # construction
+                from ..functions.analyzer import analyze_arrow
+
+                keep, flat = analyze_arrow(flat, stopwords, stemmer)
+                if keep is not None:
+                    nonempty &= keep
             doc_local = np.repeat(np.arange(nrows, dtype=np.int64), raw_lens)[nonempty]
             lens = np.bincount(doc_local, minlength=nrows).astype(np.int64)
             doc_ids = doc_id_arr if doc_id_arr is not None else rb.column("doc_id").to_numpy()
@@ -942,6 +963,10 @@ def build_index(
         # matching extend_index: new waves must not add a column
         # committed waves lack
         cfg.positions = bool(meta.get("positions", False))
+        # committed waves pin the analyzer chain too — a resume with a
+        # different chain would mix token streams
+        cfg.stopwords = tuple(meta.get("stopwords", ()) or ())
+        cfg.stemmer = meta.get("stemmer")
         meta.setdefault("epochs", [{"doc_lo": 0, "doc_hi": meta["n_docs"], "dir": "doc_map"}])
         meta.setdefault("id_hw", meta["n_docs"])
     else:
@@ -984,6 +1009,8 @@ def extend_index(spark: SparkSession, pages_df: DataFrame, index_dir: str) -> di
     cfg.segment_transport = meta.get("segment_transport", "auto")
     cfg.codec = meta.get("codec", "varbyte")
     cfg.positions = bool(meta.get("positions", False))
+    cfg.stopwords = tuple(meta.get("stopwords", ()) or ())
+    cfg.stemmer = meta.get("stemmer")
     _resolve_transport(spark, cfg)
     known = None
     for ep in meta["epochs"]:

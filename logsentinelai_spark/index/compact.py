@@ -61,7 +61,7 @@ from .codec import (
     decode_stream, encode_blocks_grouped, encode_pos_blocks,
     gather_entry_slices, vb_decode,
 )
-from .deletes import read_deletes, shard_slice
+from .deletes import clear_deletes, read_deletes, shard_slice
 from .lineage import StageTimer, commit_wave, committed_waves, resolve_index_dir
 
 
@@ -363,6 +363,10 @@ def compact_index(spark: SparkSession, index_dir: str,
     ptmp = root / "._generation.json.tmp"
     ptmp.write_text(json.dumps({"dir": f"gen_{gen}", "generation": gen}))
     os.replace(ptmp, root / "_generation.json")
+
+    # the retired generation's tombstones are now physically applied;
+    # drop its pointer + versioned parquet so nothing can resurrect them
+    clear_deletes(live)
 
     return {
         "generation": gen,

@@ -94,6 +94,14 @@ def delete_docs(index_dir: str | Path, doc_ids) -> dict:
 
     if hasattr(doc_ids, "select"):  # Spark DataFrame duck-type
         rows = doc_ids.select("doc_id").limit(MAX_TOMBSTONES + 1).collect()
+        if len(rows) > MAX_TOMBSTONES:
+            # detect truncation at the collect itself: a drop list
+            # bigger than the cap may dedup/overlap its way UNDER the
+            # cap after the union, silently leaving the uncollected
+            # tail live — refuse before that can happen
+            raise ValueError(
+                f"drop list exceeds MAX_TOMBSTONES={MAX_TOMBSTONES}; "
+                "run compact_index first, then retry the delete")
         new = np.array([r[0] for r in rows], dtype=np.int64)
     else:
         new = np.fromiter((int(d) for d in doc_ids), dtype=np.int64)
@@ -120,11 +128,23 @@ def delete_docs(index_dir: str | Path, doc_ids) -> dict:
 
 
 def clear_deletes(index_dir: str | Path) -> None:
-    """Reset the tombstone set (used by compact_index after the
-    physical drop — the new generation starts clean)."""
+    """Reset the tombstone set: unlink the pointer AND drop the
+    versioned parquet dirs. compact_index calls this on the OLD live
+    directory after the generation pointer flips — the new generation
+    starts clean by construction (no ``_deletes.json`` is ever written
+    there), and the old generation's stale pointer + parquet must not
+    linger where a future refactor that copies pointers between
+    generations could resurrect them. ``index_dir`` is taken verbatim
+    (NOT pointer-resolved): the caller targets the retired dir, which
+    resolution would skip past."""
     p = Path(index_dir) / _POINTER
     if p.exists():
         p.unlink()
+    import shutil
+
+    d = Path(index_dir) / "deletes"
+    if d.exists():
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def shard_slice(dels: np.ndarray | None, base: int, shard_size: int):

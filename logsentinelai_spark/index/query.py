@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenizer import tokens as tokenize
 from .bm25 import B, K1, idf as idf_fn
+
+
+def _qtokens(reader, text: str) -> list[str]:
+    """Query-side analysis: tokenize, then mirror the index's analyzer
+    chain (ES's search analyzer defaults to the index analyzer —
+    functions/analyzer.py). Identity for the default empty chain, so
+    every pre-analyzer gate is byte-identical. Order-preserving, so
+    phrase queries match the analyzed positional stream (positions are
+    assigned over KEPT tokens at build time)."""
+    return reader.analyze_terms(tokenize(text))
 from .codec import block_upper_bound, decode_single_block, decode_stream
 from .deletes import shard_slice
 from .reader import IndexReader
@@ -62,13 +72,23 @@ def _after_mask(uniq: np.ndarray, sums: np.ndarray, after):
     """ES ``search_after`` cursor: keep only docs STRICTLY after the
     cursor in (score desc, doc_id asc) order. Applied before per-shard
     top-k selection — a shard's page-N hits need not be in its local
-    page-1 top-k. Score equality against the cursor is exact: both
-    sides come from the identical float pipeline (rank-identity is
-    already a gate invariant across paths)."""
+    page-1 top-k.
+
+    Score equality against the cursor is RELATIVE-TOLERANCE banded,
+    not bit-exact: the cursor score may come from a page 1 served by
+    _score_shard_wand (mode auto/wand), which accumulates a doc's
+    per-term contributions in cursor-advance order, while this forced
+    accumulator sums in term order — for 3+-term matches the
+    non-associative float adds can differ by an ulp, which a strict
+    ``==`` would turn into a duplicated or dropped hit at the page
+    boundary. Within the band the doc_id tiebreak decides, exactly as
+    for a true tie; 1e-9 relative is ~1e7 ulps wide yet far below the
+    spacing of distinct BM25 sums (distinct (tf, dl) inputs)."""
     if after is None or not len(uniq):
         return uniq, sums
     s_c, d_c = float(after[0]), int(after[1])
-    m = (sums < s_c) | ((sums == s_c) & (uniq > d_c))
+    tol = 1e-9 * max(1.0, abs(s_c))
+    m = (sums < s_c - tol) | ((np.abs(sums - s_c) <= tol) & (uniq > d_c))
     return uniq[m], sums[m]
 
 
@@ -359,8 +379,8 @@ def topk(
     everywhere else (dense terms: acc wins at any size).
     ``search_after=(score, doc_id)`` pages past a cursor (see
     topk_terms)."""
-    return topk_terms(reader, sorted(set(tokenize(query_text))), k, mode,
-                      with_urls, search_after=search_after)
+    return topk_terms(reader, sorted(set(_qtokens(reader, query_text))), k,
+                      mode, with_urls, search_after=search_after)
 
 
 def topk_terms(
@@ -487,7 +507,7 @@ def topk_many(
     queries x shards x k rows. Scaling: work per shard is
     |postings(union q) ∩ shard| — the same scan a single worst-case
     query would do, amortized over the whole batch."""
-    qterms_list = [sorted(set(tokenize(q))) for q in query_texts]
+    qterms_list = [sorted(set(_qtokens(reader, q))) for q in query_texts]
     all_terms = sorted({t for qt in qterms_list for t in qt})
     if not all_terms:
         return [[] for _ in query_texts]
@@ -534,7 +554,7 @@ def topk_many_local(
     """Driver-local batched serving: one pruned pyarrow read for the
     union of query terms, shared per-term decode, no Spark job — the
     low-latency twin of :func:`topk_many` (see topk_local)."""
-    qterms_list = [sorted(set(tokenize(q))) for q in query_texts]
+    qterms_list = [sorted(set(_qtokens(reader, q))) for q in query_texts]
     all_terms = sorted({t for qt in qterms_list for t in qt})
     if not all_terms:
         return [[] for _ in query_texts]
@@ -574,8 +594,8 @@ def topk_local(
     path remains for batch query workloads over huge indexes.
     ``search_after=(score, doc_id)`` pages past a cursor (see
     topk_terms)."""
-    return topk_local_terms(reader, sorted(set(tokenize(query_text))), k,
-                            mode, with_urls, search_after=search_after)
+    return topk_local_terms(reader, sorted(set(_qtokens(reader, query_text))),
+                            k, mode, with_urls, search_after=search_after)
 
 
 def topk_local_terms(
@@ -637,7 +657,7 @@ def function_score_topk_local(reader: IndexReader, query_text: str,
     beyond any window, so unlike rescore it cannot be applied to a
     served page. Costs one scatter-max per shard on arrays the scorer
     already decoded."""
-    qterms = sorted(set(tokenize(query_text)))
+    qterms = sorted(set(_qtokens(reader, query_text)))
     if not qterms:
         return []
     pdf = reader.postings_blocks_local(qterms)
@@ -697,7 +717,7 @@ def explain_score(reader: IndexReader, query_text: str, doc_id: int
     contribution, summing to exactly the score every scorer returns
     (same decode + float pipeline). Reads only the query terms'
     pruned blocks, like any other serving call."""
-    qterms = sorted(set(tokenize(query_text)))
+    qterms = sorted(set(_qtokens(reader, query_text)))
     out = {"doc_id": int(doc_id), "total": 0.0, "matched": False,
            "terms": {}}
     if not qterms:
@@ -749,7 +769,7 @@ def mlt_select_terms(reader: IndexReader, seed_text: str,
     own distinct terms — O(seed vocabulary), no posting decode."""
     from collections import Counter
 
-    tf = Counter(tokenize(seed_text))
+    tf = Counter(_qtokens(reader, seed_text))
     if not tf:
         return []
     pdf = reader.postings_blocks_local(sorted(tf))
@@ -876,7 +896,7 @@ def phrase_match_local(
         raise ValueError(
             "index was built with positions=False; phrase queries need "
             "the positional payload (rebuild with IndexConfig(positions=True))")
-    phrase_terms_list = [tokenize(p) for p in phrase_texts]
+    phrase_terms_list = [_qtokens(reader, p) for p in phrase_texts]
     all_terms = sorted({t for pt in phrase_terms_list for t in pt})
     out: list[list[tuple[int, int, int]]] = [[] for _ in phrase_texts]
     if not all_terms:
@@ -953,7 +973,7 @@ def phrase_topk(
         raise ValueError(
             "index was built with positions=False; phrase queries need "
             "the positional payload (rebuild with IndexConfig(positions=True))")
-    pterms = tokenize(phrase_text)
+    pterms = _qtokens(reader, phrase_text)
     if not pterms:
         return []
     blocks = reader.postings_blocks(sorted(set(pterms)), with_positions=True)
@@ -1070,7 +1090,7 @@ def phrase_prefix_topk_local(
         raise ValueError(
             "index was built with positions=False; match_phrase_prefix "
             "needs the positional payload")
-    toks = tokenize(phrase_text)
+    toks = _qtokens(reader, phrase_text)
     if len(toks) < 2:
         raise ValueError(
             "match_phrase_prefix needs >= 2 tokens; use prefix_topk "
@@ -1336,10 +1356,11 @@ def _score_shard_bool(
     return [(int(uniq[i]), float(sums[i])) for i in order]
 
 
-def _bool_terms(must_text: str, should_text: str, must_not_text: str):
-    must = frozenset(tokenize(must_text))
-    should = frozenset(tokenize(should_text))
-    must_not = frozenset(tokenize(must_not_text))
+def _bool_terms(reader, must_text: str, should_text: str,
+                must_not_text: str):
+    must = frozenset(_qtokens(reader, must_text))
+    should = frozenset(_qtokens(reader, should_text))
+    must_not = frozenset(_qtokens(reader, must_not_text))
     if must & must_not:
         # a term required and forbidden at once can match nothing
         return None
@@ -1360,7 +1381,7 @@ def bool_topk(
     exclusion terms; the bool gate runs inside the same per-shard
     vectorized scorer as :func:`topk`, so the driver merge still sees
     at most shards x k rows."""
-    parsed = _bool_terms(must, should, must_not)
+    parsed = _bool_terms(reader, must, should, must_not)
     if parsed is None:
         return []
     mset, sset, nset = parsed
@@ -1457,7 +1478,7 @@ def bool_match_ids(
     the common dashboard-filter case)."""
     spark = reader.spark
     schema = "doc_id long"
-    parsed = _bool_terms(must, should, must_not)
+    parsed = _bool_terms(reader, must, should, must_not)
     if parsed is None:
         return spark.createDataFrame([], schema)
     mset, sset, nset = parsed
@@ -1488,7 +1509,7 @@ def bool_topk_local(
 ) -> list[tuple[int, float]]:
     """Driver-local twin of :func:`bool_topk` (pyarrow pruned read,
     no Spark job) — the serving path for interactive bool queries."""
-    parsed = _bool_terms(must, should, must_not)
+    parsed = _bool_terms(reader, must, should, must_not)
     if parsed is None:
         return []
     mset, sset, nset = parsed

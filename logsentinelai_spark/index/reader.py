@@ -38,6 +38,20 @@ class IndexReader:
         self.waves = committed_waves(str(self.dir))
         if not self.waves:
             raise FileNotFoundError(f"no committed waves in {self.dir}")
+        # analyzer chain the index was built with (build-time stopword
+        # removal + stemming); query analysis must mirror it
+        self.stopwords = tuple(self.meta.get("stopwords", ()) or ())
+        self.stemmer = self.meta.get("stemmer")
+
+    def analyze_terms(self, terms: list[str]) -> list[str]:
+        """Apply the index's analyzer chain to query terms — ES's
+        search analyzer defaulting to the index analyzer. Identity
+        when the index was built with the (default) empty chain."""
+        if not self.stopwords and not self.stemmer:
+            return terms
+        from ..functions.analyzer import analyze
+
+        return analyze(terms, self.stopwords, self.stemmer)
 
     # ---- tombstones (deletes.py): loaded once per reader, honored by
     # every scorer. Stats below deliberately KEEP counting deleted docs

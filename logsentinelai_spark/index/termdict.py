@@ -347,6 +347,68 @@ def suggest_terms(reader, text: str, fuzziness: int = 2,
     return out
 
 
+def suggest_phrase(reader, text: str, lm: dict, fuzziness: int = 2,
+                   prefix_length: int = 1, per_token: int = 3,
+                   beam: int = 8, confidence: float = 2.0,
+                   size: int = 3) -> list[dict]:
+    """ES *phrase suggester* ("did you mean" over the WHOLE query):
+    per-token candidates from the term suggester's dictionary scan
+    (OOV tokens only — ``suggest_mode: missing``), whole-phrase
+    corrections ranked by a bigram LM via beam search. ES ranks its
+    phrase candidates with exactly this shape — a word n-gram LM over
+    the index (laplace-smoothed) with a per-correction confidence
+    penalty; the LM here is the frozen pruned model from
+    operators/textstats.build_bigram_lm (the same counts the
+    perplexity operator learns).
+
+    score(phrase) = Σ_i log P(w_i | w_{i-1})  −  confidence · edits,
+    P add-k-smoothed from the LM's (c1, c2, V); the first token uses
+    the unigram prior. Beam keeps the combinatorics bounded at
+    ``beam`` states per position. Returns the top ``size`` phrases as
+    [{"text", "score", "changed"}], best first."""
+    import math
+
+    from ..functions.tokenizer import tokens as _tok
+
+    c1, c2 = lm["c1"], lm["c2"]
+    v, k, total = max(1, lm["v"]), lm["k"], max(1, lm["total"])
+
+    def lp(prev: str | None, w: str) -> float:
+        if prev is None:
+            return math.log((c1.get(w, 0) + k) / (total + k * v))
+        return math.log((c2.get((prev, w), 0) + k)
+                        / (c1.get(prev, 0) + k * v))
+
+    toks = _tok(text)
+    states: list[tuple[tuple, float]] = [((), 0.0)]
+    for token in toks:
+        cand: list[tuple[str, int]] = [(token, 0)]
+        pre = token[:prefix_length] if prefix_length > 0 else None
+        t = _read_dict_range(reader, pre)
+        terms = t.column("term").to_pylist()
+        dfs = t.column("df").to_pylist()
+        if token not in terms:
+            scored = []
+            for term, df in zip(terms, dfs):
+                for d in range(1, fuzziness + 1):
+                    if _lev_within(token, term, d):
+                        scored.append((d, -int(df), term))
+                        break
+            scored.sort()
+            cand += [(c[2], c[0]) for c in scored[:per_token]]
+        nxt = []
+        for seq, s in states:
+            prev = seq[-1] if seq else None
+            for term, dist in cand:
+                nxt.append((seq + (term,),
+                            s + lp(prev, term) - confidence * dist))
+        nxt.sort(key=lambda x: (-x[1], x[0]))
+        states = nxt[:beam]
+    return [{"text": " ".join(seq), "score": round(s, 6),
+             "changed": list(seq) != toks}
+            for seq, s in states[:size]]
+
+
 def prefix_topk_local(reader, prefix: str, k: int = 10,
                       max_terms: int = 50, mode: str = "auto"):
     """Driver-local ES ``prefix`` query: dictionary expansion + the

@@ -241,29 +241,49 @@ def _sql_token_count() -> str:
     ADVICE: an inner join against the 31-word learn vocab silently
     dropped out-of-vocab terms from the oracle while Spark segments
     every term — the gate was only valid while the fixture vocabulary
-    stayed a subset of the learn vocab). Fixture reads are best-effort:
-    absent/unreadable dirs fall back to the committed vocab alone."""
+    stayed a subset of the learn vocab). Fixture dirs come from
+    ``SPARK_GRAFT_TESTDATA`` (default /root/testdata) + the bench's
+    ``SPARK_GRAFT_SF_DIR`` override, not hard-coded machine paths; a
+    missing dir is skipped silently (expected on other machines), a
+    FAILING read warns instead of being swallowed — the oracle
+    degrading to the committed vocab should be visible, and a missing
+    duckdb or malformed parquet should not look identical to "no
+    fixtures here"."""
+    import glob as _glob
+    import os as _os
+    import warnings as _warnings
+
     from ..functions.bpe import load_model, segment
 
     vocab = dict(load_model()["vocab"])
+    root = _os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    dirs = [f"{root}/sf0.001", f"{root}/sf0.01"]
+    env_sf = _os.environ.get("SPARK_GRAFT_SF_DIR")
+    if env_sf and env_sf not in dirs:
+        dirs.append(env_sf)
     try:
-        import glob as _glob
-
         import duckdb as _dk
-
-        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    except ImportError:
+        _dk = None
+        _warnings.warn("duckdb unavailable: SQL_TOKEN_COUNT oracle "
+                       "falls back to the committed vocab alone")
+    if _dk is not None:
+        for sf in dirs:
             if not _glob.glob(f"{sf}/documents.parquet*"):
                 continue
-            rows = _dk.sql(
-                "SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
-                f"'{SQL_TOKEN_PATTERN}')) AS t FROM "
-                f"read_parquet('{sf}/documents.parquet*')"
-            ).fetchall()
+            try:
+                rows = _dk.sql(
+                    "SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
+                    f"'{SQL_TOKEN_PATTERN}')) AS t FROM "
+                    f"read_parquet('{sf}/documents.parquet*')"
+                ).fetchall()
+            except _dk.Error as e:
+                _warnings.warn(f"SQL_TOKEN_COUNT fixture read failed for "
+                               f"{sf} ({e}); oracle vocab may be partial")
+                continue
             for (t,) in rows:
                 if t not in vocab:
                     vocab[t] = len(segment(t))
-    except Exception:
-        pass
     values = ", ".join(f"('{w}', {n})" for w, n in sorted(vocab.items()))
     return f"""
 WITH tok AS (
@@ -1229,16 +1249,37 @@ WHERE ({_KNUTH_HASH}) / 4294967296.0 < ({_sql_rate_case()})
 PPL_ADD_K = 0.5
 
 
-def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+# broadcast ceiling for the bigram count table: the UNIGRAM table is
+# vocabulary-bounded (always broadcastable), but unique BIGRAMS grow
+# with the corpus — billions of pairs at 100 TB, orders of magnitude
+# past any broadcast limit. q_perplexity measures |c2| and routes.
+PPL_BROADCAST_MAX_BIGRAMS = 2_000_000
+
+
+def q_perplexity(spark: SparkSession, sf_dir: str,
+                 broadcast_max_bigrams: int = PPL_BROADCAST_MAX_BIGRAMS
+                 ) -> DataFrame:
     """Per-doc bigram perplexity: exp(-avg ln P(w_i | w_{i-1})),
     P = (c(w1,w2) + k) / (c(w1) + k·V), counts learned corpus-wide.
 
     Bigrams are built IN-ROW (arrays_zip of the token array against
     its shift — adjacency is a per-document property, so no window and
     no shuffle of the token stream on doc_id; a lead() window would
-    exchange the whole corpus's tokens). The only exchanges left are
-    the two vocabulary-bounded count aggregates, which re-enter as
-    broadcasts."""
+    exchange the whole corpus's tokens).
+
+    Count-table re-entry is SIZE-ROUTED, not assumed broadcastable:
+    the unigram table c1 and the vocab scalar are vocabulary-bounded
+    and always broadcast, but the bigram table c2 grows with the
+    corpus (billions of distinct pairs at 100 TB). |c2| is measured
+    with one count (its shuffle is the same partial-agg shuffle the
+    join needs anyway; the extra cost is one more corpus tokenize
+    pass, cheap next to the scoring join) — at or under
+    ``broadcast_max_bigrams`` c2 re-enters as a broadcast, above it
+    the scoring join is pinned SHUFFLE_MERGE on (term, nxt) so the
+    plan NEVER builds a driver-side bigram table at scale (the
+    ``merge`` hint also stops AQE/autoBroadcast from re-converting).
+    CCNet's production answer is a frozen pruned KenLM; this keeps the
+    learn-on-corpus semantics the oracle pins while fixing the shape."""
     big = (
         _docs(spark, sf_dir)
         .select("doc_id", _tok_col().alias("toks"))
@@ -1254,8 +1295,12 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = big.groupBy("term", "nxt").agg(F.count("*").alias("c2"))
     c1 = big.groupBy("term").agg(F.count("*").alias("c1"))
     v = c1.agg(F.countDistinct("term").alias("v"))
+    if c2.count() <= broadcast_max_bigrams:
+        c2_side = F.broadcast(c2)
+    else:
+        c2_side = c2.hint("merge")
     scored = (
-        big.join(F.broadcast(c2), ["term", "nxt"])
+        big.join(c2_side, ["term", "nxt"])
         .join(F.broadcast(c1), "term")
         .crossJoin(F.broadcast(v))
         .withColumn(
@@ -1292,6 +1337,40 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM big JOIN c2 USING (term, nxt) JOIN c1 USING (term) CROSS JOIN v
 GROUP BY doc_id
 """
+
+
+def build_bigram_lm(tok_df, min_count: int = 2, add_k: float = PPL_ADD_K
+                    ) -> dict:
+    """Frozen pruned bigram LM — the CCNet/KenLM production shape
+    (Wenzek et al. 2020 train once, freeze, prune): distributed
+    counts over a ``tokens``-array DataFrame, the BIGRAM table
+    frequency-pruned (``min_count``) BEFORE the collect so the
+    driver-side model is bounded by the pruned vocabulary, not the
+    corpus. Consumed by termdict.suggest_phrase (the ES *phrase
+    suggester*'s LM) and usable as the frozen-model alternative to
+    q_perplexity's learn-on-corpus pass.
+
+    Returns {"c1": {term: n}, "c2": {(a, b): n}, "v": |vocab|,
+    "total": token count, "k": add-k smoothing constant}."""
+    big = (
+        tok_df.filter(F.size("tokens") >= 2)
+        .select(F.expr(
+            "explode(arrays_zip(slice(tokens, 1, size(tokens) - 1), "
+            "slice(tokens, 2, size(tokens) - 1)))").alias("bg"))
+        .select(F.col("bg")["0"].alias("a"), F.col("bg")["1"].alias("b"))
+    )
+    c1_rows = (tok_df.select(F.explode("tokens").alias("a"))
+               .groupBy("a").count().collect())
+    c2_rows = (big.groupBy("a", "b").count()
+               .filter(F.col("count") >= min_count).collect())
+    c1 = {r["a"]: int(r["count"]) for r in c1_rows}
+    return {
+        "c1": c1,
+        "c2": {(r["a"], r["b"]): int(r["count"]) for r in c2_rows},
+        "v": len(c1),
+        "total": int(sum(c1.values())),
+        "k": float(add_k),
+    }
 
 
 # -- URL canonicalization + URL-level dedup -----------------------------
@@ -1395,9 +1474,22 @@ FROM c
 # straddle train/validation (the C4/RealNews leakage discipline).
 PACK_SEQ_LEN = 512
 # doc_ids per prefix-sum range: the distributed prefix sum collects
-# ONE partial sum per range, so the driver-side state is ids/RANGE
-# rows — the knob that keeps the collect bounded at any corpus size
+# ONE partial sum per PACK_RANGE doc ids; ranges roll up into
+# super-ranges of PACK_SUPER ranges each and only the super list is
+# collected, so driver state is ids/(RANGE·SUPER) rows — ~24k at
+# 10^11 docs — by construction, not by tuning the knob
 PACK_RANGE = 1000
+PACK_SUPER = 4096
+
+
+def _prefix_offsets(rows) -> list[tuple[int, int]]:
+    """Exclusive prefix sum of collected (key, sum) rows: the tiny
+    driver-side step of the two-level distributed prefix sum."""
+    out, run = [], 0
+    for key, s in sorted((r[0], r[1]) for r in rows):
+        out.append((int(key), run))
+        run += int(s)
+    return out
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1405,30 +1497,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     in doc_id order, each doc's global token offset decides the
     training examples (bins of PACK_SEQ_LEN tokens) it lands in.
 
-    The global running sum is a DISTRIBUTED PREFIX SUM, not a
-    single-partition window: (1) one aggregate computes a partial sum
-    per doc_id range, (2) the driver prefix-sums that bounded list
-    (ids/PACK_RANGE rows), (3) the offsets broadcast-join back and a
-    window PARTITIONED BY RANGE finishes locally — every executor
-    cumsum is range-local, so the plan scales with partition count
-    instead of serializing the corpus through one partition."""
+    The global running sum is a TWO-LEVEL DISTRIBUTED PREFIX SUM, not
+    a single-partition window: (1) one aggregate computes a partial
+    sum per doc_id range (n/PACK_RANGE rows, stays distributed),
+    (2) a second aggregate rolls ranges up into super-ranges and ONLY
+    that list reaches the driver — n/(PACK_RANGE·PACK_SUPER) rows,
+    ~24k at 10^11 docs, vs 10^8 when the range partials themselves
+    were collected (round-6 verdict: driver state bounded by a knob,
+    not by design), (3) the driver prefix-sums the super list, it
+    broadcast-joins back onto the range partials whose within-super
+    window (partitioned by super-range) completes the per-range
+    offsets distributively, (4) the offsets join the docs on rb and a
+    window PARTITIONED BY RANGE finishes locally — the rb exchange is
+    the one the final window needs anyway, so every executor cumsum
+    stays range-local and nothing serializes through one partition."""
     d = _docs(spark, sf_dir).select(
         "doc_id", F.size(_tok_col()).cast("long").alias("n_tokens"))
     d = d.withColumn("rb", F.floor(F.col("doc_id") / PACK_RANGE))
-    # bounded: one row per doc_id range
-    partials = sorted(
-        (r.rb, r.s)
-        for r in d.groupBy("rb").agg(F.sum("n_tokens").alias("s")).collect()
+    partials = (
+        d.groupBy("rb").agg(F.sum("n_tokens").alias("s"))
+        .withColumn("rb2", F.floor(F.col("rb") / PACK_SUPER))
     )
-    offsets, run = [], 0
-    for rb, s in partials:
-        offsets.append((rb, run))
-        run += int(s)
-    offs = spark.createDataFrame(offsets, "rb long, off long")
+    offs2 = spark.createDataFrame(
+        _prefix_offsets(
+            partials.groupBy("rb2").agg(F.sum("s").alias("s")).collect()),
+        "rb2 long, off2 long")
+    w2 = Window.partitionBy("rb2").orderBy("rb")
+    offs = (
+        partials.join(F.broadcast(offs2), "rb2")
+        .withColumn(
+            "off", F.col("off2") + F.sum("s").over(w2) - F.col("s"))
+        .select("rb", "off")
+    )
     w = Window.partitionBy("rb").orderBy("doc_id")
     start = F.col("off") + F.sum("n_tokens").over(w) - F.col("n_tokens")
     return (
-        d.join(F.broadcast(offs), "rb")
+        d.join(offs, "rb")
         .withColumn("start_tok", start)
         .select(
             "doc_id", "n_tokens", "start_tok",

@@ -43,6 +43,15 @@ def main() -> None:
                    help="parquet path with a doc_id column")
     sub.add_parser("compact")
     sub.add_parser("term-dict")
+    r = sub.add_parser("retire", help="ILM delete-phase tick: retire "
+                       "docs older than a cutoff, compact on ratio")
+    r.add_argument("--corpus", required=True,
+                   help="pages parquet the index was built over "
+                        "(the _source analog carrying warc_ts)")
+    r.add_argument("--older-than", dest="older_than", required=True,
+                   help="ISO timestamp; docs with warc_ts before it retire")
+    r.add_argument("--max-tombstone-frac", dest="max_tombstone_frac",
+                   type=float, default=0.10)
     ca = sub.add_parser("compact-ann")
     ca.add_argument("--ann-dir", dest="ann_dir", required=True)
     args = ap.parse_args()
@@ -59,6 +68,13 @@ def main() -> None:
     elif args.cmd == "compact":
         spark = get_spark("maintain_index", cpus=args.cpus, master=args.master)
         out = compact_index(spark, args.index)
+    elif args.cmd == "retire":
+        from logsentinelai_spark.index.retention import maintenance_tick
+
+        spark = get_spark("maintain_index", cpus=args.cpus, master=args.master)
+        out = maintenance_tick(
+            spark, args.index, spark.read.parquet(args.corpus),
+            args.older_than, max_tombstone_frac=args.max_tombstone_frac)
     elif args.cmd == "compact-ann":
         from logsentinelai_spark.index.ann import compact_ann
 

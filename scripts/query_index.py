@@ -32,6 +32,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from logsentinelai_spark.index import query as _q  # noqa: E402
 from logsentinelai_spark.index.query import (  # noqa: E402
     bool_topk, bool_topk_local, topk, topk_local, topk_many, topk_many_local,
 )
@@ -69,6 +70,12 @@ def main() -> None:
                          "of --query for one doc")
     ap.add_argument("--suggest", help="ES term suggester (did-you-mean) "
                                       "for each token of the given text")
+    ap.add_argument("--suggest-phrase", dest="suggest_phrase",
+                    help="ES phrase suggester: whole-phrase corrections "
+                         "ranked by a bigram LM (needs --corpus)")
+    ap.add_argument("--corpus", help="pages/documents parquet with a "
+                                     "text column; builds the frozen "
+                                     "bigram LM for --suggest-phrase")
     ap.add_argument("--more-like", dest="more_like",
                     help="ES more_like_this: seed text; interesting "
                          "terms (tf*idf, --max-expansions cap) drive a "
@@ -100,15 +107,17 @@ def main() -> None:
     reader = IndexReader(spark, args.index)
     if args.prefix:
         from logsentinelai_spark.index.termdict import (
-            ensure_term_dict, expand_prefix, prefix_topk, prefix_topk_local)
+            ensure_term_dict, expand_prefix)
 
         ensure_term_dict(spark, reader)
+        # expand ONCE, score over the already-expanded list: calling
+        # prefix_topk here would re-run the same dictionary range read
+        # per serving call just to print expanded_terms
         terms, truncated = expand_prefix(
             reader, args.prefix, args.max_expansions)
-        fn = prefix_topk_local if args.local else prefix_topk
+        fn = _q.topk_local_terms if args.local else _q.topk_terms
         t0 = time.monotonic()
-        res = fn(reader, args.prefix, k=args.k,
-                 max_terms=args.max_expansions, mode=args.mode)
+        res = fn(reader, terms, k=args.k, mode=args.mode)
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({
             "prefix": args.prefix, "expanded_terms": terms,
@@ -117,16 +126,14 @@ def main() -> None:
         return
     if args.wildcard:
         from logsentinelai_spark.index.termdict import (
-            ensure_term_dict, expand_wildcard, wildcard_topk,
-            wildcard_topk_local)
+            ensure_term_dict, expand_wildcard)
 
         ensure_term_dict(spark, reader)
         terms, truncated = expand_wildcard(
             reader, args.wildcard, args.max_expansions)
-        fn = wildcard_topk_local if args.local else wildcard_topk
+        fn = _q.topk_local_terms if args.local else _q.topk_terms
         t0 = time.monotonic()
-        res = fn(reader, args.wildcard, k=args.k,
-                 max_terms=args.max_expansions, mode=args.mode)
+        res = fn(reader, terms, k=args.k, mode=args.mode)
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({
             "wildcard": args.wildcard, "expanded_terms": terms,
@@ -135,17 +142,15 @@ def main() -> None:
         return
     if args.fuzzy:
         from logsentinelai_spark.index.termdict import (
-            ensure_term_dict, expand_fuzzy, fuzzy_topk, fuzzy_topk_local)
+            ensure_term_dict, expand_fuzzy)
 
         ensure_term_dict(spark, reader)
         terms, truncated = expand_fuzzy(
             reader, args.fuzzy, args.fuzziness, args.prefix_length,
             args.max_expansions)
-        fn = fuzzy_topk_local if args.local else fuzzy_topk
+        fn = _q.topk_local_terms if args.local else _q.topk_terms
         t0 = time.monotonic()
-        res = fn(reader, args.fuzzy, k=args.k, fuzziness=args.fuzziness,
-                 prefix_length=args.prefix_length,
-                 max_terms=args.max_expansions, mode=args.mode)
+        res = fn(reader, terms, k=args.k, mode=args.mode)
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({
             "fuzzy": args.fuzzy, "fuzziness": args.fuzziness,
@@ -174,6 +179,28 @@ def main() -> None:
                             prefix_length=args.prefix_length or 1)
         ms = (time.monotonic() - t0) * 1000
         print(json.dumps({"suggest": res, "ms": round(ms, 1)}))
+        return
+    if args.suggest_phrase:
+        from pyspark.sql import functions as F
+
+        from logsentinelai_spark.functions.tokenizer import SQL_TOKEN_PATTERN
+        from logsentinelai_spark.index.termdict import (
+            ensure_term_dict, suggest_phrase)
+        from logsentinelai_spark.operators.textstats import build_bigram_lm
+
+        if not args.corpus:
+            ap.error("--suggest-phrase needs --corpus for the bigram LM")
+        ensure_term_dict(spark, reader)
+        tok = spark.read.parquet(args.corpus).select(F.expr(
+            f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)"
+        ).alias("tokens"))
+        lm = build_bigram_lm(tok)
+        t0 = time.monotonic()
+        res = suggest_phrase(reader, args.suggest_phrase, lm,
+                             fuzziness=args.fuzziness,
+                             prefix_length=args.prefix_length or 1)
+        ms = (time.monotonic() - t0) * 1000
+        print(json.dumps({"suggest_phrase": res, "ms": round(ms, 1)}))
         return
     if args.more_like:
         from logsentinelai_spark.index.query import (
