@@ -170,9 +170,8 @@ def q_bm25_page2_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard top-k selection, so no page-1 re-materialization and no
     deep offset (ES's from+size scaling fix). Same DuckDB oracle."""
     from .index.query import topk_local
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     page1 = topk_local(reader, FLAGSHIP_QUERY, k=10)
     cursor = (page1[-1][1], page1[-1][0]) if page1 else None
     res = topk_local(reader, FLAGSHIP_QUERY, k=10, search_after=cursor)
@@ -241,9 +240,8 @@ def q_function_score_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovery on arrays the scorer already decoded) — see
     index/query.py::function_score_topk_local. Same DuckDB oracle."""
     from .index.query import function_score_topk_local
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     res = function_score_topk_local(reader, FLAGSHIP_QUERY, k=10,
                                     factor=FS_FACTOR)
     urls = reader.doc_urls_local([d for d, _ in res])
@@ -310,9 +308,8 @@ def q_msearch_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (topk_many_local: union-of-terms pruned read, shared decode).
     Same DuckDB oracle."""
     from .index.query import topk_many_local
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     per_q = topk_many_local(reader, MSEARCH_QUERIES, k=MSEARCH_K)
     docs = sorted({d for res in per_q for d, _ in res})
     urls = reader.doc_urls_local(docs)
@@ -431,7 +428,10 @@ def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ptf_expr(RESCORE_PHRASE.split())).alias("ptf"))
         .filter(F.col("ptf") > 0)
     )
-    g = base.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # (n_docs, avgdl) already exist as gstats from build_naive_stats —
+    # recomputing them from `base` would be one more full corpus
+    # tokenize pass for two scalars
+    g = gstats
     pdf = hits.agg(F.count("*").alias("df"))
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     ph = (
@@ -456,9 +456,8 @@ def q_rescore_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase's selectivity (index/query.py::rescore_topk_local). Same
     DuckDB oracle."""
     from .index.query import rescore_topk_local
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     res = rescore_topk_local(reader, FLAGSHIP_QUERY, RESCORE_PHRASE,
                              k=10, window=RESCORE_WINDOW,
                              query_weight=RESCORE_QW,
@@ -564,12 +563,11 @@ def q_more_like_this_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunctive scorer runs bucket-pruned on the selected terms
     (index/query.py::mlt_topk_local). Same DuckDB oracle."""
     from .index.query import mlt_topk_local
-    from .index.reader import IndexReader
 
     seed_text = (load(spark, sf_dir, "documents")
                  .filter(F.col("doc_id") == MLT_DOC)
                  .select("text").collect()[0].text)
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     res = mlt_topk_local(reader, seed_text, exclude_doc=MLT_DOC, k=10,
                          max_query_terms=MLT_MAX_TERMS)
     urls = reader.doc_urls_local([d for d, _ in res])
@@ -729,6 +727,29 @@ def _documents_fingerprint(sf_dir: str) -> tuple:
     )
 
 
+_READER_CACHE: dict = {}
+
+
+def _reader_for(spark: SparkSession, sf_dir: str) -> "IndexReader":
+    """Session-scoped open searcher over the fixture index — ES keeps
+    its searcher open across requests; re-opening per query would
+    re-resolve the generation pointer, re-read meta/manifests and
+    re-probe tombstones every call (measured ~0.15 ms each — cheap,
+    but needless 94x per gate sweep; the pyarrow file handles the
+    reader caches are the bigger win). The fixture index is immutable
+    (fingerprint-keyed), so an open reader can never serve stale
+    tombstones here; code that mutates an index must open a fresh
+    IndexReader, as the lifecycle tests do."""
+    from .index.reader import IndexReader
+
+    key = (sf_dir, _documents_fingerprint(sf_dir))
+    r = _READER_CACHE.get(key)
+    if r is None or r.spark is not spark:
+        r = IndexReader(spark, _index_dir_for(spark, sf_dir))
+        _READER_CACHE[key] = r
+    return r
+
+
 def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
     """Session-scoped POSITIONAL physical index over the documents
     fixture (built once per (sf_dir, file fingerprint), like the
@@ -769,9 +790,8 @@ def q_phrase_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     N/avgdl come from the index manifests (exact integer sums), not a
     corpus rescan."""
     from .index.query import phrase_match_local
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     cand_lists = phrase_match_local(reader, FLAGSHIP_PHRASES)
     ids = sorted({d for lst in cand_lists for d, _, _ in lst})
     urls = reader.doc_urls_local(ids)
@@ -820,9 +840,8 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic result set (no limit), so the hash gate covers every
     matching doc."""
     from .index.query import span_near_local
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     res = span_near_local(reader, SPAN_NEAR_PAIRS)
     ids = sorted({d for lst in res for d, _ in lst})
     urls = reader.doc_urls_local(ids)
@@ -919,9 +938,8 @@ def q_bool_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the fixture's and the gate is hash-exact against the
     same DuckDB oracle as the naive twin."""
     from .index.query import bool_topk_local
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     res = bool_topk_local(reader, BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, k=10)
     urls = reader.doc_urls_local([d for d, _ in res])
     rows = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
@@ -1019,9 +1037,8 @@ def q_search_agg_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join when the filter is selective. Gate = same DuckDB oracle
     as the naive twin — three independent methods agree."""
     from .index.query import bool_match_ids
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     # index doc ids are rank(url) over doc%012d urls == fixture doc_ids
     matched = bool_match_ids(reader, SEARCH_MUST, "", SEARCH_MUST_NOT)
     return _search_aggs(load(spark, sf_dir, "documents"), matched)
@@ -1120,9 +1137,8 @@ def q_search_body_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the bucket-pruned filter-context kernel, aggs as one rollup
     over the url-joined corpus. Same DuckDB oracle — three methods."""
     from .index.body import search_body
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     corpus = (tokenized_documents(spark, sf_dir)
               .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
@@ -1218,10 +1234,9 @@ def q_prefix_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix with one pruned range read, then the existing disjunctive
     scorer runs bucket-pruned on the expanded terms. Same DuckDB
     oracle as the naive twin."""
-    from .index.reader import IndexReader
     from .index.termdict import ensure_term_dict, prefix_topk_local
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     ensure_term_dict(spark, reader)
     res = prefix_topk_local(reader, PREFIX_Q, k=10)
     urls = reader.doc_urls_local([d for d, _ in res])
@@ -1291,10 +1306,9 @@ def q_wildcard_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the existing disjunctive scorer runs bucket-pruned on the
     expansion (index/termdict.py::expand_wildcard). Same DuckDB
     oracle — three independent methods."""
-    from .index.reader import IndexReader
     from .index.termdict import ensure_term_dict, wildcard_topk_local
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     ensure_term_dict(spark, reader)
     res = wildcard_topk_local(reader, WILDCARD_Q, k=10)
     urls = reader.doc_urls_local([d for d, _ in res])
@@ -1364,10 +1378,9 @@ def q_fuzzy_topk_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     same result set), then the disjunctive scorer bucket-pruned on the
     expansion (index/termdict.py::expand_fuzzy). Same DuckDB oracle —
     three independent methods."""
-    from .index.reader import IndexReader
     from .index.termdict import ensure_term_dict, fuzzy_topk_local
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     ensure_term_dict(spark, reader)
     res = fuzzy_topk_local(reader, FUZZY_Q, k=10, fuzziness=FUZZINESS)
     urls = reader.doc_urls_local([d for d, _ in res])
@@ -1429,9 +1442,8 @@ def q_highlight_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit doc_ids (isin predicate — pushed to the parquet scan) renders
     the fragments. Same DuckDB oracle as the naive twin."""
     from .index.query import topk_local
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     res = topk_local(reader, FLAGSHIP_QUERY, k=10)
     urls = reader.doc_urls_local([d for d, _ in res])
     scores = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
@@ -1555,9 +1567,8 @@ def q_phrase_prefix_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection (index/query.py::phrase_prefix_topk_local). Same
     DuckDB oracle as the naive twin — three methods agree."""
     from .index.query import phrase_prefix_topk_local
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     res = phrase_prefix_topk_local(reader, MPP_QUERY, k=10, max_terms=50)
     urls = reader.doc_urls_local([d for d, _, _ in res])
     rows = [(int(urls[d][3:]), int(p), round(s, 6)) for d, p, s in res]
@@ -1638,9 +1649,8 @@ def q_significant_terms_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Index doc ids == fixture doc_ids (doc%012d url ranks), so the same
     DuckDB oracle gates all three methods."""
     from .index.query import bool_match_ids, significant_terms
-    from .index.reader import IndexReader
 
-    reader = IndexReader(spark, _index_dir_for(spark, sf_dir))
+    reader = _reader_for(spark, sf_dir)
     matched = bool_match_ids(reader, SEARCH_MUST, "", SEARCH_MUST_NOT)
     return significant_terms(reader, matched, top_n=10)
 

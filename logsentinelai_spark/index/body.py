@@ -200,6 +200,17 @@ def search_body(spark: SparkSession, reader: IndexReader, body: dict,
     ``url`` column matching the urls the index was built over, plus a
     ``tokens`` array column when ``highlight`` is requested and the
     agg field columns when ``aggs`` is."""
+    # keys that would CHANGE results if silently dropped must refuse;
+    # ES response-shaping keys with no effect on hit content are no-ops
+    _NOOP = {"query", "size", "search_after", "rescore", "highlight",
+             "aggs", "_source", "track_total_hits", "timeout", "version",
+             "seq_no_primary_term", "stored_fields"}
+    unsupported = set(body) - _NOOP
+    if unsupported:
+        raise ValueError(
+            f"unsupported _search body keys {sorted(unsupported)} — "
+            "refusing rather than silently altering results (sort/from/"
+            "post_filter/collapse change what a page contains)")
     hits = _route_hits(reader, body)
     urls = reader.doc_urls_local([d for d, _ in hits])
     out: dict = {"hits": hits, "urls": urls, "fragments": None,

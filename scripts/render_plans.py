@@ -133,7 +133,13 @@ partial count/avg) row per document. The bigram/unigram count tables
 are vocabulary-bounded aggregates that re-enter as BroadcastExchange.
 A lead() window formulation would instead shuffle every token on
 doc_id — the difference between O(corpus) and O(docs) exchange bytes
-at 100 TB.""",
+at 100 TB. Count-table re-entry is SIZE-ROUTED: the unigram table is
+vocabulary-bounded and always a BroadcastExchange, but the bigram
+table grows with the corpus, so above 2M distinct pairs the scoring
+join is pinned SHUFFLE_MERGE on (term, nxt) — the fixture plan below
+shows the broadcast branch; the routed branch is pytest-pinned
+(`test_perplexity_shuffle_route`) to plan as SortMergeJoin with
+identical output.""",
     "events_pipeline": """ES pipeline aggregations (derivative / cumulative_sum /
 moving_fn): the ONLY corpus-wide work is the partial+final hash
 aggregate on the day bucket; the Window node above it runs on the
@@ -167,7 +173,10 @@ corpus itself, so partitioning is mandatory), the per-range offsets
 enter through a BroadcastHashJoin, and the only corpus-wide exchange
 is the hash partitioning on the range key. The bounded partial-sum
 aggregate that fed the driver's prefix runs as a separate tiny job
-and is absent from this serving plan.""",
+and is absent from this serving plan; it is TWO-LEVEL (range ->
+super-range rollup before the collect), so driver state is
+ids/(PACK_RANGE x PACK_SUPER) ~ 24k rows at 10^11 docs by
+construction, not by knob tuning.""",
     "url_dedup": """URL canonicalization + dedup (RefinedWeb stage one): every
 canonicalization step (regexp strips, param filter/sort via
 higher-order array functions) is an in-row projection inside one
@@ -195,6 +204,41 @@ lang partitions) picks each group's representative. The window
 exchange partitions by the collapse field, carrying one row per
 SCORED doc, not per corpus doc: candidate selectivity bounds the
 shuffle. rn=1 filters before the final order-by of |langs| rows.""",
+    "events_agg_tree": """Generic nested agg tree (terms -> date_histogram -> metrics)
+compiled to ONE grouping-sets pass: the plan is scan -> Expand (one
+row per rollup prefix level) -> partial HashAggregate -> single
+Exchange -> final HashAggregate. Audit points: exactly ONE Exchange
+regardless of nesting depth (a per-level groupBy translation would
+shuffle the corpus L times), no Join, and the Expand sits INSIDE the
+scan's codegen stage so the per-level duplication happens before the
+map-side partials — the exchange carries one row per (deepest bucket
+x level), never per event. Pinned by `test_agg_tree_single_pass_plan`.""",
+    "search_body_idx": """The composed one-JSON-body `_search` (query + aggs + highlight +
+size — the Kibana request shape): hits and fragments are served
+driver-local (pyarrow pruned block reads, no Spark job — absent from
+this plan by design); what Spark executes is the aggs leg shown here:
+the bool match set streams task-to-task into the url-resolution join
+against the doc map, then the corpus join, then agg_tree's single
+rollup aggregate. Audit points: the STATIC plan below still shows the
+SortMergeJoin Catalyst plans conservatively; at runtime AQE converts
+the match-set joins to BroadcastHashJoin (the filter is selective) —
+pinned on the executed adaptive-final plan by
+`test_search_body_aggs_leg_joins_broadcast`, the same contract as
+search_agg_idx. The corpus scan prunes ReadSchema to the agg fields,
+and the bucket subtree adds exactly one Exchange.""",
+    "multi_match_best": """ES multi_match best_fields (the DEFAULT mode): dis_max +
+tie_breaker is ONE aggregate over the same per-(doc, field) score
+frame most_fields sums — mode choice adds zero plan structure (same
+scans, same exchanges; only the final agg expression differs). The
+frame itself is the NAIVE Catalyst anchor (like bm25_topk's naive
+twin): each field-local statistic (tf, df, avgdl, N) is its own
+aggregate over the stack()-split token stream, so the plan re-scans
+`documents` per statistic — the correctness-anchor shape, priced for
+the fixture. The stats-side aggregates re-enter as BroadcastExchange
+(field/term-bounded); the BroadcastNestedLoopJoin is the intentional
+1-row N crossJoin. The scale path for interactive multi-field search
+is the index-served family (per-field indexes + the same dis_max
+combiner over served (doc, field) partials).""",
 }
 
 

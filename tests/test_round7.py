@@ -448,3 +448,39 @@ def test_analyzed_index_pins_chain_on_extend(spark, tmp_path):
     assert pdf[pdf["block_id"] >= 0].empty
     hits = {d for d, _ in topk_local(reader, "words", k=10)}
     assert len(hits) == 3  # docs 0, 1 and the new doc
+
+
+def test_search_body_refuses_result_altering_keys(spark, sf_dir):
+    reader = IndexReader(spark, eq._index_dir_for(spark, sf_dir))
+    with pytest.raises(ValueError, match="unsupported _search body keys"):
+        search_body(spark, reader, {"query": {"match": "data"},
+                                    "sort": [{"n_chars": "desc"}]})
+    # ES response-shaping no-ops pass through
+    out = search_body(spark, reader, {"query": {"match": "data"},
+                                      "_source": False,
+                                      "track_total_hits": True})
+    assert out["hits"]
+
+
+def test_search_body_aggs_leg_joins_broadcast(spark):
+    """The body compiler's aggs leg (match set -> url resolution ->
+    corpus join -> rollup) must AQE-convert its joins to broadcast for
+    a selective query — pinned on the executed (adaptive-final) plan,
+    like test_search_agg_idx_match_set_joins_broadcast."""
+    sf = "/root/testdata/sf0.001"
+    reader = IndexReader(spark, eq._index_dir_for(spark, sf))
+    corpus = eq.load(spark, sf, "documents").select(
+        F.format_string("doc%012d", "doc_id").alias("url"),
+        "lang", "n_chars")
+    out = search_body(spark, reader, {
+        "query": {"bool": {"must": eq.SEARCH_MUST,
+                           "must_not": eq.SEARCH_MUST_NOT}},
+        "aggs": {"by_lang": {"terms": {"field": "lang"},
+                             "aggs": {"sum_chars":
+                                      {"sum": {"field": "n_chars"}}}}},
+    }, corpus=corpus)
+    aggs = out["aggs"]
+    aggs.collect()  # AQE finalizes join strategies at runtime
+    plan = aggs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
