@@ -2323,6 +2323,51 @@ GROUP BY ROLLUP(event_type, date_trunc('day', ts))
 """
 
 
+AGG_FOREST_SPEC = {
+    "by_type": {"terms": {"field": "event_type"}, "aggs": {
+        "by_day": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day"},
+                   "aggs": {"sum_v": {"sum": {"field": "value"}}}}}},
+    "by_ubkt": {"histogram": {"field": "user_id", "interval": 1000},
+                "aggs": {"max_v": {"max": {"field": "value"}}}},
+}
+
+
+def q_events_agg_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIBLING bucket aggs (an ES dashboard panel pair: a nested
+    terms -> date_histogram chain NEXT TO a user-id histogram): the
+    whole tree — four grouping sets — still runs as ONE grouping-sets
+    aggregate (operators/aggtree.py), a single Expand + shuffle; a
+    per-node translation would scan the corpus once per panel. gid is
+    the bitmask over (by_type, by_day, by_ubkt) pre-order."""
+    from .operators.aggtree import agg_tree
+
+    out = agg_tree(load(spark, sf_dir, "events"), AGG_FOREST_SPEC)
+    return out.select(
+        "by_type", F.col("by_day").cast("date").alias("by_day"),
+        F.col("by_ubkt").cast("long").alias("by_ubkt"),
+        F.col("gid").cast("long").alias("gid"), "doc_count",
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("max_v", 6).alias("max_v"))
+
+
+def sql_events_agg_forest() -> str:
+    return """
+SELECT event_type AS by_type,
+       CAST(date_trunc('day', ts) AS DATE) AS by_day,
+       CAST(floor(user_id / 1000) * 1000 AS BIGINT) AS by_ubkt,
+       CAST(GROUPING(event_type, date_trunc('day', ts),
+                     floor(user_id / 1000) * 1000) AS BIGINT) AS gid,
+       count(*) AS doc_count,
+       round(sum(value), 6) AS sum_v,
+       round(max(value), 6) AS max_v
+FROM events
+GROUP BY GROUPING SETS ((), (event_type),
+                        (event_type, date_trunc('day', ts)),
+                        (floor(user_id / 1000) * 1000))
+"""
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 JSON parse: `from_json(props, schema)` materialization —
     reference analog `core/commons.py:163,241` (json.loads + schema
@@ -2411,6 +2456,7 @@ QUERIES = {
     # --- NEW in round 7 (inserted here as built) ---
     "multi_match_best": q_multi_match_best,
     "events_agg_tree": q_events_agg_tree,
+    "events_agg_forest": q_events_agg_forest,
     "search_body": q_search_body,
     "search_body_idx": q_search_body_idx,
     # --- r6-checked keys touched this round (re-gate in the window) ---
@@ -2526,6 +2572,7 @@ ORACLES = {
     "multi_match": sql_multi_match(),
     "multi_match_best": sql_multi_match_best(),
     "events_agg_tree": sql_events_agg_tree(),
+    "events_agg_forest": sql_events_agg_forest(),
     "search_body": sql_search_body(),
     # compiler-served path, same oracle — third independent method
     "search_body_idx": sql_search_body(),

@@ -213,6 +213,16 @@ shuffle the corpus L times), no Join, and the Expand sits INSIDE the
 scan's codegen stage so the per-level duplication happens before the
 map-side partials — the exchange carries one row per (deepest bucket
 x level), never per event. Pinned by `test_agg_tree_single_pass_plan`.""",
+    "events_agg_forest": """SIBLING bucket aggs (two Kibana panels' trees side by side:
+terms -> date_histogram next to a numeric histogram) still compile to
+the SAME single-pass shape: every ES bucket node is one root-to-node
+path of keys, so the tree is a set of grouping sets — four here —
+and the plan is still scan -> Expand -> partial agg -> ONE Exchange
+-> final agg, no Join, no second scan (pinned by
+`test_agg_forest_single_pass_plan`). A per-panel translation would
+re-scan the corpus once per sibling; the forest costs the same one
+pass as a chain, with the Expand emitting one extra row per event
+per additional node.""",
     "search_body_idx": """The composed one-JSON-body `_search` (query + aggs + highlight +
 size — the Kibana request shape): hits and fragments are served
 driver-local (pyarrow pruned block reads, no Spark job — absent from

@@ -221,10 +221,25 @@ def test_agg_tree_single_pass_plan(spark, sf_dir):
     assert "expand" in plan.lower()  # the grouping-sets Expand operator
 
 
-def test_agg_tree_rejects_branching_buckets(spark, sf_dir):
-    spec = {"a": {"terms": {"field": "event_type"}},
-            "b": {"terms": {"field": "user_id"}}}
-    with pytest.raises(ValueError, match="single bucket path"):
+def test_events_agg_forest_matches_duckdb(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "events_agg_forest")
+
+
+def test_agg_forest_single_pass_plan(spark, sf_dir):
+    """SIBLING buckets must NOT add passes: the whole four-set tree is
+    still one Expand + one shuffle, no join, no second scan."""
+    df = agg_tree(eq.load(spark, sf_dir, "events"), eq.AGG_FOREST_SPEC)
+    plan = explain_str(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert (n_exchanges, n_scans) == (1, 1), plan
+    assert "Join" not in plan
+
+
+def test_agg_tree_rejects_duplicate_bucket_names(spark, sf_dir):
+    spec = {"a": {"terms": {"field": "event_type"},
+                  "aggs": {"a": {"terms": {"field": "user_id"}}}}}
+    with pytest.raises(ValueError, match="duplicate bucket agg name"):
         agg_tree(eq.load(spark, sf_dir, "events"), spec)
 
 
