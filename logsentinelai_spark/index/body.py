@@ -18,6 +18,7 @@ query.prefix           termdict.expand_prefix -> topk_local_terms
 query.wildcard         termdict.expand_wildcard -> topk_local_terms
 query.fuzzy            termdict.expand_fuzzy -> topk_local_terms
 search_after           the cursor mask inside the shard scorers
+from + size            over-fetch first from+size, return the slice
 rescore                query.rescore_topk_local (match base only)
 highlight              functions/highlight.hl_exprs over the corpus,
                        bounded to the k hit urls (isin pushdown)
@@ -73,6 +74,11 @@ _SUPPORTED = ("match", "bool", "match_phrase", "match_phrase_prefix",
               "prefix", "wildcard", "fuzzy")
 
 
+def _page(hits: list, frm: int) -> list:
+    """The from+size slice of an over-fetched hit list."""
+    return hits[frm:] if frm else hits
+
+
 def _expand(reader, kind: str, spec) -> list[str]:
     """Dictionary-expanded term list for prefix/wildcard/fuzzy."""
     from .termdict import (ensure_term_dict, expand_fuzzy, expand_prefix,
@@ -102,6 +108,13 @@ def _route_hits(reader, body: dict) -> list[tuple[int, float]]:
                          f"supported: {_SUPPORTED}")
     spec = qspec[kind]
     k = int(body.get("size", 10))
+    # ES from+size shallow paging: fetch the first from+k hits of the
+    # deterministic total order, return the slice. Deep pages should
+    # use search_after (ES's own guidance — from+size re-ranks the
+    # whole window per page); the two compose the same way they do in
+    # ES (from offsets into the post-cursor order).
+    frm = int(body.get("from", 0))
+    k += frm
     after = body.get("search_after")
     after = (float(after[0]), int(after[1])) if after else None
     rescore = body.get("rescore")
@@ -114,31 +127,33 @@ def _route_hits(reader, body: dict) -> list[tuple[int, float]]:
                              "this combination too)")
         rq = rescore.get("query", {})
         phrase = _qtext(rq.get("rescore_query", {}).get("match_phrase", ""))
-        return q.rescore_topk_local(
+        return _page(q.rescore_topk_local(
             reader, _qtext(spec), phrase, k=k,
             window=int(rescore.get("window_size", 50)),
             query_weight=float(rq.get("query_weight", 1.0)),
-            rescore_weight=float(rq.get("rescore_weight", 1.0)))
+            rescore_weight=float(rq.get("rescore_weight", 1.0))), frm)
     if kind == "match":
         terms = sorted(set(reader.analyze_terms(tokenize(_qtext(spec)))))
-        return q.topk_local_terms(reader, terms, k=k, search_after=after)
+        return _page(
+            q.topk_local_terms(reader, terms, k=k, search_after=after), frm)
     if after is not None:
         raise ValueError("search_after is wired for match queries; "
                          f"got {kind!r}")
     if kind == "bool":
-        return q.bool_topk_local(reader, spec.get("must", ""),
-                                 spec.get("should", ""),
-                                 spec.get("must_not", ""), k=k)
+        return _page(q.bool_topk_local(reader, spec.get("must", ""),
+                                       spec.get("should", ""),
+                                       spec.get("must_not", ""), k=k), frm)
     if kind == "match_phrase":
-        return [(d, s) for d, _tf, s in
-                q.phrase_topk_local(reader, _qtext(spec), k=k)]
+        return _page([(d, s) for d, _tf, s in
+                      q.phrase_topk_local(reader, _qtext(spec), k=k)], frm)
     if kind == "match_phrase_prefix":
         p = _leaf_params(spec)
-        return [(d, s) for d, _tf, s in
-                q.phrase_prefix_topk_local(
-                    reader, _qtext(spec), k=k,
-                    max_terms=int(p.get("max_expansions", 50)))]
-    return q.topk_local_terms(reader, _expand(reader, kind, spec), k=k)
+        return _page([(d, s) for d, _tf, s in
+                      q.phrase_prefix_topk_local(
+                          reader, _qtext(spec), k=k,
+                          max_terms=int(p.get("max_expansions", 50)))], frm)
+    return _page(
+        q.topk_local_terms(reader, _expand(reader, kind, spec), k=k), frm)
 
 
 def _match_ids(reader, body: dict) -> DataFrame:
@@ -202,14 +217,14 @@ def search_body(spark: SparkSession, reader: IndexReader, body: dict,
     agg field columns when ``aggs`` is."""
     # keys that would CHANGE results if silently dropped must refuse;
     # ES response-shaping keys with no effect on hit content are no-ops
-    _NOOP = {"query", "size", "search_after", "rescore", "highlight",
-             "aggs", "_source", "track_total_hits", "timeout", "version",
-             "seq_no_primary_term", "stored_fields"}
+    _NOOP = {"query", "size", "from", "search_after", "rescore",
+             "highlight", "aggs", "_source", "track_total_hits",
+             "timeout", "version", "seq_no_primary_term", "stored_fields"}
     unsupported = set(body) - _NOOP
     if unsupported:
         raise ValueError(
             f"unsupported _search body keys {sorted(unsupported)} — "
-            "refusing rather than silently altering results (sort/from/"
+            "refusing rather than silently altering results (sort/"
             "post_filter/collapse change what a page contains)")
     hits = _route_hits(reader, body)
     urls = reader.doc_urls_local([d for d, _ in hits])

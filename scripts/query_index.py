@@ -100,11 +100,43 @@ def main() -> None:
     ap.add_argument("--urls", action="store_true")
     ap.add_argument("--batched", action="store_true",
                     help="serve the whole batch via topk_many (one pruned scan)")
+    ap.add_argument("--body", help="composed ES _search JSON body (a "
+                                   "file path or an inline JSON string): "
+                                   "query + from/size + search_after + "
+                                   "rescore + highlight + aggs in ONE "
+                                   "request (index/body.py); highlight/"
+                                   "aggs need --corpus")
     ap.add_argument("--cpus", type=int)
     args = ap.parse_args()
 
     spark = get_spark("query_index", cpus=args.cpus)
     reader = IndexReader(spark, args.index)
+    if args.body:
+        import os
+
+        from logsentinelai_spark.index.body import search_body
+
+        raw = args.body
+        if os.path.exists(raw):
+            raw = open(raw).read()
+        body = json.loads(raw)
+        corpus = (spark.read.parquet(args.corpus)
+                  if args.corpus else None)
+        t0 = time.monotonic()
+        out = search_body(spark, reader, body, corpus=corpus)
+        resp = {
+            "took_ms": round((time.monotonic() - t0) * 1000, 1),
+            "hits": [{"doc_id": d, "score": round(s_, 6),
+                      "url": out["urls"].get(d)} for d, s_ in out["hits"]],
+        }
+        if out["fragments"] is not None:
+            resp["highlight"] = {r["url"]: r["fragment"]
+                                 for r in out["fragments"].collect()}
+        if out["aggs"] is not None:
+            resp["aggregations"] = [r.asDict() for r in
+                                    out["aggs"].collect()]
+        print(json.dumps(resp, default=str))
+        return
     if args.prefix:
         from logsentinelai_spark.index.termdict import (
             ensure_term_dict, expand_prefix)

@@ -499,3 +499,16 @@ def test_search_body_aggs_leg_joins_broadcast(spark):
     plan = aggs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_search_body_from_size_paging(spark, sf_dir):
+    """ES from+size shallow paging: page 2 is exactly the [from, from+size)
+    slice of the deterministic total order, for every routed query kind."""
+    reader = IndexReader(spark, eq._index_dir_for(spark, sf_dir))
+    for q in ({"match": "data network"},
+              {"bool": {"must": "data", "must_not": "zebra"}},
+              {"prefix": "dat"}):
+        full = search_body(spark, reader, {"query": q, "size": 15})["hits"]
+        page = search_body(spark, reader,
+                           {"query": q, "from": 5, "size": 10})["hits"]
+        assert page == full[5:15], q
