@@ -148,6 +148,69 @@ SELECT doc_id, round(s, 6) AS score FROM scored ORDER BY s DESC, doc_id LIMIT 10
 """
 
 
+# --------------------------------------------- analyzed index (analyzer chain)
+
+ANALYZED_QUERY = "a the values data merge"  # 2 stopwords + a plural
+
+
+def q_analyzed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over an index built WITH the analyzer chain
+    (stopwords + S-stemmer, functions/analyzer.py): stopword removal
+    happens in the stage-1 Arrow kernel — it shrinks dl, so every
+    score differs from the unanalyzed index, not just the term set —
+    and the raw query text is analyzed at query time by the SAME
+    chain read back from the index meta ("a the values" -> ["value"]:
+    ES's search analyzer defaulting to the index analyzer). The twin
+    oracle applies the identical chain in SQL and embeds the
+    pre-analyzed query terms as literals. Builds a second
+    session-scoped fixture index (cost disclosed in bench fts_build)."""
+    from .index.query import topk_local
+    from .index.reader import IndexReader
+
+    reader = IndexReader(spark, _fixture_index(spark, sf_dir,
+                                               analyzed=True))
+    res = topk_local(reader, ANALYZED_QUERY, k=10)
+    urls = reader.doc_urls_local([d for d, _ in res])
+    rows = [(int(urls[d][3:]), round(s, 6)) for d, s in res]
+    schema = "doc_id long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
+def sql_analyzed_topk() -> str:
+    sw = ", ".join(f"'{w}'" for w in ANALYZER_STOPWORDS)
+    # analyze("a the values data merge", stopwords, "s") by hand:
+    terms = ", ".join(f"('{t}')" for t in ("value", "data", "merge"))
+    stem = """CASE
+    WHEN length(t) > 3 AND t LIKE '%ies'
+         AND t NOT LIKE '%eies' AND t NOT LIKE '%aies'
+      THEN substr(t, 1, length(t) - 3) || 'y'
+    WHEN length(t) > 2 AND t LIKE '%es'
+         AND t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
+      THEN substr(t, 1, length(t) - 1)
+    WHEN length(t) > 1 AND t LIKE '%s'
+         AND t NOT LIKE '%us' AND t NOT LIKE '%ss'
+      THEN substr(t, 1, length(t) - 1)
+    ELSE t END"""
+    return f"""
+WITH tok0 AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                     '{SQL_TOKEN_PATTERN}')) AS t FROM documents),
+tok AS (SELECT doc_id, {stem} AS term FROM tok0 WHERE t NOT IN ({sw})),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {terms}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (g.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {K1} * ({round(1 - B, 2)} + {B} * dl.dl / g.avgdl)) ) AS s
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM scored ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
 # --------------------------------------------- search_after (deep pagination)
 
 
@@ -756,7 +819,21 @@ def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
     materialized ANN artifacts in operators/similarity._ann_dir_for).
     url = doc%012d: zero-padded so the index's url-rank doc ids are
     exactly the fixture doc_ids — candidates map back losslessly."""
-    key = (sf_dir, _documents_fingerprint(sf_dir))
+    return _fixture_index(spark, sf_dir)
+
+
+# the analyzed twin's chain: stopwords chosen from the fixture's live
+# vocabulary ('a' is a top-15 token) so removal changes dl and scores,
+# not just the term set; stemmer="s" exercises QUERY-side analysis
+# ("values" -> "value") — the fixture vocabulary itself has no
+# s-suffixed tokens (disclosed), so index-side stemming is pinned by
+# the crafted-corpus pytests instead
+ANALYZER_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "it")
+
+
+def _fixture_index(spark: SparkSession, sf_dir: str,
+                   analyzed: bool = False) -> str:
+    key = (sf_dir, _documents_fingerprint(sf_dir), analyzed)
     d = _IDX_CACHE.get(key)
     if d is None:
         import atexit
@@ -765,12 +842,14 @@ def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
 
         from .index.build import IndexConfig, build_index
 
-        d = tempfile.mkdtemp(prefix="fts_idx_")
+        d = tempfile.mkdtemp(prefix="fts_an_" if analyzed else "fts_idx_")
         pages = load(spark, sf_dir, "documents").select(
             F.format_string("doc%012d", "doc_id").alias("url"), "text")
+        chain = (dict(stopwords=ANALYZER_STOPWORDS, stemmer="s")
+                 if analyzed else {})
         build_index(spark, pages, d, IndexConfig(
             shard_size=1024, n_buckets=4, wave_shards=8,
-            use_text_col=True, positions=True))
+            use_text_col=True, positions=True, **chain))
         _IDX_CACHE[key] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
@@ -2457,6 +2536,7 @@ QUERIES = {
     "multi_match_best": q_multi_match_best,
     "events_agg_tree": q_events_agg_tree,
     "events_agg_forest": q_events_agg_forest,
+    "analyzed_topk": q_analyzed_topk,
     "search_body": q_search_body,
     "search_body_idx": q_search_body_idx,
     # --- r6-checked keys touched this round (re-gate in the window) ---
@@ -2573,6 +2653,7 @@ ORACLES = {
     "multi_match_best": sql_multi_match_best(),
     "events_agg_tree": sql_events_agg_tree(),
     "events_agg_forest": sql_events_agg_forest(),
+    "analyzed_topk": sql_analyzed_topk(),
     "search_body": sql_search_body(),
     # compiler-served path, same oracle — third independent method
     "search_body_idx": sql_search_body(),

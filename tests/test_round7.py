@@ -512,3 +512,18 @@ def test_search_body_from_size_paging(spark, sf_dir):
         page = search_body(spark, reader,
                            {"query": q, "from": 5, "size": 10})["hits"]
         assert page == full[5:15], q
+
+
+def test_analyzed_topk_matches_duckdb(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "analyzed_topk")
+
+
+def test_analyzed_fixture_index_mirrors_query_chain(spark, sf_dir):
+    """On the analyzed fixture index: stopwords match nothing (removed
+    from postings AND from query analysis), and a plural query equals
+    its stemmed form (query-side S-stemmer)."""
+    reader = IndexReader(spark, eq._fixture_index(spark, sf_dir,
+                                                  analyzed=True))
+    assert topk_local(reader, "a the of", k=10) == []
+    assert (topk_local(reader, "values", k=10)
+            == topk_local(reader, "value", k=10) != [])
