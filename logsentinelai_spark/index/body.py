@@ -98,9 +98,13 @@ def _expand(reader, kind: str, spec) -> list[str]:
     return terms
 
 
-def _route_hits(reader, body: dict) -> list[tuple[int, float]]:
+def _route_hits(reader, body: dict,
+                serving: str = "local") -> list[tuple[int, float]]:
     from . import query as q
 
+    if serving not in ("local", "spark"):
+        raise ValueError(f"serving must be 'local' or 'spark', got {serving!r}")
+    dist = serving == "spark"
     qspec = body.get("query") or {"match": ""}
     kind = next(iter(qspec))
     if kind not in _SUPPORTED:
@@ -134,26 +138,28 @@ def _route_hits(reader, body: dict) -> list[tuple[int, float]]:
             rescore_weight=float(rq.get("rescore_weight", 1.0))), frm)
     if kind == "match":
         terms = sorted(set(reader.analyze_terms(tokenize(_qtext(spec)))))
-        return _page(
-            q.topk_local_terms(reader, terms, k=k, search_after=after), frm)
+        fn = q.topk_terms if dist else q.topk_local_terms
+        return _page(fn(reader, terms, k=k, search_after=after), frm)
     if after is not None:
         raise ValueError("search_after is wired for match queries; "
                          f"got {kind!r}")
     if kind == "bool":
-        return _page(q.bool_topk_local(reader, spec.get("must", ""),
-                                       spec.get("should", ""),
-                                       spec.get("must_not", ""), k=k), frm)
+        fn = q.bool_topk if dist else q.bool_topk_local
+        return _page(fn(reader, spec.get("must", ""),
+                        spec.get("should", ""),
+                        spec.get("must_not", ""), k=k), frm)
     if kind == "match_phrase":
+        fn = q.phrase_topk if dist else q.phrase_topk_local
         return _page([(d, s) for d, _tf, s in
-                      q.phrase_topk_local(reader, _qtext(spec), k=k)], frm)
+                      fn(reader, _qtext(spec), k=k)], frm)
     if kind == "match_phrase_prefix":
         p = _leaf_params(spec)
         return _page([(d, s) for d, _tf, s in
                       q.phrase_prefix_topk_local(
                           reader, _qtext(spec), k=k,
                           max_terms=int(p.get("max_expansions", 50)))], frm)
-    return _page(
-        q.topk_local_terms(reader, _expand(reader, kind, spec), k=k), frm)
+    fn = q.topk_terms if dist else q.topk_local_terms
+    return _page(fn(reader, _expand(reader, kind, spec), k=k), frm)
 
 
 def _match_ids(reader, body: dict) -> DataFrame:
@@ -203,7 +209,8 @@ def _highlight_terms(reader, body: dict) -> list[str]:
 
 
 def search_body(spark: SparkSession, reader: IndexReader, body: dict,
-                corpus: DataFrame | None = None) -> dict:
+                corpus: DataFrame | None = None,
+                serving: str = "local") -> dict:
     """Execute one composed ``_search`` body. Returns::
 
         {"hits":      [(index_doc_id, score), ...]   # ranked
@@ -214,7 +221,16 @@ def search_body(spark: SparkSession, reader: IndexReader, body: dict,
     ``corpus`` (required for highlight/aggs): a DataFrame carrying a
     ``url`` column matching the urls the index was built over, plus a
     ``tokens`` array column when ``highlight`` is requested and the
-    agg field columns when ``aggs`` is."""
+    agg field columns when ``aggs`` is.
+
+    ``serving``: "local" (default) serves hits via driver-local pyarrow
+    pruned reads — the ms-latency interactive path; "spark" routes the
+    same query shapes through the distributed scorers (topk_terms /
+    bool_topk / phrase_topk — rank-identical by the standing gates),
+    the regime for batch workloads over indexes too large or too
+    remote for driver-local reads. rescore and match_phrase_prefix
+    serve driver-local in both modes (their distributed twins are the
+    gates' naive Catalyst scans, not index scorers)."""
     # keys that would CHANGE results if silently dropped must refuse;
     # ES response-shaping keys with no effect on hit content are no-ops
     _NOOP = {"query", "size", "from", "search_after", "rescore",
@@ -226,7 +242,7 @@ def search_body(spark: SparkSession, reader: IndexReader, body: dict,
             f"unsupported _search body keys {sorted(unsupported)} — "
             "refusing rather than silently altering results (sort/"
             "post_filter/collapse change what a page contains)")
-    hits = _route_hits(reader, body)
+    hits = _route_hits(reader, body, serving)
     urls = reader.doc_urls_local([d for d, _ in hits])
     out: dict = {"hits": hits, "urls": urls, "fragments": None,
                  "aggs": None}

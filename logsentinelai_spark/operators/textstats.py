@@ -1514,9 +1514,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", F.size(_tok_col()).cast("long").alias("n_tokens"))
     d = d.withColumn("rb", F.floor(F.col("doc_id") / PACK_RANGE))
+    # persisted: the range-partial table is consumed TWICE — the
+    # super-range collect below and the offs branch of the final plan.
+    # Unpersisted, the second consumer re-tokenizes the whole corpus
+    # to rebuild n/PACK_RANGE rows; persisted it is n/1000 rows
+    # (bounded, ~10^8 rows spread across the cluster at 10^11 docs)
+    # and the corpus is tokenized exactly twice end to end, same as
+    # the one-level design the two-level rollup replaced
     partials = (
         d.groupBy("rb").agg(F.sum("n_tokens").alias("s"))
         .withColumn("rb2", F.floor(F.col("rb") / PACK_SUPER))
+        .persist()
     )
     offs2 = spark.createDataFrame(
         _prefix_offsets(

@@ -106,6 +106,11 @@ def main() -> None:
                                    "rescore + highlight + aggs in ONE "
                                    "request (index/body.py); highlight/"
                                    "aggs need --corpus")
+    ap.add_argument("--body-serving", dest="body_serving",
+                    choices=["local", "spark"], default="local",
+                    help="--body hit serving: driver-local pyarrow "
+                         "reads (ms latency) or the distributed "
+                         "scorers (batch regime)")
     ap.add_argument("--cpus", type=int)
     args = ap.parse_args()
 
@@ -123,7 +128,8 @@ def main() -> None:
         corpus = (spark.read.parquet(args.corpus)
                   if args.corpus else None)
         t0 = time.monotonic()
-        out = search_body(spark, reader, body, corpus=corpus)
+        out = search_body(spark, reader, body, corpus=corpus,
+                          serving=args.body_serving)
         resp = {
             "took_ms": round((time.monotonic() - t0) * 1000, 1),
             "hits": [{"doc_id": d, "score": round(s_, 6),

@@ -527,3 +527,17 @@ def test_analyzed_fixture_index_mirrors_query_chain(spark, sf_dir):
     assert topk_local(reader, "a the of", k=10) == []
     assert (topk_local(reader, "values", k=10)
             == topk_local(reader, "value", k=10) != [])
+
+
+def test_search_body_spark_serving_rank_identical(spark, sf_dir):
+    """serving="spark" routes through the distributed scorers and must
+    return the identical hit list as the driver-local path."""
+    reader = IndexReader(spark, eq._index_dir_for(spark, sf_dir))
+    for body in ({"query": {"match": "data network"}, "size": 12},
+                 {"query": {"bool": {"must": "data", "should": "merge"}}},
+                 {"query": {"match_phrase": eq.PHRASE_QUERY
+                            if hasattr(eq, "PHRASE_QUERY") else "data query"}},
+                 {"query": {"prefix": "dat"}, "from": 3, "size": 5}):
+        loc = search_body(spark, reader, body)["hits"]
+        dist = search_body(spark, reader, body, serving="spark")["hits"]
+        assert loc == dist, body
