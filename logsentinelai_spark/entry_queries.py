@@ -1850,6 +1850,75 @@ def q_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_field_index(spark: SparkSession, sf_dir: str, field: str) -> str:
+    """Session-scoped PER-FIELD physical index (Lucene's actual
+    multi-field layout: one inverted index per field, field-local
+    df/dl/avgdl, shared doc space). The field text is reconstructed
+    from the same token slices the naive twin scores
+    (title = first MM_TITLE_LEN tokens) — joining tokens with spaces
+    re-tokenizes to the identical stream ([a-z0-9]+ alphabet), so the
+    per-field index stats equal the naive frame's field-local stats
+    exactly. Docs whose field is empty still occupy the doc space
+    (dl=0), matching the naive avgdl over ALL docs."""
+    key = (sf_dir, _documents_fingerprint(sf_dir), f"mm_{field}")
+    d = _IDX_CACHE.get(key)
+    if d is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from .index.build import IndexConfig, build_index
+
+        if field == "title":
+            ftoks = f"slice(toks, 1, {MM_TITLE_LEN})"
+        else:
+            ftoks = (f"slice(toks, {MM_TITLE_LEN + 1}, "
+                     f"greatest(size(toks) - {MM_TITLE_LEN}, 0))")
+        d = tempfile.mkdtemp(prefix=f"fts_mm_{field}_")
+        pages = (
+            tokenized_documents(spark, sf_dir)
+            .withColumnRenamed("tokens", "toks")
+            .select(F.format_string("doc%012d", "doc_id").alias("url"),
+                    F.array_join(F.expr(ftoks), " ").alias("text")))
+        build_index(spark, pages, d, IndexConfig(
+            shard_size=1024, n_buckets=4, wave_shards=8,
+            use_text_col=True, positions=False))
+        _IDX_CACHE[key] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def q_multi_match_best_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """best_fields served the Lucene way: one physical index PER FIELD
+    (field-local stats by construction), each queried once for its
+    weighted BM25 scores over the FULL candidate set (dis_max needs
+    every field's score for every candidate — ES scores the whole
+    disjunction too; per-field the scan is the same WAND-able
+    disjunctive read as any match query), then the driver combines
+    max + tie_breaker · rest over |candidates| rows — bounded by the
+    query terms' df, not the corpus. Same DuckDB oracle as the naive
+    twin, so naive Catalyst frame, per-field index serving, and the
+    SQL formula must agree hash-exactly."""
+    from .index.query import topk_local_terms
+    from .index.reader import IndexReader
+
+    qterms = sorted(set(MM_QUERY.split()))
+    scores: dict[int, dict[str, float]] = {}
+    for field, w in (("title", MM_W_TITLE), ("body", MM_W_BODY)):
+        reader = IndexReader(spark, _mm_field_index(spark, sf_dir, field))
+        for doc, s in topk_local_terms(reader, qterms, k=1 << 30):
+            scores.setdefault(doc, {})[field] = w * s
+    best = sorted(
+        ((d, mx + MM_TIE_BREAKER * (sm - mx))
+         for d, v in scores.items()
+         for mx, sm in ((max(v.values()), sum(v.values())),)),
+        key=lambda t: (-t[1], t[0]))[:10]
+    rows = [(int(d), round(s, 6)) for d, s in best]
+    schema = "doc_id long, score double"
+    return (spark.createDataFrame(rows, schema) if rows
+            else spark.createDataFrame([], schema))
+
+
 def _sql_mm_field_scores() -> str:
     """Shared CTE chain producing per-(doc_id, field) scores `fs`."""
     terms_in = ", ".join(f"'{t}'" for t in sorted(set(MM_QUERY.split())))
@@ -2537,6 +2606,7 @@ QUERIES = {
     "events_agg_tree": q_events_agg_tree,
     "events_agg_forest": q_events_agg_forest,
     "analyzed_topk": q_analyzed_topk,
+    "multi_match_best_idx": q_multi_match_best_idx,
     "search_body": q_search_body,
     "search_body_idx": q_search_body_idx,
     # --- r6-checked keys touched this round (re-gate in the window) ---
@@ -2654,6 +2724,7 @@ ORACLES = {
     "events_agg_tree": sql_events_agg_tree(),
     "events_agg_forest": sql_events_agg_forest(),
     "analyzed_topk": sql_analyzed_topk(),
+    "multi_match_best_idx": sql_multi_match_best(),
     "search_body": sql_search_body(),
     # compiler-served path, same oracle — third independent method
     "search_body_idx": sql_search_body(),

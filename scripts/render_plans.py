@@ -173,7 +173,10 @@ corpus itself, so partitioning is mandatory), the per-range offsets
 enter through a BroadcastHashJoin, and the only corpus-wide exchange
 is the hash partitioning on the range key. The bounded partial-sum
 aggregate that fed the driver's prefix runs as a separate tiny job
-and is absent from this serving plan; it is TWO-LEVEL (range ->
+and shows here only as the InMemoryRelation of the PERSISTED range
+partials (n/PACK_RANGE rows — consumed by both the super-range
+collect and this plan's offs branch; unpersisted, this branch would
+re-tokenize the whole corpus). The prefix sum is TWO-LEVEL (range ->
 super-range rollup before the collect), so driver state is
 ids/(PACK_RANGE x PACK_SUPER) ~ 24k rows at 10^11 docs by
 construction, not by knob tuning.""",
@@ -247,8 +250,10 @@ aggregate over the stack()-split token stream, so the plan re-scans
 the fixture. The stats-side aggregates re-enter as BroadcastExchange
 (field/term-bounded); the BroadcastNestedLoopJoin is the intentional
 1-row N crossJoin. The scale path for interactive multi-field search
-is the index-served family (per-field indexes + the same dis_max
-combiner over served (doc, field) partials).""",
+is IMPLEMENTED as q_multi_match_best_idx: one physical index per
+field (Lucene's layout; field-local stats by construction) + the
+dis_max combine over served candidates — gated hash-exact against
+this same oracle.""",
 }
 
 

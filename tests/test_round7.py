@@ -541,3 +541,18 @@ def test_search_body_spark_serving_rank_identical(spark, sf_dir):
         loc = search_body(spark, reader, body)["hits"]
         dist = search_body(spark, reader, body, serving="spark")["hits"]
         assert loc == dist, body
+
+
+def test_multi_match_best_idx_matches_duckdb(spark, sf_dir):
+    _assert_matches_oracle(spark, sf_dir, "multi_match_best_idx")
+
+
+def test_mm_field_indexes_have_field_local_stats(spark, sf_dir):
+    """The per-field indexes carry FIELD-LOCAL stats: same doc space
+    (N equal), different avgdl (title is 8 tokens, body the rest)."""
+    t = IndexReader(spark, eq._mm_field_index(spark, sf_dir, "title"))
+    b = IndexReader(spark, eq._mm_field_index(spark, sf_dir, "body"))
+    nt, adt = t.global_stats()
+    nb, adb = b.global_stats()
+    assert nt == nb
+    assert adt <= eq.MM_TITLE_LEN < adb
