@@ -19,6 +19,8 @@ query.wildcard         termdict.expand_wildcard -> topk_local_terms
 query.fuzzy            termdict.expand_fuzzy -> topk_local_terms
 search_after           the cursor mask inside the shard scorers
 from + size            over-fetch first from+size, return the slice
+suggest                termdict.suggest_terms / suggest_phrase (the
+                       phrase LM learned from the corpus per call)
 rescore                query.rescore_topk_local (match base only)
 highlight              functions/highlight.hl_exprs over the corpus,
                        bounded to the k hit urls (isin pushdown)
@@ -234,8 +236,9 @@ def search_body(spark: SparkSession, reader: IndexReader, body: dict,
     # keys that would CHANGE results if silently dropped must refuse;
     # ES response-shaping keys with no effect on hit content are no-ops
     _NOOP = {"query", "size", "from", "search_after", "rescore",
-             "highlight", "aggs", "_source", "track_total_hits",
-             "timeout", "version", "seq_no_primary_term", "stored_fields"}
+             "highlight", "aggs", "suggest", "_source",
+             "track_total_hits", "timeout", "version",
+             "seq_no_primary_term", "stored_fields"}
     unsupported = set(body) - _NOOP
     if unsupported:
         raise ValueError(
@@ -262,4 +265,51 @@ def search_body(spark: SparkSession, reader: IndexReader, body: dict,
         ids = _match_ids(reader, body)
         murls = reader.doc_stats_df().join(ids, "doc_id").select("url")
         out["aggs"] = agg_tree(corpus.join(murls, "url"), body["aggs"])
+    if body.get("suggest"):
+        out["suggest"] = _route_suggest(reader, body["suggest"], corpus)
+    return out
+
+
+def _route_suggest(reader, spec: dict, corpus: DataFrame | None) -> dict:
+    """The body's ``suggest`` section: named term / phrase suggesters
+    (ES ships both in the same response as the hits). The phrase
+    suggester needs a bigram LM — learned from ``corpus`` (a
+    ``tokens`` array column or a ``text`` column) per call here;
+    serving processes should pass a frozen model via the
+    ``suggest_phrase`` API directly."""
+    from ..operators.textstats import build_bigram_lm
+    from .termdict import ensure_term_dict, suggest_phrase, suggest_terms
+
+    ensure_term_dict(reader.spark, reader)
+    out: dict = {}
+    lm = None
+    for name, body in spec.items():
+        text = body.get("text", "")
+        if "term" in body:
+            p = body["term"]
+            out[name] = suggest_terms(
+                reader, text,
+                fuzziness=int(p.get("fuzziness", 2)),
+                prefix_length=int(p.get("prefix_length", 1)),
+                size=int(p.get("size", 3)))
+        elif "phrase" in body:
+            if corpus is None:
+                raise ValueError("phrase suggester needs the corpus "
+                                 "DataFrame (bigram LM source)")
+            if lm is None:
+                tok = corpus
+                if "tokens" not in tok.columns:
+                    from ..functions.tokenizer import SQL_TOKEN_PATTERN
+                    tok = tok.select(F.expr(
+                        "regexp_extract_all(lower(text), "
+                        f"'{SQL_TOKEN_PATTERN}', 0)").alias("tokens"))
+                lm = build_bigram_lm(tok.select("tokens"))
+            p = body["phrase"]
+            out[name] = suggest_phrase(
+                reader, text, lm,
+                fuzziness=int(p.get("fuzziness", 2)),
+                size=int(p.get("size", 3)))
+        else:
+            raise ValueError(f"suggester {name!r} must be 'term' or "
+                             "'phrase'")
     return out

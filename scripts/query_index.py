@@ -141,6 +141,8 @@ def main() -> None:
         if out["aggs"] is not None:
             resp["aggregations"] = [r.asDict() for r in
                                     out["aggs"].collect()]
+        if out.get("suggest") is not None:
+            resp["suggest"] = out["suggest"]
         print(json.dumps(resp, default=str))
         return
     if args.prefix:

@@ -556,3 +556,26 @@ def test_mm_field_indexes_have_field_local_stats(spark, sf_dir):
     nb, adb = b.global_stats()
     assert nt == nb
     assert adt <= eq.MM_TITLE_LEN < adb
+
+
+def test_search_body_suggest_section(spark, sf_dir):
+    """One body carrying query + term AND phrase suggesters — the
+    combined ES response shape."""
+    reader = IndexReader(spark, eq._index_dir_for(spark, sf_dir))
+    corpus = eq.tokenized_documents(spark, sf_dir)
+    # an OOV typo of a vocabulary term: take any dictionary term and
+    # mangle its tail
+    from logsentinelai_spark.index.termdict import ensure_term_dict
+    ensure_term_dict(spark, reader)
+    hit = search_body(spark, reader, {"query": {"match": "data"}})["hits"]
+    assert hit
+    out = search_body(spark, reader, {
+        "query": {"match": "data"},
+        "suggest": {
+            "fix-term": {"text": "dataq", "term": {"fuzziness": 1}},
+            "fix-phrase": {"text": "data mergeq", "phrase": {}},
+        }}, corpus=corpus)
+    assert out["hits"] == hit
+    assert out["suggest"]["fix-term"], "term suggester returned nothing"
+    phr = out["suggest"]["fix-phrase"]
+    assert phr[0]["text"].startswith("data merge")
