@@ -43,6 +43,26 @@ _TOK_CTE = (
 )
 
 
+def tokenized_documents_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``tokenized_documents`` behind a Generate (explode-of-singleton)
+    barrier. Without it, filter pushdown + project collapse substitute
+    ``tokens`` back to ``regexp_extract_all(lower(text))`` INSIDE the
+    per-position higher-order lambdas of the phrase queries, so the
+    regex re-runs once per token position per document (measured ~9x
+    on rescore_topk / phrase_prefix at sf0.1). A predicate that
+    references a generated attribute cannot be pushed below the
+    Generate, so the token array is materialized exactly once per row;
+    the singleton explode itself is a no-op row-wise. Identical rows
+    to ``tokenized_documents`` — use only where a higher-order lambda
+    consumes ``tokens`` under a filter."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.array(F.expr(
+            f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)"
+        ))).alias("tokens"),
+    )
+
+
 # ---------------------------------------------------------------- tf / df / stats
 
 def q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,21 +504,28 @@ def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, dstats, tstats, gstats = build_naive_stats(tok)
     win = bm25_topk_naive(postings, dstats, tstats, gstats,
                           FLAGSHIP_QUERY, k=RESCORE_WINDOW)
-    base = tokenized_documents(spark, sf_dir).select(
+    # Generate barrier: the ptf lambda must see a MATERIALIZED token
+    # array (see tokenized_documents_mat) — otherwise the pushed-down
+    # hits filter re-tokenizes per position (was 55 s at sf1.0).
+    base = tokenized_documents_mat(spark, sf_dir).select(
         "doc_id", "tokens", F.size("tokens").cast("long").alias("dl"))
+    # df(pseudo-term) via a single-partition window over the HITS frame
+    # (bounded by the phrase's selectivity), not a scalar-agg cross
+    # join: the latter re-plans the whole phrase scan for the count
+    # consumer — one extra corpus pass (same shape as q_phrase_prefix).
     hits = (
         base.select("doc_id", "dl", F.expr(
             _ptf_expr(RESCORE_PHRASE.split())).alias("ptf"))
         .filter(F.col("ptf") > 0)
+        .withColumn("df", F.count("*").over(Window.partitionBy()))
     )
     # (n_docs, avgdl) already exist as gstats from build_naive_stats —
     # recomputing them from `base` would be one more full corpus
     # tokenize pass for two scalars
     g = gstats
-    pdf = hits.agg(F.count("*").alias("df"))
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     ph = (
-        hits.crossJoin(F.broadcast(pdf)).crossJoin(F.broadcast(g))
+        hits.crossJoin(F.broadcast(g))
         .withColumn("ps", idf * F.col("ptf") / (
             F.col("ptf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))))
         .select("doc_id", "ps")
@@ -1611,7 +1638,11 @@ def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality."""
     toks = MPP_QUERY.split()
     fixed, prefix = toks[:-1], toks[-1]
-    base = tokenized_documents(spark, sf_dir).select(
+    # Generate barrier (tokenized_documents_mat): keeps the pushed-down
+    # ptf>0 / array_contains filters ABOVE the tokenization so the
+    # per-position lambda runs on a materialized array instead of
+    # re-running the regex per position (was 25 s at sf1.0).
+    base = tokenized_documents_mat(spark, sf_dir).select(
         "doc_id", "tokens", F.size("tokens").cast("long").alias("dl"))
     # df(pseudo-term) via a single-partition window over the HITS frame
     # (bounded by the phrase's selectivity) instead of a scalar-agg
