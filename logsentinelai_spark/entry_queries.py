@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from .functions.tokenizer import SQL_TOKEN_PATTERN
 from .index.bm25 import B, K1
 from .index.naive import bm25_topk_naive, build_naive_stats
+from .sources.io import fanout_small_scan
 
 FLAGSHIP_QUERY = "data query merge index"
 FIXED_TERMS = ["the", "data", "query", "index", "merge", "scan"]
@@ -28,10 +29,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load`` + scan fan-out, for full-table per-row-heavy paths (the
+    fixture files are single-row-group parquet — guide §2.5). Point
+    lookups keep plain ``load`` so they stay one-task."""
+    return fanout_small_scan(load(spark, sf_dir, name), f"{sf_dir}/{name}")
+
+
 def tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, tokens array<string>) via JVM-side regex
     (whole-stage codegen; no Python in this hot path)."""
-    return load(spark, sf_dir, "documents").select(
+    return load_wide(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)").alias("tokens"),
     )
@@ -55,7 +63,7 @@ def tokenized_documents_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
     the singleton explode itself is a no-op row-wise. Identical rows
     to ``tokenized_documents`` — use only where a higher-order lambda
     consumes ``tokens`` under a filter."""
-    return load(spark, sf_dir, "documents").select(
+    return load_wide(spark, sf_dir, "documents").select(
         "doc_id",
         F.explode(F.array(F.expr(
             f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)"
@@ -2553,7 +2561,7 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation of every LLM response). Declared-schema parse keeps the
     whole expression in codegen; malformed rows yield NULL k (grouped,
     not dropped), mirroring the reference's validate-then-keep step."""
-    ev = load(spark, sf_dir, "events")
+    ev = load_wide(spark, sf_dir, "events")
     parsed = ev.select(
         F.from_json("props", "k BIGINT").getField("k").alias("k"), "value"
     )

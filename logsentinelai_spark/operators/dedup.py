@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..sources.io import fanout_small_scan
+
 # 8 minhash permutations (a, b) over a 32-bit md5-derived hash, mod p.
 MINHASH_PERMS: list[tuple[int, int, int]] = [
     (1, 999983, 12345),
@@ -570,7 +572,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 conditional-sum agg columns (map-side combine; the shuffle
     carries one (doc_id, 32 longs) row per doc, never a 32x bit
     explode or a (doc, term) tf pre-aggregation)."""
-    d = _load_docs(spark, sf_dir)
+    # fan the single-row-group scan out before the per-token md5 work
+    # (guide §2.5); the shingle paths repartition themselves instead
+    d = fanout_small_scan(_load_docs(spark, sf_dir), f"{sf_dir}/documents")
     tok = d.select(
         "doc_id", F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("term")
     )

@@ -44,7 +44,13 @@ PLANE_SEED = 20240816
 
 
 def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ..sources.io import fanout_small_scan
+
+    # single-row-group fixture file: fan the scan out before per-row
+    # vector math (guide §2.5)
+    return fanout_small_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        f"{sf_dir}/embeddings")
 
 
 _COS_EXPR = """

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.tokenizer import SQL_TOKEN_PATTERN
+from ..sources.io import fanout_small_scan
 
 EN_STOP = ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it"]
 ES_STOP = ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"]
@@ -23,7 +24,11 @@ FP_MOD = 1_000_000_007
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # every consumer runs per-row-heavy text expressions over the full
+    # table -> fan the single-row-group scan out first (guide §2.5)
+    return fanout_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        f"{sf_dir}/documents")
 
 
 def _tok_col():

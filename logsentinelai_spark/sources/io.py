@@ -73,3 +73,38 @@ def read_snapshot(
     if files is None:
         files = sorted(spark.read.parquet(path).inputFiles())
     return spark.read.parquet(*files), files
+
+
+# -------------------------------------------------- scan fan-out (guide §2.5)
+
+_FANOUT_DECISIONS: dict[tuple[int, str], bool] = {}
+
+
+def fanout_small_scan(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Spread an under-partitioned scan across every core before per-row
+    heavy work (guide §2.5 "input skew: one huge unsplittable file ...
+    repartition immediately after the read").
+
+    The driver's fixture tables are SINGLE-row-group parquet files, so a
+    scan plans as one task no matter what ``maxPartitionBytes`` says
+    (parquet splits at row-group granularity) and every downstream
+    per-row expression — regex tokenization, JSON parsing, shingling,
+    vector math — runs serially on one core. A round-robin repartition
+    of the raw rows (a few MB) unlocks the other N-1 cores.
+
+    Scale-adaptive, not local[32] tuning: when the scan already has at
+    least ``defaultParallelism`` partitions (pre-split inputs at real
+    scale), this is a no-op and adds nothing to the plan. The per-path
+    decision is memoized so repeated queries don't re-plan the probe
+    RDD just to count partitions.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    ck = None if key is None else (id(sc), key)
+    if ck is not None and ck in _FANOUT_DECISIONS:
+        need = _FANOUT_DECISIONS[ck]
+    else:
+        need = df.rdd.getNumPartitions() < target
+        if ck is not None:
+            _FANOUT_DECISIONS[ck] = need
+    return df.repartition(target) if need else df
