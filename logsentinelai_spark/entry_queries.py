@@ -825,6 +825,20 @@ def _documents_fingerprint(sf_dir: str) -> tuple:
     )
 
 
+def _fixture_shard_size(sf_dir: str) -> int:
+    """Scale the fixture index's shard size with the corpus so the
+    build always fits ONE wave of ``wave_shards`` shards: at
+    shard_size=1024 a 50k-doc fixture needs 7 sequential waves, each
+    paying full stage1+merge+commit job overhead (measured 15-24 s vs
+    5.0 s single-wave at the sf1.0 replica). Row count comes from
+    parquet footers (no Spark job)."""
+    import pyarrow.parquet as pq
+
+    n = sum(pq.ParquetFile(str(f)).metadata.num_rows
+            for f, _, _ in _documents_fingerprint(sf_dir))
+    return max(1024, -(-n // 8))
+
+
 _READER_CACHE: dict = {}
 
 
@@ -883,8 +897,8 @@ def _fixture_index(spark: SparkSession, sf_dir: str,
         chain = (dict(stopwords=ANALYZER_STOPWORDS, stemmer="s")
                  if analyzed else {})
         build_index(spark, pages, d, IndexConfig(
-            shard_size=1024, n_buckets=4, wave_shards=8,
-            use_text_col=True, positions=True, **chain))
+            shard_size=_fixture_shard_size(sf_dir), n_buckets=4,
+            wave_shards=8, use_text_col=True, positions=True, **chain))
         _IDX_CACHE[key] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
@@ -1742,19 +1756,27 @@ def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = flags.filter(
         (F.col("n_must") == len(must)) & (F.col("has_not") == 0)
     ).select("doc_id")
-    n_fg = F.lit(float(matched.count()))
-    n_all = F.lit(float(tok.count()))
+    # n_fg / n_all as IN-PLAN broadcast scalars instead of two eager
+    # .count() actions: the old shape serialized three full jobs
+    # (matched.count -> tok.count -> the fg/bg job); one job now
+    # computes all subtrees concurrently. Same float math, same hash.
+    n_fg_df = matched.agg(
+        F.count("*").cast("double").alias("__n_fg"))
+    n_all_df = tok.agg(F.count("*").cast("double").alias("__n_all"))
     fg = (long.join(matched, "doc_id")
           .groupBy("term").agg(F.count("*").alias("fg_df")))
     bg = long.groupBy("term").agg(F.count("*").alias("bg_df"))
-    fg_pct = F.col("fg_df") / n_fg
-    bg_pct = F.col("bg_df") / n_all
+    fg_pct = F.col("fg_df") / F.col("__n_fg")
+    bg_pct = F.col("bg_df") / F.col("__n_all")
     return (
         fg.join(bg, "term")
+        .crossJoin(F.broadcast(n_fg_df))
+        .crossJoin(F.broadcast(n_all_df))
         .withColumn("jlh", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6))
         .filter(fg_pct > bg_pct)
         .orderBy(F.desc("jlh"), F.asc("term"))
         .limit(10)
+        .select("term", "fg_df", "bg_df", "jlh")
     )
 
 
@@ -1920,8 +1942,8 @@ def _mm_field_index(spark: SparkSession, sf_dir: str, field: str) -> str:
             .select(F.format_string("doc%012d", "doc_id").alias("url"),
                     F.array_join(F.expr(ftoks), " ").alias("text")))
         build_index(spark, pages, d, IndexConfig(
-            shard_size=1024, n_buckets=4, wave_shards=8,
-            use_text_col=True, positions=False))
+            shard_size=_fixture_shard_size(sf_dir), n_buckets=4,
+            wave_shards=8, use_text_col=True, positions=False))
         _IDX_CACHE[key] = d
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d

@@ -288,6 +288,12 @@ def _write_epoch(
     sequence) replaces any partial leftovers instead of duplicating
     rows — per-artifact idempotence, which plus the meta-last commit
     gives exactly-once end-to-end. Returns the batch row count."""
+    from ..sources.io import fanout_small_scan
+
+    # PQ/IVF/LSH encode are per-row vector math computed in the scan
+    # stage; a single-row-group parquet source would run them serially
+    # (guide §2.5) — fan out first (no-op on pre-split inputs)
+    emb_df = fanout_small_scan(emb_df)
     n = emb_df.count()
     codes = emb_df.select("vec_id", *pq_code_cols(codebooks))
     codes.write.mode("overwrite").parquet(str(out / "pq_codes" / f"epoch={epoch}"))

