@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .functions.tokenizer import SQL_TOKEN_PATTERN
 from .index.bm25 import B, K1
-from .index.naive import bm25_topk_naive, build_naive_stats
+from .index.naive import (
+    bm25_topk_naive, bm25_topk_naive_onepass, build_naive_stats)
 from .sources.io import fanout_small_scan
 
 FLAGSHIP_QUERY = "data query merge index"
@@ -76,11 +77,18 @@ def tokenized_documents_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5-analog: per-doc term frequencies for a fixed term set."""
     tok = tokenized_documents(spark, sf_dir)
+    # per-term tf computed IN-ROW for the fixed term set, non-zero pairs
+    # unpivoted with one explode — no token-stream explode, no shuffle
+    pairs = ("filter(array("
+             + ", ".join(
+                 f"struct('{t}' AS term,"
+                 f" size(filter(tokens, x -> x = '{t}')) AS tf)"
+                 for t in FIXED_TERMS)
+             + "), p -> p.tf > 0)")
     return (
-        tok.select("doc_id", F.explode("tokens").alias("term"))
-        .filter(F.col("term").isin(FIXED_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        tok.select("doc_id", F.explode(F.expr(pairs)).alias("p"))
+        .select("doc_id", F.col("p.term").alias("term"),
+                F.col("p.tf").cast("long").alias("tf"))
     )
 
 
@@ -95,9 +103,13 @@ SELECT doc_id, term, count(*) AS tf FROM tok JOIN q USING (term) GROUP BY doc_id
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-analog: document frequency of every term (full vocabulary)."""
     tok = tokenized_documents(spark, sf_dir)
+    # per-doc dedup happens IN-ROW (array_distinct) so the only shuffle
+    # is the final partial+final term aggregation — the old shape
+    # shuffled the full token stream once for distinct() and again for
+    # the groupBy
     return (
-        tok.select("doc_id", F.explode("tokens").alias("term"))
-        .distinct()
+        tok.select("doc_id",
+                   F.explode(F.array_distinct("tokens")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
@@ -151,8 +163,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: Lucene-semantics BM25 top-10 for a fixed query over the
     documents table (naive Catalyst scorer; SURVEY.md §2.8 Q8)."""
     tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
-    out = bm25_topk_naive(postings, dstats, tstats, gstats, FLAGSHIP_QUERY, k=10)
+    out = bm25_topk_naive_onepass(tok, FLAGSHIP_QUERY, k=10)
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -247,9 +258,7 @@ def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin: ranks 11-20 in (score desc, doc_id asc) order (offset+limit
     over the scored set)."""
     tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
-    out = bm25_topk_naive(postings, dstats, tstats, gstats, FLAGSHIP_QUERY,
-                          k=20)
+    out = bm25_topk_naive_onepass(tok, FLAGSHIP_QUERY, k=20)
     return (out.orderBy(F.desc("score"), F.asc("doc_id")).offset(10)
             .select("doc_id", F.round("score", 6).alias("score")))
 
@@ -303,22 +312,14 @@ def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``function_score``, naive Catalyst twin: the flagship BM25
     score multiplied by ln(1 + 0.05·dl) for EVERY candidate (not a
     window — a doc-field factor reorders globally), then top-10."""
-    from .index.naive import bm25_score_expr
+    from .index.naive import onepass_scored
 
     qterms = sorted(set(FLAGSHIP_QUERY.split()))
     tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
-    sc = (
-        postings.filter(F.col("term").isin(qterms))
-        .join(tstats, "term")
-        .join(dstats, "doc_id")
-        .crossJoin(gstats)
-        .withColumn("contrib", bm25_score_expr())
-    )
     return (
-        sc.groupBy("doc_id")
-        .agg((F.sum("contrib")
-              * F.log1p(FS_FACTOR * F.first("dl"))).alias("s"))
+        onepass_scored(tok, qterms)
+        .select("doc_id",
+                (F.col("s") * F.log1p(FS_FACTOR * F.col("dl"))).alias("s"))
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", F.round("s", 6).alias("score"))
@@ -380,12 +381,10 @@ def q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 tagged with its position in the request, one unioned job —
     the corpus-side stats build is shared across bodies."""
     tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
     outs = []
     for i, q in enumerate(MSEARCH_QUERIES):
         outs.append(
-            bm25_topk_naive(postings, dstats, tstats, gstats, q,
-                            k=MSEARCH_K)
+            bm25_topk_naive_onepass(tok, q, k=MSEARCH_K)
             .select(F.lit(i).alias("query_id"), "doc_id",
                     F.round("score", 6).alias("score")))
     out = outs[0]
@@ -443,22 +442,15 @@ def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed on ``lang`` — one best doc per language (score desc,
     doc_id asc), ordered by that representative's score. One window
     rank over the scored set joined to the collapse field."""
-    from .index.naive import bm25_score_expr
+    from .index.naive import onepass_scored
     from pyspark.sql import Window
 
     qterms = sorted(set(FLAGSHIP_QUERY.split()))
-    tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
-    sc = (
-        postings.filter(F.col("term").isin(qterms))
-        .join(tstats, "term")
-        .join(dstats, "doc_id")
-        .crossJoin(gstats)
-        .withColumn("contrib", bm25_score_expr())
-        .groupBy("doc_id").agg(F.sum("contrib").alias("s"))
-        .join(load(spark, sf_dir, "documents").select("doc_id", "lang"),
-              "doc_id")
-    )
+    tok_lang = load_wide(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.expr(f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)")
+        .alias("tokens"))
+    sc = onepass_scored(tok_lang, qterms, extra_cols=["lang"])
     w = Window.partitionBy("lang").orderBy(F.desc("s"), F.asc("doc_id"))
     return (
         sc.withColumn("rn", F.row_number().over(w))
@@ -509,9 +501,9 @@ def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-joined to the in-row phrase pseudo-term score (corpus-wide
     df, as ES scores the rescore query), combined and re-ranked."""
     tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
-    win = bm25_topk_naive(postings, dstats, tstats, gstats,
-                          FLAGSHIP_QUERY, k=RESCORE_WINDOW)
+    from .index.naive import onepass_frames
+    win = bm25_topk_naive_onepass(tok, FLAGSHIP_QUERY, k=RESCORE_WINDOW)
+    _, gstats = onepass_frames(tok, [])
     # Generate barrier: the ptf lambda must see a MATERIALIZED token
     # array (see tokenized_documents_mat) — otherwise the pushed-down
     # hits filter re-tokenizes per position (was 55 s at sf1.0).
@@ -625,13 +617,31 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection (tf*idf within the seed doc, top-8, ties term-asc),
     broadcast the selected terms into the standard disjunctive BM25,
     exclude the seed, top-10."""
-    from .index.naive import bm25_score_expr
+    from .index.naive import bm25_score_expr, onepass_frames
 
     tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
+    # the full (doc_id, dl, term, tf) posting frame is built in ONE
+    # explode pass (in-row distinct+count — no posting groupBy) and
+    # localCheckpoint'ed: seed selection, the df window, and the
+    # disjunctive scorer all consume the same narrow rows instead of
+    # each re-tokenizing the corpus (the old shape cost ~5 passes)
+    ex = (
+        tok.select(
+            "doc_id", F.size("tokens").cast("long").alias("dl"),
+            F.explode(F.expr(
+                "transform(array_distinct(tokens),"
+                " t -> struct(t AS term,"
+                " size(filter(tokens, x -> x = t)) AS tf))")).alias("p"))
+        .select("doc_id", "dl", F.col("p.term").alias("term"),
+                F.col("p.tf").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    _, gstats = onepass_frames(tok, [])
+    with_df = ex.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")))
     seed = (
-        postings.filter(F.col("doc_id") == MLT_DOC)
-        .join(tstats, "term").crossJoin(gstats)
+        with_df.filter(F.col("doc_id") == MLT_DOC)
+        .crossJoin(F.broadcast(gstats))
         .withColumn("ti", F.col("tf") * F.log(
             1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
         .orderBy(F.desc("ti"), F.asc("term"))
@@ -639,11 +649,9 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term")
     )
     sc = (
-        postings.join(F.broadcast(seed), "term")
+        with_df.join(F.broadcast(seed), "term")
         .filter(F.col("doc_id") != MLT_DOC)
-        .join(tstats, "term")
-        .join(dstats, "doc_id")
-        .crossJoin(gstats)
+        .crossJoin(F.broadcast(gstats))
         .withColumn("contrib", bm25_score_expr())
     )
     return (
@@ -1027,29 +1035,32 @@ def q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions and the per-doc distinct-must count together; the
     exclusion is a left-anti join against the must_not posting docs.
     Tie-break pinned on doc_id, so the LIMIT is deterministic."""
-    from .index.naive import bm25_score_expr
+    from .index.naive import onepass_contrib, onepass_frames
 
     tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
     must = sorted(set(BOOL_MUST.split()))
     scoring = sorted(set(must) | set(BOOL_SHOULD.split()))
-    sc = (
-        postings.filter(F.col("term").isin(scoring))
-        .join(tstats, "term")
-        .join(dstats, "doc_id")
-        .crossJoin(gstats)
-        .withColumn("contrib", bm25_score_expr())
-    )
-    per_doc = sc.groupBy("doc_id").agg(
-        F.sum("contrib").alias("s"),
-        F.countDistinct(
-            F.when(F.col("term").isin(must), F.col("term"))).alias("n_must"),
-    )
-    excl = (postings.filter(F.col("term").isin(BOOL_MUST_NOT.split()))
-            .select("doc_id").distinct())
+    must_not = sorted(set(BOOL_MUST_NOT.split()))
+    # one-pass frame over scoring + must_not terms: the must gate, the
+    # exclusion and every contribution are in-row predicates on the
+    # same tf columns — no posting shuffle, no anti-join
+    base, g = onepass_frames(tok, scoring + must_not)
+    s_expr = onepass_contrib(0)
+    for i in range(1, len(scoring)):
+        s_expr = s_expr + onepass_contrib(i)
+    any_scoring = F.col("tf_0") > 0
+    for i in range(1, len(scoring)):
+        any_scoring = any_scoring | (F.col(f"tf_{i}") > 0)
+    gate = any_scoring
+    for i, t in enumerate(scoring):
+        if t in must:
+            gate = gate & (F.col(f"tf_{i}") > 0)
+    for j in range(len(scoring), len(scoring) + len(must_not)):
+        gate = gate & (F.col(f"tf_{j}") == 0)
     return (
-        per_doc.filter(F.col("n_must") == len(must))
-        .join(excl, "doc_id", "left_anti")
+        base.crossJoin(F.broadcast(g))
+        .filter(gate)
+        .withColumn("s", s_expr)
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", F.round("s", 6).alias("score"))
@@ -1137,22 +1148,23 @@ def q_search_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     match set (ALL matching docs — filter context, no scores, no
     top-k) feeds the aggregations. One token pass computes the
     must-count and must_not flag together."""
-    must = sorted(set(SEARCH_MUST.split()))
-    tok = tokenized_documents(spark, sf_dir)
-    flags = (
-        tok.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct(
-                F.when(F.col("term").isin(must), F.col("term"))).alias("n_must"),
-            F.max(F.when(F.col("term").isin(SEARCH_MUST_NOT.split()), 1)
-                  .otherwise(0)).alias("has_not"),
-        )
+    # in-row bool gate over ONE pass of the documents table: every
+    # must/must_not predicate is an array_contains on the token array,
+    # so no explode, no groupBy, and no join back to the table
+    d = load_wide(spark, sf_dir, "documents").withColumn(
+        "__toks",
+        F.expr(f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)"))
+    gate = F.lit(True)
+    for t in sorted(set(SEARCH_MUST.split())):
+        gate = gate & F.array_contains("__toks", t)
+    for t in SEARCH_MUST_NOT.split():
+        gate = gate & ~F.array_contains("__toks", t)
+    return (
+        d.filter(gate)
+        .groupBy(F.expr(DAY_SYNTH_SPARK).alias("day"), "lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
     )
-    matched = flags.filter(
-        (F.col("n_must") == len(must)) & (F.col("has_not") == 0)
-    ).select("doc_id")
-    return _search_aggs(load(spark, sf_dir, "documents"), matched)
 
 
 def q_search_agg_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,32 +1242,41 @@ def q_search_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen fragment projection (highlight), the FULL match set feeds
     the agg subtree via operators/aggtree.agg_tree (one rollup pass,
     grand total = ES's hits.total)."""
-    from .index.naive import bm25_score_expr
+    from .index.naive import onepass_contrib, onepass_frames
     from .operators.aggtree import agg_tree
 
     must = sorted(set(SEARCH_MUST.split()))
-    tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
-    sc = (postings.filter(F.col("term").isin(must))
-          .join(tstats, "term").join(dstats, "doc_id").crossJoin(gstats)
-          .withColumn("contrib", bm25_score_expr()))
-    per_doc = sc.groupBy("doc_id").agg(
-        F.sum("contrib").alias("s"),
-        F.countDistinct("term").alias("n_must"))
-    excl = (postings.filter(F.col("term").isin(SEARCH_MUST_NOT.split()))
-            .select("doc_id").distinct())
-    matched = (per_doc.filter(F.col("n_must") == len(must))
-               .join(excl, "doc_id", "left_anti"))
+    must_not = sorted(set(SEARCH_MUST_NOT.split()))
+    # one-pass matched frame: bool gate and score are in-row tf
+    # predicates, and the aggs columns (lang, n_chars) ride along so
+    # the agg leg needs no join back to the documents table
+    d = load_wide(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.expr(f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)")
+        .alias("tokens"))
+    base, g = onepass_frames(d, must + must_not,
+                             extra_cols=["lang", "n_chars"])
+    s_expr = onepass_contrib(0)
+    for i in range(1, len(must)):
+        s_expr = s_expr + onepass_contrib(i)
+    gate = F.lit(True)
+    for i in range(len(must)):
+        gate = gate & (F.col(f"tf_{i}") > 0)
+    for j in range(len(must), len(must) + len(must_not)):
+        gate = gate & (F.col(f"tf_{j}") == 0)
+    matched = (base.crossJoin(F.broadcast(g)).filter(gate)
+               .withColumn("s", s_expr))
     hits = (matched.orderBy(F.desc("s"), F.asc("doc_id")).limit(10)
             .select("doc_id", F.round("s", 6).alias("score")))
     _, frag = _hl_exprs(must)
-    frags = tok.select("doc_id", F.expr(frag).alias("fragment"))
-    hits_df = (F.broadcast(hits).join(frags, "doc_id")
-               .select("doc_id", "score", "fragment"))
-    aggs_df = agg_tree(
-        load(spark, sf_dir, "documents")
-        .join(matched.select("doc_id"), "doc_id"),
-        SB_BODY["aggs"])
+    # fragment rendered AFTER the broadcast hits join -> 10 docs only
+    hits_df = (
+        load(spark, sf_dir, "documents").join(F.broadcast(hits), "doc_id")
+        .withColumn("tokens", F.expr(
+            f"regexp_extract_all(lower(text), '{SQL_TOKEN_PATTERN}', 0)"))
+        .select("doc_id", "score", F.expr(frag).alias("fragment")))
+    aggs_df = agg_tree(matched.select("doc_id", "lang", "n_chars"),
+                       SB_BODY["aggs"])
     return _sb_assemble(hits_df, aggs_df)
 
 
@@ -1337,19 +1358,11 @@ def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vocabulary term starting with the prefix (each term scores
     with its own idf — Lucene ``top_terms_N`` blended rewrite), pinned
     tie-break."""
-    from .index.naive import bm25_score_expr
+    from .index.naive import matched_postings_scored
 
     tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
-    sc = (
-        postings.filter(F.col("term").startswith(PREFIX_Q))
-        .join(tstats, "term")
-        .join(dstats, "doc_id")
-        .crossJoin(gstats)
-        .withColumn("contrib", bm25_score_expr())
-    )
     return (
-        sc.groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+        matched_postings_scored(tok, f"startswith(x, '{PREFIX_Q}')")
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", F.round("s", 6).alias("score"))
@@ -1408,19 +1421,11 @@ def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over every vocabulary term matching the pattern (SQL LIKE with
     ``*``->``%``, ``?``->``_`` — same language), per-term idf (Lucene
     ``top_terms_N`` blended rewrite), pinned tie-break."""
-    from .index.naive import bm25_score_expr
+    from .index.naive import matched_postings_scored
 
     tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
-    sc = (
-        postings.filter(F.col("term").like(_WILDCARD_LIKE))
-        .join(tstats, "term")
-        .join(dstats, "doc_id")
-        .crossJoin(gstats)
-        .withColumn("contrib", bm25_score_expr())
-    )
     return (
-        sc.groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+        matched_postings_scored(tok, f"x LIKE '{_WILDCARD_LIKE}'")
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", F.round("s", 6).alias("score"))
@@ -1480,20 +1485,11 @@ def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vocabulary term within ``FUZZINESS`` edits of the query
     (JVM ``levenshtein`` — codegen, no Python), per-term idf, pinned
     tie-break."""
-    from .index.naive import bm25_score_expr
+    from .index.naive import matched_postings_scored
 
     tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
-    sc = (
-        postings
-        .filter(F.levenshtein(F.col("term"), F.lit(FUZZY_Q)) <= FUZZINESS)
-        .join(tstats, "term")
-        .join(dstats, "doc_id")
-        .crossJoin(gstats)
-        .withColumn("contrib", bm25_score_expr())
-    )
     return (
-        sc.groupBy("doc_id").agg(F.sum("contrib").alias("s"))
+        matched_postings_scored(tok, f"levenshtein(x, '{FUZZY_Q}') <= {FUZZINESS}")
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", F.round("s", 6).alias("score"))
@@ -1554,14 +1550,13 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     (naive Catalyst twin) joined to a fragment projection computed
     with higher-order array functions (whole-stage codegen)."""
     tok = tokenized_documents(spark, sf_dir)
-    postings, dstats, tstats, gstats = build_naive_stats(tok)
-    top = bm25_topk_naive(
-        postings, dstats, tstats, gstats, FLAGSHIP_QUERY, k=10
-    ).select("doc_id", F.round("score", 6).alias("score"))
+    top = bm25_topk_naive_onepass(tok, FLAGSHIP_QUERY, k=10).select(
+        "doc_id", F.round("score", 6).alias("score"))
     _, frag = _hl_exprs(sorted(set(FLAGSHIP_QUERY.split())))
-    frags = tok.select("doc_id", F.expr(frag).alias("fragment"))
-    return (F.broadcast(top).join(frags, "doc_id")
-            .select("doc_id", "score", "fragment"))
+    # fragment rendered AFTER the broadcast hits join, so the codegen
+    # highlight expression runs on the 10 hit docs, not the corpus
+    return (tok.join(F.broadcast(top), "doc_id")
+            .select("doc_id", "score", F.expr(frag).alias("fragment")))
 
 
 def q_highlight_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
