@@ -404,36 +404,35 @@ def topk_terms(
     qterms = sorted(set(qterms))
     if not qterms:
         return []
-    # ONE pruned block scan, cached: df(t) aggregation + scoring both
-    # read it (two jobs, one I/O pass)
+    # df(t) comes from a driver-local pruned (term, n) read — metadata
+    # scale — so the Spark side is ONE job (shard scoring) instead of
+    # two sequential ones (df aggregation, then scoring); the former
+    # persist of the block scan bridged exactly that double-read and
+    # is no longer needed.
+    dfs = reader.term_dfs_local(qterms)
+    qterms = [t for t in qterms if dfs.get(t)]
+    if not qterms:
+        return []
     blocks = reader.postings_blocks(qterms)
-    blocks.persist()
-    try:
-        dfs = {r.term: r.df for r in blocks.groupBy("term").agg(F.sum("n").alias("df")).collect()}
-        qterms = [t for t in qterms if dfs.get(t)]
-        if not qterms:
-            return []
-        N, avgdl = reader.global_stats()
-        idfs = {t: idf_fn(N, dfs[t]) for t in qterms}
-        if search_after is not None:
-            after = (float(search_after[0]), int(search_after[1]))
-            score_fn = functools.partial(_score_shard_acc, after=after)
-        else:
-            score_fn = _pick_scorer(mode, (dfs[t] for t in qterms))
-        shard_size = reader.cfg.shard_size
-        codec = reader.codec
-        dels = reader.deletes()
+    N, avgdl = reader.global_stats()
+    idfs = {t: idf_fn(N, dfs[t]) for t in qterms}
+    if search_after is not None:
+        after = (float(search_after[0]), int(search_after[1]))
+        score_fn = functools.partial(_score_shard_acc, after=after)
+    else:
+        score_fn = _pick_scorer(mode, (dfs[t] for t in qterms))
+    shard_size = reader.cfg.shard_size
+    codec = reader.codec
+    dels = reader.deletes()
 
-        def _per_shard(key, pdf):
-            base = int(key[0]) * shard_size
-            res = score_fn(pdf, idfs, avgdl, k, base=base, codec=codec,
-                           excl=shard_slice(dels, base, shard_size))
-            return pd.DataFrame({"doc_id": [d for d, _ in res], "score": [s for _, s in res]})
+    def _per_shard(key, pdf):
+        base = int(key[0]) * shard_size
+        res = score_fn(pdf, idfs, avgdl, k, base=base, codec=codec,
+                       excl=shard_slice(dels, base, shard_size))
+        return pd.DataFrame({"doc_id": [d for d, _ in res], "score": [s for _, s in res]})
 
-        per_shard = blocks.groupBy("shard").applyInPandas(_per_shard, schema="doc_id long, score double")
-        pairs = [(r.doc_id, r.score) for r in per_shard.collect()]
-    finally:
-        blocks.unpersist()
+    per_shard = blocks.groupBy("shard").applyInPandas(_per_shard, schema="doc_id long, score double")
+    pairs = [(r.doc_id, r.score) for r in per_shard.collect()]
     top = _topk_merge(pairs, k)
     if with_urls:
         urls = reader.doc_urls([d for d, _ in top])
@@ -512,33 +511,31 @@ def topk_many(
     if not all_terms:
         return [[] for _ in query_texts]
     blocks = reader.postings_blocks(all_terms)
-    blocks.persist()
-    try:
-        dfs = {r.term: r.df for r in blocks.groupBy("term").agg(F.sum("n").alias("df")).collect()}
-        N, avgdl = reader.global_stats()
-        idfs = {t: idf_fn(N, dfs[t]) for t in all_terms if dfs.get(t)}
-        shard_size = reader.cfg.shard_size
-        codec = reader.codec
-        dels = reader.deletes()
+    # driver-local metadata read (see topk_terms) — the Spark side
+    # is the single batched scoring job
+    dfs = reader.term_dfs_local(all_terms)
+    N, avgdl = reader.global_stats()
+    idfs = {t: idf_fn(N, dfs[t]) for t in all_terms if dfs.get(t)}
+    shard_size = reader.cfg.shard_size
+    codec = reader.codec
+    dels = reader.deletes()
 
-        def _per_shard(key, pdf):
-            base = int(key[0]) * shard_size
-            rows = _score_shard_acc_many(
-                pdf, qterms_list, idfs, avgdl, k,
-                base=base, codec=codec,
-                excl=shard_slice(dels, base, shard_size))
-            return pd.DataFrame(
-                {"query_id": [q for q, _, _ in rows],
-                 "doc_id": [d for _, d, _ in rows],
-                 "score": [s for _, _, s in rows]})
+    def _per_shard(key, pdf):
+        base = int(key[0]) * shard_size
+        rows = _score_shard_acc_many(
+            pdf, qterms_list, idfs, avgdl, k,
+            base=base, codec=codec,
+            excl=shard_slice(dels, base, shard_size))
+        return pd.DataFrame(
+            {"query_id": [q for q, _, _ in rows],
+             "doc_id": [d for _, d, _ in rows],
+             "score": [s for _, _, s in rows]})
 
-        per_shard = blocks.groupBy("shard").applyInPandas(
-            _per_shard, schema="query_id int, doc_id long, score double")
-        by_q: dict[int, list[tuple[int, float]]] = {}
-        for r in per_shard.collect():
-            by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
-    finally:
-        blocks.unpersist()
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        _per_shard, schema="query_id int, doc_id long, score double")
+    by_q: dict[int, list[tuple[int, float]]] = {}
+    for r in per_shard.collect():
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
     tops = [_topk_merge(by_q.get(qi, []), k) for qi in range(len(query_texts))]
     if with_urls:
         urls = reader.doc_urls(sorted({d for top in tops for d, _ in top}))
@@ -1390,29 +1387,26 @@ def bool_topk(
         return []
     all_terms = sorted(mset | sset | nset)
     blocks = reader.postings_blocks(all_terms)
-    blocks.persist()
-    try:
-        dfs = {r.term: r.df for r in blocks.groupBy("term").agg(F.sum("n").alias("df")).collect()}
-        if any(not dfs.get(t) for t in mset):
-            return []  # a required term absent from the corpus matches nothing
-        N, avgdl = reader.global_stats()
-        idfs = {t: idf_fn(N, dfs[t]) for t in scoring if dfs.get(t)}
-        shard_size = reader.cfg.shard_size
-        codec = reader.codec
-        dels = reader.deletes()
+    # driver-local metadata read (see topk_terms) — one Spark job
+    dfs = reader.term_dfs_local(all_terms)
+    if any(not dfs.get(t) for t in mset):
+        return []  # a required term absent from the corpus matches nothing
+    N, avgdl = reader.global_stats()
+    idfs = {t: idf_fn(N, dfs[t]) for t in scoring if dfs.get(t)}
+    shard_size = reader.cfg.shard_size
+    codec = reader.codec
+    dels = reader.deletes()
 
-        def _per_shard(key, pdf):
-            base = int(key[0]) * shard_size
-            res = _score_shard_bool(
-                pdf, idfs, avgdl, k, base=base,
-                must=mset, must_not=nset, codec=codec,
-                excl=shard_slice(dels, base, shard_size))
-            return pd.DataFrame({"doc_id": [d for d, _ in res], "score": [s for _, s in res]})
+    def _per_shard(key, pdf):
+        base = int(key[0]) * shard_size
+        res = _score_shard_bool(
+            pdf, idfs, avgdl, k, base=base,
+            must=mset, must_not=nset, codec=codec,
+            excl=shard_slice(dels, base, shard_size))
+        return pd.DataFrame({"doc_id": [d for d, _ in res], "score": [s for _, s in res]})
 
-        per_shard = blocks.groupBy("shard").applyInPandas(_per_shard, schema="doc_id long, score double")
-        pairs = [(r.doc_id, r.score) for r in per_shard.collect()]
-    finally:
-        blocks.unpersist()
+    per_shard = blocks.groupBy("shard").applyInPandas(_per_shard, schema="doc_id long, score double")
+    pairs = [(r.doc_id, r.score) for r in per_shard.collect()]
     return _topk_merge(pairs, k)
 
 

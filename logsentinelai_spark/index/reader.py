@@ -116,6 +116,29 @@ class IndexReader:
         df = blocks.groupBy("term").agg(F.sum("n").alias("df"))
         return {r.term: r.df for r in df.collect()}
 
+    def term_dfs_local(self, terms: list[str]) -> dict[str, int]:
+        """df per term via a driver-local pruned (term, n) column read
+        off the pyarrow dataset — the metadata-sized lookup the
+        distributed scorer needs BEFORE shard scoring. Replaces a full
+        Spark aggregation job (scan + groupBy + collect) per query with
+        a two-column footer-pruned read: the n column for the query's
+        term buckets is KBs at any corpus size (block counts, not
+        postings)."""
+        import pyarrow.dataset as pads
+
+        if not terms:
+            return {}
+        buckets = sorted({term_bucket_py(t, self.cfg.n_buckets)
+                          for t in terms})
+        filt = (pads.field("term_bucket").isin(buckets)
+                & pads.field("term").isin(list(terms))
+                & (pads.field("block_id") >= 0))
+        tbl = self._postings_dataset().to_table(
+            filter=filt, columns=["term", "n"])
+        agg = tbl.group_by("term").aggregate([("n", "sum")])
+        return {t: int(n) for t, n in
+                zip(agg["term"].to_pylist(), agg["n_sum"].to_pylist())}
+
     # ---- posting blocks for query terms (partition- and predicate-pruned)
     def postings_blocks(self, terms: list[str],
                         with_positions: bool = False) -> DataFrame:
