@@ -1837,39 +1837,68 @@ def _mm_field_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     most_fields (sum of fields) and best_fields (dis_max)."""
     qterms = sorted(set(MM_QUERY.split()))
     tok = tokenized_documents(spark, sf_dir)
-    fields = tok.select(
+    # one-pass shape (same rewrite as the single-field naive family):
+    # per-(field, term) tf and per-field dl are IN-ROW expressions over
+    # the token slices, the narrow frame is localCheckpoint'ed, and the
+    # per-field stats (avgdl, df, N) come from its 1-row aggregate —
+    # replaces the explode + three-table join cascade (5 corpus passes)
+    fslice = {
+        "title": f"slice(tokens, 1, {MM_TITLE_LEN})",
+        "body": (f"slice(tokens, {MM_TITLE_LEN + 1}, "
+                 f"greatest(size(tokens) - {MM_TITLE_LEN}, 0))"),
+    }
+    fields = list(fslice)
+    base = tok.select(
         "doc_id",
-        F.expr(
-            f"stack(2, 'title', slice(tokens, 1, {MM_TITLE_LEN}), "
-            f"'body', slice(tokens, {MM_TITLE_LEN + 1}, "
-            f"greatest(size(tokens) - {MM_TITLE_LEN}, 0)))"
-        ).alias("field", "ftoks"),
+        *[F.expr(f"size({fslice[f]})").cast("long").alias(f"dl_{f}")
+          for f in fields],
+        *[F.expr(f"size(filter({fslice[f]}, x -> x = '{t}'))").cast("long")
+          .alias(f"tf_{f}_{i}")
+          for f in fields for i, t in enumerate(qterms)],
+    ).localCheckpoint(eager=False)
+    g = base.agg(
+        F.count("*").alias("n_docs"),
+        *[F.avg(f"dl_{f}").alias(f"avgdl_{f}") for f in fields],
+        *[F.sum((F.col(f"tf_{f}_{i}") > 0).cast("long")).alias(f"df_{f}_{i}")
+          for f in fields for i in range(len(qterms))],
     )
-    long = fields.select("doc_id", "field", F.explode("ftoks").alias("term"))
-    dls = fields.select(
-        "doc_id", "field", F.size("ftoks").cast("long").alias("dl"))
-    n_docs = tok.select(F.count("*").alias("n_docs"))
-    avgdls = dls.groupBy("field").agg(F.avg("dl").alias("avgdl"))
-    tf = (long.filter(F.col("term").isin(qterms))
-          .groupBy("doc_id", "field", "term").agg(F.count("*").alias("tf")))
-    dfs = (long.filter(F.col("term").isin(qterms))
-           .select("doc_id", "field", "term").distinct()
-           .groupBy("field", "term").agg(F.count("*").alias("df")))
-    w = F.when(F.col("field") == "title", MM_W_TITLE).otherwise(MM_W_BODY)
-    contrib = (
-        w
-        * F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        * F.col("tf")
-        / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+    weights = {"title": MM_W_TITLE, "body": MM_W_BODY}
+
+    def _fs(f: str):
+        parts = []
+        for i in range(len(qterms)):
+            idf = F.log(1 + (F.col("n_docs") - F.col(f"df_{f}_{i}") + 0.5)
+                        / (F.col(f"df_{f}_{i}") + 0.5))
+            tfn = F.col(f"tf_{f}_{i}") / (
+                F.col(f"tf_{f}_{i}")
+                + K1 * (1 - B + B * F.col(f"dl_{f}") / F.col(f"avgdl_{f}")))
+            parts.append(F.when(F.col(f"tf_{f}_{i}") > 0,
+                                F.lit(weights[f]) * idf * tfn)
+                         .otherwise(F.lit(0.0)))
+        s = parts[0]
+        for p in parts[1:]:
+            s = s + p
+        return s
+
+    def _any(f: str):
+        cond = F.col(f"tf_{f}_0") > 0
+        for i in range(1, len(qterms)):
+            cond = cond | (F.col(f"tf_{f}_{i}") > 0)
+        return cond
+
+    # (doc_id, field, fs) rows only for fields matching >= 1 term —
+    # the same row set the posting join produced
+    pairs = F.array(*[
+        F.when(_any(f), F.struct(F.lit(f).alias("field"),
+                                 _fs(f).alias("fs")))
+        for f in fields])
+    return (
+        base.crossJoin(F.broadcast(g))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", F.col("p.field").alias("field"),
+                F.col("p.fs").alias("fs"))
     )
-    scored = (
-        tf.join(dfs, ["field", "term"])
-        .join(dls, ["doc_id", "field"])
-        .join(F.broadcast(avgdls), "field")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn("contrib", contrib)
-    )
-    return scored.groupBy("doc_id", "field").agg(F.sum("contrib").alias("fs"))
 
 
 def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2077,7 +2106,11 @@ def q_events_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank, no per-group collect."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events")
+    # fanned out: the rank pushdown (WindowGroupLimit Partial) sorts
+    # its input BEFORE the exchange, and on the single-row-group
+    # fixture scan that sort ran serially on one core (measured 1.6 s
+    # at the sf1.0 replica vs 0.4 s spread)
+    ev = load_wide(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
         F.desc("value"), F.asc("event_id"))
     return (
