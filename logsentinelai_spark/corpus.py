@@ -85,6 +85,13 @@ def build_vocab(size: int = VOCAB_SIZE) -> list[str]:
 _VOCAB = np.array(build_vocab(), dtype=object)
 _ZIPF_P = (1.0 / np.arange(1, len(_VOCAB) + 1) ** ZIPF_S)
 _ZIPF_P /= _ZIPF_P.sum()
+# Precomputed inverse-CDF for the Zipf draw: Generator.choice(p=...)
+# validates and cumsums the 5k-entry p vector PER CALL (per document).
+# Sampling u = rng.random(n) then searchsorted over this cdf consumes
+# the identical random stream and picks identical indices (asserted by
+# test_corpus_zipf_draw_matches_choice), at ~3x less per-doc cost.
+_ZIPF_CDF = _ZIPF_P.cumsum()
+_ZIPF_CDF /= _ZIPF_CDF[-1]
 
 _MULTI_WS = re.compile(r"\s+")
 
@@ -99,7 +106,9 @@ def gen_text(i: int, seed: int = SEED) -> tuple[str, str]:
     r = rng.random()
     lang = "en" if r < 0.90 else ("ko" if r < 0.95 else "fa")
     n_tokens = max(8, int(rng.lognormal(mean=np.log(120.0), sigma=0.6)))
-    words = rng.choice(_VOCAB, size=n_tokens, p=_ZIPF_P)
+    # identical stream + indices as rng.choice(_VOCAB, n, p=_ZIPF_P)
+    words = _VOCAB[_ZIPF_CDF.searchsorted(rng.random(n_tokens),
+                                          side="right")]
     if lang != "en":
         extra = np.array(_KO_WORDS if lang == "ko" else _FA_WORDS, dtype=object)
         n_extra = max(2, n_tokens // 8)

@@ -51,3 +51,22 @@ def test_fanout_heavy_expr_runs_above_exchange(tmp_path, spark):
     i_proj = plan.index("regexp_extract_all")
     i_rep = plan.index("Repartition")
     assert i_proj < i_rep, plan
+
+
+def test_corpus_zipf_draw_matches_choice():
+    """The precomputed inverse-CDF Zipf draw must consume the identical
+    random stream and produce identical words as Generator.choice(p=)
+    did (corpus bytes are pinned by golden fixtures downstream)."""
+    import numpy as np
+
+    from logsentinelai_spark import corpus as C
+
+    for i in (0, 1, 7, 123, 4567):
+        r_old = np.random.default_rng([C.SEED, i])
+        n = 120
+        a = r_old.choice(C._VOCAB, size=n, p=C._ZIPF_P)
+        r_new = np.random.default_rng([C.SEED, i])
+        b = C._VOCAB[C._ZIPF_CDF.searchsorted(r_new.random(n), side="right")]
+        assert (a == b).all()
+        # stream state advanced identically
+        assert r_old.integers(0, 1 << 30) == r_new.integers(0, 1 << 30)
