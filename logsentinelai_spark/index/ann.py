@@ -292,9 +292,12 @@ def _write_epoch(
 
     # PQ/IVF/LSH encode are per-row vector math computed in the scan
     # stage; a single-row-group parquet source would run them serially
-    # (guide §2.5) — fan out first (no-op on pre-split inputs)
-    emb_df = fanout_small_scan(emb_df)
+    # (guide §2.5) — fan out first (no-op on pre-split inputs). Counted
+    # BEFORE fanning so small batches (where the exchange's fixed cost
+    # exceeds the serial encode — measured at 2k vectors) skip it.
     n = emb_df.count()
+    if n >= 8_000:
+        emb_df = fanout_small_scan(emb_df)
     codes = emb_df.select("vec_id", *pq_code_cols(codebooks))
     codes.write.mode("overwrite").parquet(str(out / "pq_codes" / f"epoch={epoch}"))
 

@@ -44,10 +44,18 @@ PLANE_SEED = 20240816
 
 
 def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _load_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_load + scan fan-out, ONLY for the paths that run full-table
+    per-row vector math in the scan stage (brute-force scoring,
+    near-dup bucketing, model training feeds). The artifact-served ANN
+    queries keep the plain read: their _load uses are point lookups
+    (query vectors by id) and code projections whose work does not
+    repay an exchange (measured +0.4 s each at the sf1.0 replica)."""
     from ..sources.io import fanout_small_scan
 
-    # single-row-group fixture file: fan the scan out before per-row
-    # vector math (guide §2.5)
     return fanout_small_scan(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         f"{sf_dir}/embeddings")
@@ -62,7 +70,7 @@ aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE
 
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for 5 fixed query vectors."""
-    emb = _load(spark, sf_dir)
+    emb = _load_wide(spark, sf_dir)
     q = (
         emb.filter(F.col("vec_id").isin(QUERY_VEC_IDS))
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
@@ -320,7 +328,7 @@ def _centroid_rows_from(emb: DataFrame) -> list[tuple[int, list[float], float]]:
 
 
 def _centroid_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float], float]]:
-    return _centroid_rows_from(_load(spark, sf_dir))
+    return _centroid_rows_from(_load_wide(spark, sf_dir))
 
 
 _ivf_assign = ann.ivf_assign
@@ -530,7 +538,7 @@ def _pq_codebooks_from(emb: DataFrame) -> list[list[list[float]]]:
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
-    return _pq_codebooks_from(_load(spark, sf_dir))
+    return _pq_codebooks_from(_load_wide(spark, sf_dir))
 
 
 def _sub_dot_lit(m: int, cent: list[float]) -> str:
@@ -571,7 +579,7 @@ def _ann_dir_for(spark: SparkSession, sf_dir: str) -> str:
 
         d = tempfile.mkdtemp(prefix="ann_idx_")
         ann.build_ann(
-            spark, _load(spark, sf_dir), d,
+            spark, _load_wide(spark, sf_dir), d,
             _centroid_rows(spark, sf_dir), _pq_codebooks(spark, sf_dir),
             lsh_planes=[
                 [[float(v) for v in plane] for plane in hyperplanes(t)]
@@ -845,7 +853,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines; pairs with cos >= 0.8 among (original x injected)
     are reported. LSH-bucketed in spirit; at this scale the candidate
     set is the injected ids."""
-    emb = _load(spark, sf_dir).select("vec_id", "embedding")
+    emb = _load_wide(spark, sf_dir).select("vec_id", "embedding")
     exact = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )

@@ -79,6 +79,30 @@ def read_snapshot(
 
 _FANOUT_DECISIONS: dict[tuple[int, str], bool] = {}
 
+# Below this input size the round-robin exchange's fixed cost (~0.1-0.2 s
+# of extra stage + shuffle) exceeds the serial per-row work it
+# parallelizes — measured at sf0.1 (0.6-1.6 MB tables) where fanout
+# regressed ~20 sub-second queries by 0.1-0.6 s each, while at sf1.0
+# (6-16 MB) it wins 2-5x. Compressed parquet bytes; a work-size gate,
+# not a core-count constant (at real scale inputs exceed it AND arrive
+# pre-split, so the partition-count check no-ops first).
+FANOUT_MIN_BYTES = 4 << 20
+
+
+def _input_bytes(key: str) -> int | None:
+    """Best-effort on-disk size for a fanout key (a path stem like
+    '<dir>/documents' or a real path); None when unresolvable."""
+    import os
+    from pathlib import Path
+
+    for cand in (key, key + ".parquet"):
+        p = Path(cand)
+        if p.is_file():
+            return p.stat().st_size
+        if p.is_dir():
+            return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+    return None
+
 
 def fanout_small_scan(df: DataFrame, key: str | None = None) -> DataFrame:
     """Spread an under-partitioned scan across every core before per-row
@@ -105,6 +129,10 @@ def fanout_small_scan(df: DataFrame, key: str | None = None) -> DataFrame:
         need = _FANOUT_DECISIONS[ck]
     else:
         need = df.rdd.getNumPartitions() < target
+        if need and key is not None:
+            nbytes = _input_bytes(key)
+            if nbytes is not None and nbytes < FANOUT_MIN_BYTES:
+                need = False
         if ck is not None:
             _FANOUT_DECISIONS[ck] = need
     return df.repartition(target) if need else df
