@@ -380,12 +380,31 @@ def q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_msearch`` analog, naive Catalyst twin: each body's BM25
     top-5 tagged with its position in the request, one unioned job —
     the corpus-side stats build is shared across bodies."""
+    from .index.naive import onepass_contrib, onepass_frames
+
     tok = tokenized_documents(spark, sf_dir)
+    # ONE one-pass frame over the UNION of the bodies' terms — the
+    # checkpointed base and its stats aggregate are shared by all three
+    # body scorers (the per-body loop re-scanned the corpus per body)
+    all_terms = sorted({t for q in MSEARCH_QUERIES for t in q.split()})
+    idx = {t: i for i, t in enumerate(all_terms)}
+    base, g = onepass_frames(tok, all_terms)
+    bg = base.crossJoin(F.broadcast(g))
     outs = []
-    for i, q in enumerate(MSEARCH_QUERIES):
+    for qi, q in enumerate(MSEARCH_QUERIES):
+        qterms = sorted(set(q.split()))
+        s = onepass_contrib(idx[qterms[0]])
+        for t in qterms[1:]:
+            s = s + onepass_contrib(idx[t])
+        any_tf = F.col(f"tf_{idx[qterms[0]]}") > 0
+        for t in qterms[1:]:
+            any_tf = any_tf | (F.col(f"tf_{idx[t]}") > 0)
         outs.append(
-            bm25_topk_naive_onepass(tok, q, k=MSEARCH_K)
-            .select(F.lit(i).alias("query_id"), "doc_id",
+            bg.filter(any_tf)
+            .select("doc_id", s.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(MSEARCH_K)
+            .select(F.lit(qi).alias("query_id"), "doc_id",
                     F.round("score", 6).alias("score")))
     out = outs[0]
     for o in outs[1:]:
@@ -1741,30 +1760,33 @@ def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term asc). Naive Catalyst twin of the index-served aggregation."""
     must = sorted(set(SEARCH_MUST.split()))
     tok = tokenized_documents(spark, sf_dir)
-    long = tok.select("doc_id", F.explode("tokens").alias("term")).distinct()
-    flags = long.groupBy("doc_id").agg(
-        F.countDistinct(
-            F.when(F.col("term").isin(must), F.col("term"))).alias("n_must"),
-        F.max(F.when(F.col("term").isin(SEARCH_MUST_NOT.split()), 1)
-              .otherwise(0)).alias("has_not"),
-    )
-    matched = flags.filter(
-        (F.col("n_must") == len(must)) & (F.col("has_not") == 0)
-    ).select("doc_id")
-    # n_fg / n_all as IN-PLAN broadcast scalars instead of two eager
-    # .count() actions: the old shape serialized three full jobs
-    # (matched.count -> tok.count -> the fg/bg job); one job now
-    # computes all subtrees concurrently. Same float math, same hash.
-    n_fg_df = matched.agg(
-        F.count("*").cast("double").alias("__n_fg"))
+    # one-pass shape: the bool gate is an in-row array_contains over
+    # the token array (no flags explode+groupBy), per-doc term dedup is
+    # an in-row array_distinct (no distinct() shuffle of the token
+    # stream), and fg/bg come from ONE groupBy with a conditional sum —
+    # the old shape evaluated the exploded-distinct frame three times
+    # across three sequential jobs. localCheckpoint'ed because the
+    # n_fg/n_all scalars and the fg/bg aggregate share it; the frame is
+    # (doc_id, matched, term) — narrow at any scale.
+    gate = F.lit(True)
+    for t in must:
+        gate = gate & F.array_contains("tokens", t)
+    for t in SEARCH_MUST_NOT.split():
+        gate = gate & ~F.array_contains("tokens", t)
+    ex = (tok.select(
+            "doc_id", gate.cast("long").alias("matched"),
+            F.explode(F.array_distinct("tokens")).alias("term"))
+          .localCheckpoint(eager=False))
+    n_fg_df = (ex.select("doc_id", "matched").groupBy("doc_id")
+               .agg(F.first("matched").alias("m"))
+               .agg(F.sum("m").cast("double").alias("__n_fg")))
     n_all_df = tok.agg(F.count("*").cast("double").alias("__n_all"))
-    fg = (long.join(matched, "doc_id")
-          .groupBy("term").agg(F.count("*").alias("fg_df")))
-    bg = long.groupBy("term").agg(F.count("*").alias("bg_df"))
+    agg = ex.groupBy("term").agg(
+        F.count("*").alias("bg_df"), F.sum("matched").alias("fg_df"))
     fg_pct = F.col("fg_df") / F.col("__n_fg")
     bg_pct = F.col("bg_df") / F.col("__n_all")
     return (
-        fg.join(bg, "term")
+        agg.filter(F.col("fg_df") > 0)
         .crossJoin(F.broadcast(n_fg_df))
         .crossJoin(F.broadcast(n_all_df))
         .withColumn("jlh", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6))
@@ -1986,6 +2008,16 @@ def q_multi_match_best_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL formula must agree hash-exactly."""
     from .index.query import topk_local_terms
     from .index.reader import IndexReader
+
+    # build both per-field fixture indexes CONCURRENTLY (guide §2.6:
+    # independent jobs overlap; each build's stage tail backfills with
+    # the other's tasks) — first call per session only, the cache makes
+    # later calls hit
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda f: _mm_field_index(spark, sf_dir, f),
+                      ("title", "body")))
 
     qterms = sorted(set(MM_QUERY.split()))
     scores: dict[int, dict[str, float]] = {}

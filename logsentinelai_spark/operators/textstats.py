@@ -1002,7 +1002,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     eval_cond = F.col("doc_id") % _EVAL_MOD == _EVAL_RES
-    first_eval = (docs.filter(eval_cond).orderBy("doc_id")
+    # point lookup: read unfanned — a 1-row TakeOrdered doesn't repay
+    # the fan-out exchange the full-corpus passes below want
+    first_eval = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                  .filter(eval_cond).orderBy("doc_id")
                   .select("text").limit(1).collect())
     excerpt = " ".join(_py_tokens(first_eval[0].text)[:DECON_NGRAM])
 
