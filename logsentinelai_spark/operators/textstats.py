@@ -659,11 +659,17 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("lc")).alias("line_chars"),
         F.sum((F.col("c") - 1) * F.col("lc")).alias("dup_line_chars"),
     )
-    # tokens materialized as a column FIRST: a lambda referencing the
-    # regexp expression directly would re-run regexp_extract_all per
-    # element access. sequence(1, 0) in Spark is DESCENDING, so docs
-    # with <2 tokens need the explicit empty-array branch.
-    toks = d.select("doc_id", _tok_col().alias("ts"))
+    # tokens materialized behind an explode-of-singleton Generate
+    # barrier (the tokenized_documents_mat pattern): a lambda
+    # referencing the regexp expression directly would re-run
+    # regexp_extract_all per element access, and the size()>0 filter
+    # InferFiltersFromGenerate derives for the bigram explode gets
+    # pushed below the fan-out exchange with exactly that inlining
+    # unless a Generate pins ts (measured 4.9 -> 1.25 s first-run for
+    # the bigram groupBy subtree at the sf1.0 replica). sequence(1, 0)
+    # in Spark is DESCENDING, so docs with <2 tokens need the explicit
+    # empty-array branch.
+    toks = d.select("doc_id", F.explode(F.array(_tok_col())).alias("ts"))
     bigrams = toks.select(
         "doc_id",
         F.explode(F.expr(
@@ -962,8 +968,20 @@ def _decon_gram_keys(d: DataFrame) -> DataFrame:
     eval grams) use the same keying so the match set is unchanged, and
     skipping the ~80-char concat per window cut the gram pass ~25% at
     the sf1.0 replica. The DuckDB oracle still matches RAW gram
-    strings, independently verifying the hash path."""
-    toks = d.select("doc_id", _tok_col().alias("toks"))
+    strings, independently verifying the hash path.
+
+    ``toks`` sits behind an explode-of-singleton Generate barrier (the
+    tokenized_documents_mat pattern): when a consumer explodes the
+    grams, InferFiltersFromGenerate adds a ``size(grams) > 0`` filter
+    that pushdown moves below the fan-out exchange, where ``toks`` is
+    out of scope and the whole gram expression is re-substituted with
+    the tokenizer inlined — re-running the regex once per 13-token
+    WINDOW per document (measured 2.6 s vs 0.25 s for the eval-side
+    subtree at the sf1.0 replica). A filter on a generated attribute
+    cannot be pushed below its Generate, so the barrier pins both the
+    filter and the single tokenize after the exchange."""
+    toks = d.select(
+        "doc_id", F.explode(F.array(_tok_col())).alias("toks"))
     return toks.select(
         "doc_id",
         F.expr(
